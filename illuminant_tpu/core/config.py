@@ -1,0 +1,74 @@
+"""Configuration dataclasses.
+
+Mirrors the reference's plain-object config system (SURVEY.md §5.6):
+RendererConfiguration + RendererQualitySettings
+(/root/reference/Illuminant/Lighting/LightingRenderer.Configuration.cs),
+HDRConfiguration (LightingRenderer.HDR.cs:198-258). All values here are
+*static* for jit purposes — changing one recompiles the frame step, which
+matches how rarely the reference mutates them.
+"""
+
+from __future__ import annotations
+
+from ..core.pytree import pytree_dataclass, static_field
+
+
+@pytree_dataclass
+class QualitySettings:
+    """Cone-trace quality knobs (LightingRenderer.Configuration.cs:254-291)."""
+
+    min_step_size: float = static_field(default=3.0)
+    long_step_factor: float = static_field(default=1.0)
+    max_step_count: int = static_field(default=64)
+    max_cone_radius: float = static_field(default=24.0)
+    cone_growth_factor: float = static_field(default=1.0)
+    occlusion_to_opacity_power: float = static_field(default=1.0)
+
+
+@pytree_dataclass
+class RendererConfig:
+    """Lighting renderer configuration
+    (LightingRenderer.Configuration.cs:13-253, TPU-relevant subset).
+
+    The lightmap is always f32 HDR (the HighQuality HalfVector4-vs-Color
+    switch was a GPU bandwidth concession); RingBufferSize/GarbageCollect*
+    buffer-pool knobs have no TPU equivalent (state is functional).
+    """
+
+    width: int = static_field(default=1920)
+    height: int = static_field(default=1080)
+    render_scale: float = static_field(default=1.0)
+    two_point_five_d: bool = static_field(default=False)
+    render_ground_plane: bool = static_field(default=True)
+    enable_gbuffer: bool = static_field(default=True)
+    maximum_field_updates_per_frame: int = static_field(default=1)
+    enable_brightness_estimation: bool = static_field(default=False)
+    quality: QualitySettings = static_field(default_factory=QualitySettings)
+
+    @property
+    def lightmap_shape(self):
+        h = int(round(self.height * self.render_scale))
+        w = int(round(self.width * self.render_scale))
+        return (h, w)
+
+
+@pytree_dataclass
+class HDRConfig:
+    """HDR resolve configuration (LightingRenderer.HDR.cs:198-258).
+
+    mode: 0 = none, 1 = gamma-compress, 2 = Uncharted2 tonemap.
+    """
+
+    mode: int = static_field(default=0)
+    exposure: float = static_field(default=1.0)
+    gamma: float = static_field(default=1.0)
+    white_point: float = static_field(default=1.0)
+    middle_gray: float = static_field(default=0.6)
+    maximum_luminance_sq: float = static_field(default=1.0)
+    offset: float = static_field(default=0.0)
+    dithering: bool = static_field(default=False)
+    srgb_output: bool = static_field(default=False)
+
+HDR_MODE_NONE = 0
+HDR_MODE_GAMMA_COMPRESS = 1
+HDR_MODE_TONEMAP = 2

@@ -1,0 +1,216 @@
+"""Scene environment: uniforms + light-source containers.
+
+Host side mirrors LightingEnvironment
+(/root/reference/Illuminant/Lighting/LightingEnvironment.cs:13-49) — a
+mutable scene container of lights/obstructions with GroundZ / MaximumZ /
+ZToYMultiplier / Ambient. Device side, lights are packed into fixed-capacity
+SoA pytrees per light family (one batched tensor axis replaces the
+reference's 128-instances-per-draw chunking, LightingRenderer.cs:1149-1166).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core.pytree import pytree_dataclass
+from ..ops import sdf_primitives
+from ..sdf.volume import SdfObstructions
+
+# LightSourceRampMode (LightSource.cs:622-630).
+RAMP_LINEAR = 0
+RAMP_EXPONENTIAL = 1
+RAMP_NONE = 2
+
+
+@pytree_dataclass
+class EnvironmentUniforms:
+    """Uniforms.Environment equivalent (Uniforms.cs:15-77).
+
+    All scalars are traced values so animation doesn't recompile.
+    """
+
+    ground_z: jnp.ndarray
+    maximum_z: jnp.ndarray
+    z_to_y_multiplier: jnp.ndarray
+    light_occlusion: jnp.ndarray
+    ambient: jnp.ndarray  # (4,) premultiplied ambient color
+
+    @staticmethod
+    def make(ground_z=0.0, maximum_z=128.0, z_to_y=0.0, light_occlusion=0.0,
+             ambient=(0.0, 0.0, 0.0, 1.0)) -> "EnvironmentUniforms":
+        return EnvironmentUniforms(
+            ground_z=jnp.asarray(ground_z, jnp.float32),
+            maximum_z=jnp.asarray(maximum_z, jnp.float32),
+            z_to_y_multiplier=jnp.asarray(z_to_y, jnp.float32),
+            light_occlusion=jnp.asarray(light_occlusion, jnp.float32),
+            ambient=jnp.asarray(ambient, jnp.float32),
+        )
+
+
+@pytree_dataclass
+class SphereLights:
+    """SoA sphere lights (SphereLightSource, LightSource.cs:214-311),
+    padded to a fixed capacity; `active` masks the pads.
+
+    position: (L, 3); color: (L, 4) HDR, opacity pre-folded
+    (LightingRenderer.cs light vertex build folds Opacity into color).
+    properties x/y/z/w = radius, ramp_length, ramp_mode, cast_shadows —
+    the shader's lightProperties packing (SphereLightCore.fxh:16).
+    more x/y/z/w = ao_radius, distance_falloff, y_falloff_factor,
+    ao_opacity (fxh:18).
+    """
+
+    position: jnp.ndarray
+    color: jnp.ndarray
+    properties: jnp.ndarray  # (L, 4)
+    more: jnp.ndarray  # (L, 4)
+    specular_color_power: jnp.ndarray  # (L, 4) = specular rgb + power
+    active: jnp.ndarray  # (L,) f32 0/1
+
+    @property
+    def capacity(self) -> int:
+        return self.position.shape[0]
+
+    @staticmethod
+    def empty(capacity: int) -> "SphereLights":
+        L = capacity
+        more = np.zeros((L, 4), np.float32)
+        more[:, 2] = 1.0  # y falloff factor defaults to 1
+        more[:, 3] = 1.0  # ao opacity defaults to 1
+        return SphereLights(
+            position=jnp.zeros((L, 3), jnp.float32),
+            color=jnp.zeros((L, 4), jnp.float32),
+            properties=jnp.zeros((L, 4), jnp.float32),
+            more=jnp.asarray(more),
+            specular_color_power=jnp.zeros((L, 4), jnp.float32),
+            active=jnp.zeros((L,), jnp.float32),
+        )
+
+
+@dataclasses.dataclass
+class SphereLightSource:
+    """Host-side mutable sphere light (LightSource.cs:214-311)."""
+
+    position: tuple = (0.0, 0.0, 0.0)
+    radius: float = 0.0
+    ramp_length: float = 1.0
+    ramp_mode: int = RAMP_LINEAR
+    color: tuple = (1.0, 1.0, 1.0, 1.0)
+    opacity: float = 1.0
+    cast_shadows: bool = True
+    ambient_occlusion_radius: float = 0.0
+    ambient_occlusion_opacity: float = 1.0
+    falloff_y_factor: float = 1.0
+    shadow_distance_falloff: Optional[float] = None
+    specular_color: tuple = (0.0, 0.0, 0.0)
+    specular_power: float = 2.0
+
+
+def pack_sphere_lights(lights: List[SphereLightSource],
+                       capacity: Optional[int] = None) -> SphereLights:
+    """Pack host lights into the SoA pytree (the LightVertex build,
+    LightingRenderer.cs:1193-1446, minus instancing)."""
+    n = len(lights)
+    cap = capacity or max(n, 1)
+    out_pos = np.zeros((cap, 3), np.float32)
+    out_col = np.zeros((cap, 4), np.float32)
+    out_props = np.zeros((cap, 4), np.float32)
+    out_more = np.zeros((cap, 4), np.float32)
+    out_more[:, 2] = 1.0
+    out_more[:, 3] = 1.0
+    out_spec = np.zeros((cap, 4), np.float32)
+    out_active = np.zeros((cap,), np.float32)
+    for i, l in enumerate(lights):
+        out_pos[i] = l.position
+        col = np.asarray(l.color, np.float32).copy()
+        col[3] *= l.opacity
+        out_col[i] = col
+        out_props[i] = [
+            l.radius,
+            l.ramp_length,
+            float(l.ramp_mode),
+            1.0 if l.cast_shadows else 0.0,
+        ]
+        out_more[i] = [
+            l.ambient_occlusion_radius,
+            l.shadow_distance_falloff or 0.0,
+            max(l.falloff_y_factor, 1e-3),
+            l.ambient_occlusion_opacity,
+        ]
+        out_spec[i, :3] = l.specular_color
+        out_spec[i, 3] = l.specular_power
+        out_active[i] = 1.0
+    return SphereLights(
+        position=jnp.asarray(out_pos),
+        color=jnp.asarray(out_col),
+        properties=jnp.asarray(out_props),
+        more=jnp.asarray(out_more),
+        specular_color_power=jnp.asarray(out_spec),
+        active=jnp.asarray(out_active),
+    )
+
+
+@dataclasses.dataclass
+class LightObstruction:
+    """Host-side SDF obstruction (LightObstruction.cs:10-148)."""
+
+    type: int = sdf_primitives.TYPE_BOX
+    center: tuple = (0.0, 0.0, 0.0)
+    size: tuple = (1.0, 1.0, 1.0)
+    rotation: tuple = (0.0, 0.0, 0.0, 1.0)
+    is_dynamic: bool = False
+
+    @staticmethod
+    def box(center, size):
+        return LightObstruction(sdf_primitives.TYPE_BOX, center, size)
+
+    @staticmethod
+    def ellipsoid(center, size):
+        return LightObstruction(sdf_primitives.TYPE_ELLIPSOID, center, size)
+
+    @staticmethod
+    def cylinder(center, size):
+        return LightObstruction(sdf_primitives.TYPE_CYLINDER, center, size)
+
+
+@dataclasses.dataclass
+class LightingEnvironment:
+    """Host scene container (LightingEnvironment.cs:13-49)."""
+
+    lights: list = dataclasses.field(default_factory=list)
+    obstructions: list = dataclasses.field(default_factory=list)
+    height_volumes: list = dataclasses.field(default_factory=list)
+    billboards: list = dataclasses.field(default_factory=list)
+    ground_z: float = 0.0
+    maximum_z: float = 128.0
+    z_to_y_multiplier: float = 0.0
+    ambient: tuple = (0.0, 0.0, 0.0, 1.0)
+    light_occlusion: float = 0.0
+
+    def uniforms(self) -> EnvironmentUniforms:
+        return EnvironmentUniforms.make(
+            ground_z=self.ground_z,
+            maximum_z=self.maximum_z,
+            z_to_y=self.z_to_y_multiplier,
+            light_occlusion=self.light_occlusion,
+            ambient=self.ambient,
+        )
+
+    def pack_obstructions(self, capacity: Optional[int] = None,
+                          dynamic: Optional[bool] = None) -> SdfObstructions:
+        """Pack obstructions; dynamic=True/False selects the partition
+        (DynamicDistanceField semantics, SDF/DistanceField.cs:248-321)."""
+        obs = self.obstructions
+        if dynamic is not None:
+            obs = [o for o in obs if o.is_dynamic == dynamic]
+        return SdfObstructions.from_lists(
+            types=[o.type for o in obs],
+            centers=[o.center for o in obs],
+            sizes=[o.size for o in obs],
+            rotations=[o.rotation for o in obs],
+            capacity=capacity,
+        )

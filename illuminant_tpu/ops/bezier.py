@@ -1,0 +1,153 @@
+"""Clamped bezier evaluation (device side).
+
+Re-expresses the reference's GPU bezier evaluator
+(/root/reference/Illuminant/Shaders/Bezier.fxh:21-177 and the mirrored CPU
+implementation in Illuminant/Bezier.cs:432-833) as a branchless jnp function.
+A `ClampedBezier` packs up to four control points of C channels plus a
+`(min, inv_divisor, count, mode)` header; evaluation over a batch of input
+values is fully vectorized (no lane divergence — every mode/count case is
+computed and selected, which on TPU's VPU is cheaper than branching).
+
+Semantics preserved from the reference:
+  * count <= 1: constant `a`
+  * count == 2: lerp(a, b, t)
+  * count == 3: "shelf" step mode (t<=0 -> a, t>=1 -> c, else b)
+    (Bezier.fxh:78-86)
+  * count == 4: cubic de Casteljau
+  * mode % 256: 0 = linear time, 1 = sine (t -> sin(t*pi/2)), 2 = exp (t^2)
+  * mode > 255: repeating (loop), mode > 511: bouncing (ping-pong)
+  * inv_divisor < 0 reverses time (Bezier.fxh:29-49)
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core.pytree import pytree_dataclass
+
+# Time-mode flag bits (Bezier.cs BezierTimeMode / Bezier.fxh:24-60).
+MODE_LINEAR = 0
+MODE_SINE = 1
+MODE_EXP = 2
+MODE_LOOP_BIT = 256
+MODE_BOUNCE_BIT = 512  # bouncing implies > 511 in the shader test
+
+
+@pytree_dataclass
+class ClampedBezier:
+    """Uniform-style packed bezier.
+
+    range_and_count: (4,) f32 = (min_value, inv_divisor, count, mode)
+    points:          (4, C) f32 control points a, b, c, d (unused rows = 0)
+    """
+
+    range_and_count: jnp.ndarray
+    points: jnp.ndarray
+
+    @property
+    def channels(self) -> int:
+        return self.points.shape[-1]
+
+
+def pack_bezier(
+    points,
+    min_value: float = 0.0,
+    max_value: float = 1.0,
+    mode: int = MODE_LINEAR,
+) -> ClampedBezier:
+    """Build a ClampedBezier from a list of control points.
+
+    Mirrors Bezier.cs `ClampedBezier1/2/4` constructors: inv_divisor is
+    1 / (max - min) with sign encoding reversed time when max < min.
+    """
+    pts = jnp.atleast_2d(jnp.asarray(points, dtype=jnp.float32))
+    count = pts.shape[0]
+    if count > 4:
+        raise ValueError("bezier supports at most 4 control points")
+    pad = jnp.zeros((4 - count, pts.shape[1]), dtype=jnp.float32)
+    pts4 = jnp.concatenate([pts, pad], axis=0)
+    divisor = max_value - min_value
+    if divisor == 0.0:
+        inv = 1.0
+    else:
+        inv = 1.0 / divisor
+    rc = jnp.asarray(
+        [min_value, inv, float(count), float(mode)], dtype=jnp.float32
+    )
+    return ClampedBezier(range_and_count=rc, points=pts4)
+
+
+def constant_bezier(value) -> ClampedBezier:
+    """A single-point (constant) bezier."""
+    v = jnp.atleast_1d(jnp.asarray(value, dtype=jnp.float32))
+    return pack_bezier(v[None, :])
+
+
+def t_for_scaled_bezier(range_and_count, value):
+    """Time-warp an input value into bezier parameter t in [0, 1].
+
+    Port of Bezier.fxh:21-63 `tForScaledBezier`. Returns (count, t).
+    Uses fmod (sign of dividend) to match HLSL `%` semantics.
+    """
+    rc = range_and_count
+    min_value, inv_divisor, count, mode_f = rc[0], rc[1], rc[2], rc[3]
+    mode = jnp.abs(mode_f).astype(jnp.int32)
+    repeating = mode > 255
+    bouncing = mode > 511
+    reverse = inv_divisor < 0
+
+    t = (value - min_value) * jnp.abs(inv_divisor)
+
+    # Bouncing (ping-pong): t*2 wrapped into [0,2], folded at 1.
+    tb = t * 2.0
+    tb = jnp.where(reverse, 2.0 - jnp.fmod(tb, 2.0), jnp.fmod(tb, 2.0))
+    tb = jnp.where(tb > 1.0, 2.0 - tb, tb)
+
+    # Repeating (loop).
+    tr = jnp.where(reverse, 1.0 - jnp.fmod(t, 1.0), jnp.fmod(t, 1.0))
+
+    # Clamped (once).
+    tc = jnp.clip(t, 0.0, 1.0)
+    tc = jnp.where(reverse, 1.0 - tc, tc)
+
+    t = jnp.where(bouncing, tb, jnp.where(repeating, tr, tc))
+
+    base_mode = jnp.mod(mode, 256)
+    t = jnp.where(base_mode == MODE_SINE, jnp.sin(t * (jnp.pi * 0.5)), t)
+    t = jnp.where(base_mode == MODE_EXP, t * t, t)
+    return count, t
+
+
+def evaluate_at_t(points, count, t):
+    """De Casteljau with constant/linear/shelf shortcuts (Bezier.fxh:65-95).
+
+    points: (4, C); t: (...,) -> result (..., C). Branchless select.
+    """
+    a, b, c, d = points[0], points[1], points[2], points[3]
+    tt = t[..., None]
+
+    ab = a + (b - a) * tt
+    bc = b + (c - b) * tt
+    cd = c + (d - c) * tt
+    abbc = ab + (bc - ab) * tt
+    bccd = bc + (cd - bc) * tt
+    cubic = abbc + (bccd - abbc) * tt
+
+    shelf = jnp.where(tt <= 0.0, a, jnp.where(tt >= 1.0, c, b))
+
+    result = jnp.where(
+        count <= 1.5,
+        a,
+        jnp.where(count <= 2.5, ab, jnp.where(count <= 3.5, shelf, cubic)),
+    )
+    return jnp.broadcast_to(result, t.shape + (points.shape[-1],))
+
+
+def evaluate_bezier(bezier: ClampedBezier, value):
+    """Evaluate a packed bezier at `value` (any batch shape).
+
+    Returns shape value.shape + (C,). Port of Bezier.fxh evaluateBezier*.
+    """
+    value = jnp.asarray(value, dtype=jnp.float32)
+    count, t = t_for_scaled_bezier(bezier.range_and_count, value)
+    return evaluate_at_t(bezier.points, count, t)

@@ -1,0 +1,178 @@
+"""Signed-distance primitives (the obstruction shape library).
+
+TPU re-expression of /root/reference/Illuminant/Shaders/DistanceFunctionCommon.fxh
+(iq's public distance formulas: box, ellipsoid improved-V2, capped cylinder,
+spheroid via elongation, octagon prism; quaternion local rotation).
+
+The reference dispatches per obstruction *type* with one instanced draw per
+type (LightingRenderer.DistanceField.cs:347-399). On TPU we evaluate all
+shapes branchlessly and select by type id — obstruction counts are tiny
+(tens), the field grid is the big axis, and computing five cheap vector
+formulas then selecting avoids any divergence or regrouping.
+
+Type ids match the shader's evaluateByTypeId switch
+(DistanceFunctionCommon.fxh:167-186). Deviation: type NONE returns +INF
+instead of 0 so that padded (inactive) obstruction slots are identity under
+the min-reduce that composes a scene's field (the reference never draws
+type-none instances at all; returning 0 would mark surface everywhere).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+TYPE_NONE = 0
+TYPE_ELLIPSOID = 1
+TYPE_BOX = 2
+TYPE_CYLINDER = 3
+TYPE_SPHEROID = 4
+TYPE_OCTAGON = 5
+
+_NONE_DISTANCE = 1e9
+
+
+def rotate_by_quaternion(p, q):
+    """Rotate vectors p (..., 3) by quaternions q (..., 4) (x, y, z, w).
+
+    Matches DistanceFunctionCommon.fxh:23-26 rotateLocalPosition
+    (q * (p, 0) * conj(q)), computed via the expanded cross-product form:
+    p + 2 * cross(q.xyz, cross(q.xyz, p) + w * p).
+    """
+    qv = q[..., :3]
+    w = q[..., 3:4]
+    t = 2.0 * jnp.cross(qv, p)
+    return p + w * t + jnp.cross(qv, t)
+
+
+def _length(v, axis=-1):
+    return jnp.sqrt(jnp.sum(v * v, axis=axis))
+
+
+def _op_elongate(p, h):
+    """iq opElongate (DistanceFunctionCommon.fxh:43-46).
+
+    Returns (q_xyz (...,3), w (...,)).
+    """
+    q = jnp.abs(p) - h
+    w = jnp.minimum(jnp.max(q, axis=-1), 0.0)
+    return jnp.sign(p) * jnp.maximum(q, 0.0), w
+
+
+def sd_box(p, size):
+    """Axis-aligned box half-extents `size` (fxh:48-63, local frame)."""
+    d = jnp.abs(p) - size
+    outside = _length(jnp.maximum(d, 0.0))
+    inside = jnp.minimum(jnp.max(d, axis=-1), 0.0)
+    return inside + outside
+
+
+def sd_ellipsoid(p, r):
+    """iq improved-V2 ellipsoid (fxh:92-99)."""
+    k0 = _length(p / r)
+    k1 = _length(p / (r * r))
+    near = (k0 - 1.0) * jnp.min(r, axis=-1)
+    far = k0 * (k0 - 1.0) / jnp.maximum(k1, 1e-12)
+    return jnp.where(k0 < 1.0, near, far)
+
+
+def sd_spheroid(p, size):
+    """Sphere of radius min(size) elongated to size (fxh:65-75)."""
+    min_size = jnp.min(size, axis=-1, keepdims=True)
+    elongation = size - min_size
+    q, w = _op_elongate(p, elongation)
+    return w + (_length(q) - min_size[..., 0])
+
+
+def sd_cylinder(p, size):
+    """Capped cylinder: radius length(size.xy), half-height size.z (fxh:110-121)."""
+    r = _length(size[..., :2])
+    h = size[..., 2]
+    d_xy = _length(p[..., :2]) - r
+    d_z = jnp.abs(p[..., 2]) - h
+    d = jnp.stack([d_xy, d_z], axis=-1)
+    return jnp.minimum(jnp.max(d, axis=-1), 0.0) + _length(jnp.maximum(d, 0.0))
+
+
+def _sd_octagon_prism(p, r, h):
+    """iq octagon prism (fxh:139-152)."""
+    kx = -0.9238795325
+    ky = 0.3826834323
+    kz = 0.4142135623
+    p = jnp.abs(p)
+    px, py, pz = p[..., 0], p[..., 1], p[..., 2]
+
+    dot1 = kx * px + ky * py
+    m1 = 2.0 * jnp.minimum(dot1, 0.0)
+    px = px - m1 * kx
+    py = py - m1 * ky
+
+    dot2 = -kx * px + ky * py
+    m2 = 2.0 * jnp.minimum(dot2, 0.0)
+    px = px - m2 * -kx
+    py = py - m2 * ky
+
+    px = px - jnp.clip(px, -kz * r, kz * r)
+    py = py - r
+    dx = jnp.sqrt(px * px + py * py) * jnp.sign(py)
+    dz = pz - h
+    d = jnp.stack([dx, dz], axis=-1)
+    return jnp.minimum(jnp.max(d, axis=-1), 0.0) + _length(jnp.maximum(d, 0.0))
+
+
+def sd_octagon(p, size):
+    """Octagon prism elongated over xy (fxh:154-164)."""
+    min_size = jnp.minimum(size[..., 0], size[..., 1])
+    elongation = jnp.stack(
+        [
+            size[..., 0] - min_size,
+            size[..., 1] - min_size,
+            jnp.zeros_like(min_size),
+        ],
+        axis=-1,
+    )
+    q, w = _op_elongate(p, elongation)
+    return w + _sd_octagon_prism(q, min_size, size[..., 2])
+
+
+def evaluate_by_type(type_id, world_position, center, size, rotation):
+    """Branchless evaluateByTypeId (fxh:167-186).
+
+    type_id: (...,) int32; world_position/center/size: (..., 3);
+    rotation: (..., 4) quaternion (x, y, z, w). Broadcasts freely.
+    Inactive slots (TYPE_NONE) return +1e9 (see module docstring).
+    """
+    p = rotate_by_quaternion(world_position - center, rotation)
+
+    d_ellipsoid = sd_ellipsoid(p, jnp.maximum(size, 1e-6))
+    d_box = sd_box(p, size)
+    d_cylinder = sd_cylinder(p, size)
+    d_spheroid = sd_spheroid(p, size)
+    d_octagon = sd_octagon(p, size)
+
+    t = jnp.abs(type_id)
+    result = jnp.full(jnp.broadcast_shapes(t.shape, d_box.shape), _NONE_DISTANCE,
+                      dtype=jnp.float32)
+    result = jnp.where(t == TYPE_ELLIPSOID, d_ellipsoid, result)
+    result = jnp.where(t == TYPE_BOX, d_box, result)
+    result = jnp.where(t == TYPE_CYLINDER, d_cylinder, result)
+    result = jnp.where(t == TYPE_SPHEROID, d_spheroid, result)
+    result = jnp.where(t == TYPE_OCTAGON, d_octagon, result)
+    return result
+
+
+def scene_distance(world_position, types, centers, sizes, rotations):
+    """Distance from points (..., 3) to the nearest of N obstructions.
+
+    types (N,), centers/sizes (N, 3), rotations (N, 4). Composes by min —
+    the TPU equivalent of the reference's MAX-blend over *encoded* distances
+    (encoded = bias - d, so max(encoded) == min(d);
+    LightingRenderer.DistanceField.cs:361-372, DistanceFieldCommon.fxh:264-270).
+    """
+    d = evaluate_by_type(
+        types,
+        world_position[..., None, :],
+        centers,
+        sizes,
+        rotations,
+    )
+    return jnp.min(d, axis=-1)
