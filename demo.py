@@ -1,0 +1,186 @@
+"""Scene gallery: renders demo scenes to PNGs under out/.
+
+The TPU-side equivalent of the reference's TestGame interactive scenes
+(SURVEY.md §4) — each scene exercises one subsystem end-to-end and writes an
+image for visual inspection.
+
+Usage: python demo.py [scene ...]   (default: all)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+from illuminant_tpu.core.config import HDRConfig, RendererConfig
+from illuminant_tpu.lighting.environment import (
+    LightObstruction,
+    LightingEnvironment,
+    SphereLightSource,
+)
+from illuminant_tpu.lighting.renderer import LightingRenderer
+from illuminant_tpu.sdf.volume import SdfVolumeConfig
+from illuminant_tpu.utils.image import write_png
+
+OUT = os.path.join(os.path.dirname(__file__), "out")
+
+
+def scene_single_light_box():
+    """BASELINE config 1: single point light + one box occluder, 256x256."""
+    env = LightingEnvironment(
+        ground_z=0.0, maximum_z=128.0, ambient=(0.03, 0.03, 0.05, 1.0)
+    )
+    env.lights.append(
+        SphereLightSource(
+            position=(88.0, 128.0, 40.0),
+            radius=10.0,
+            ramp_length=200.0,
+            color=(1.0, 0.85, 0.6, 1.0),
+        )
+    )
+    env.obstructions.append(
+        LightObstruction.box((150.0, 128.0, 20.0), (12.0, 36.0, 20.0))
+    )
+    config = RendererConfig(width=256, height=256)
+    sdf = SdfVolumeConfig(
+        virtual_width=256, virtual_height=256, virtual_depth=64,
+        slice_count=24, resolution_scale=0.5,
+    )
+    r = LightingRenderer(config, env, sdf)
+    r.update_fields(budget=100)
+    lightmap = r.render_lighting()
+    img = r.resolve(lightmap, HDRConfig(srgb_output=True))
+    return np.asarray(img)
+
+
+def scene_multi_light():
+    """Several colored lights + multiple occluder shapes, 512x512."""
+    env = LightingEnvironment(
+        ground_z=0.0, maximum_z=128.0, ambient=(0.02, 0.02, 0.03, 1.0)
+    )
+    colors = [
+        (1.0, 0.4, 0.3, 1.0),
+        (0.3, 1.0, 0.4, 1.0),
+        (0.35, 0.5, 1.0, 1.0),
+        (1.0, 0.9, 0.4, 1.0),
+    ]
+    pos = [(120, 120), (390, 140), (140, 390), (380, 380)]
+    for (x, y), c in zip(pos, colors):
+        env.lights.append(
+            SphereLightSource(
+                position=(float(x), float(y), 36.0),
+                radius=8.0,
+                ramp_length=260.0,
+                color=c,
+            )
+        )
+    env.obstructions.append(
+        LightObstruction.box((256.0, 256.0, 24.0), (18.0, 18.0, 24.0))
+    )
+    env.obstructions.append(
+        LightObstruction.ellipsoid((256.0, 130.0, 20.0), (26.0, 14.0, 20.0))
+    )
+    env.obstructions.append(
+        LightObstruction.cylinder((130.0, 256.0, 24.0), (10.0, 10.0, 24.0))
+    )
+    config = RendererConfig(width=512, height=512)
+    sdf = SdfVolumeConfig(
+        virtual_width=512, virtual_height=512, virtual_depth=64,
+        slice_count=24, resolution_scale=0.5,
+    )
+    r = LightingRenderer(config, env, sdf)
+    r.update_fields(budget=100)
+    lightmap = r.render_lighting()
+    img = r.resolve(lightmap, HDRConfig(mode=2, exposure=1.4, white_point=4.0,
+                                        srgb_output=True))
+    return np.asarray(img)
+
+
+def scene_particles_gravity():
+    """BASELINE config 2 visual: 64k particles orbiting attractors."""
+    import jax.numpy as jnp
+
+    from illuminant_tpu.ops.bezier import pack_bezier
+    from illuminant_tpu.particles.formula import (
+        FORMULA_SPHERICAL,
+        Formula1,
+        Formula3,
+        Formula4,
+    )
+    from illuminant_tpu.particles.render_data import RenderDataUniforms
+    from illuminant_tpu.particles.spawner import Spawner
+    from illuminant_tpu.particles.system import (
+        ParticleSystem,
+        ParticleSystemConfig,
+    )
+    from illuminant_tpu.particles import transforms as tx
+    from illuminant_tpu.raster.particles import splat_additive
+    from illuminant_tpu.raster.resolve import resolve
+    from illuminant_tpu.core.config import HDRConfig
+
+    cfg = ParticleSystemConfig(
+        capacity=1 << 16, updates_per_second=0.0,
+        life_decay_per_second=0.25, friction=0.15,
+        maximum_velocity=400.0,
+    )
+    spawner = Spawner(
+        min_rate=30000.0, max_rate=30000.0,
+        life=Formula1(constant=4.0, random_scale=1.0, offset=-0.5),
+        position=Formula3(constant=(256.0, 256.0, 0.0),
+                          offset=(60.0, 60.0, 0.0),
+                          random_scale=(20.0, 20.0, 0.0),
+                          type=FORMULA_SPHERICAL),
+        velocity=Formula3(random_scale=(60.0, 60.0, 0.0),
+                          type=FORMULA_SPHERICAL),
+        color=Formula4(constant=(0.1, 0.25, 0.9, 0.6),
+                       random_scale=(0.5, 0.3, 0.1, 0.2)),
+        spawn_max=2048,
+        axis_mask=(1.0, 1.0, 0.0),
+    )
+    grav = tx.Gravity(attractors=[
+        tx.Attractor(position=(150.0, 150.0, 0.0), radius=400.0,
+                     strength=220.0, falloff_type=tx.FALLOFF_LINEAR),
+        tx.Attractor(position=(380.0, 330.0, 0.0), radius=300.0,
+                     strength=260.0, falloff_type=tx.FALLOFF_EXPONENTIAL),
+    ], maximum_acceleration=2000.0)
+    rd = RenderDataUniforms.defaults()
+    rd = rd.replace(
+        color_from_life=pack_bezier(
+            [[0.0, 0.0, 0.0, 0.0], [1.0, 0.8, 0.5, 1.0]], 0.0, 2.0
+        )
+    )
+    system = ParticleSystem(cfg, [spawner, grav], render_data=rd)
+    for _ in range(240):  # 4 seconds at 60 Hz
+        system.tick(1.0 / 60.0)
+    img = splat_additive(system.state, 512, 512)
+    out = resolve(img, HDRConfig(mode=2, exposure=2.0, white_point=3.0,
+                                 srgb_output=True))
+    print(f"  live particles: {system.live_count}")
+    return np.asarray(out)
+
+
+SCENES = {
+    "single_light_box": scene_single_light_box,
+    "multi_light": scene_multi_light,
+    "particles_gravity": scene_particles_gravity,
+}
+
+
+def main():
+    os.makedirs(OUT, exist_ok=True)
+    names = sys.argv[1:] or list(SCENES)
+    for name in names:
+        fn = SCENES[name]
+        t0 = time.time()
+        img = fn()
+        dt = time.time() - t0
+        path = os.path.join(OUT, f"{name}.png")
+        write_png(path, img[..., :3])
+        print(f"{name}: {img.shape} in {dt:.2f}s -> {path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,221 @@
+"""Sphere-light per-pixel shading.
+
+Port of the sphere light pixel pipeline:
+  * falloff/normal opacity: LightCommon.fxh:154-210
+    (computeSphereLightOpacity, computeNormalFactor)
+  * ambient occlusion: AOCommon.fxh:1-20
+  * core sequencing (prologue -> AO -> cone trace -> epilogue):
+    SphereLightCore.fxh:58-158
+  * specular: LightCommon.fxh:212-222
+  * final accumulate color.rgb * color.a * opacity: SphereLight.fx:42-45
+
+On TPU all lights of the family evaluate as one batched (L, H, W) tensor op
+summed into the lightmap — replacing the reference's per-128-instance quad
+draws with additive blending (LightingRenderer.cs:1149-1166).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core.config import QualitySettings
+from ..sdf.sampling import sample
+from ..sdf.volume import SdfVolume
+from .cone_trace import cone_trace
+from .environment import EnvironmentUniforms, SphereLights
+from .gbuffer import GBuffer
+
+# SphereLightCore.fxh:10-11.
+SELF_OCCLUSION_HACK = 1.6
+SHADOW_OPACITY_THRESHOLD = 0.75 / 255.0
+
+# LightCommon.fxh:1-10.
+DOT_OFFSET = 0.15
+DOT_RAMP_RANGE = 0.15
+DOT_EXPONENT = 0.85
+
+
+def _saturate(x):
+    return jnp.clip(x, 0.0, 1.0)
+
+
+def compute_normal_factor(light_normal, shaded_normal,
+                          offset=DOT_OFFSET, range_=DOT_RAMP_RANGE):
+    """LightCommon.fxh:154-171; zero shaded normal -> 1 (no occlusion)."""
+    d = jnp.sum(-light_normal * shaded_normal, axis=-1)
+    factor = _saturate((d + offset) / range_) ** DOT_EXPONENT
+    no_normal = jnp.all(shaded_normal == 0.0, axis=-1)
+    return jnp.where(no_normal, 1.0, factor)
+
+
+def compute_sphere_light_opacity(
+    shaded_position, shaded_normal, light_center, light_properties,
+    y_distance_factor, light_occlusion,
+):
+    """computeSphereLightOpacity (LightCommon.fxh:173-210).
+
+    light_properties (..., 4) = radius, ramp_length, falloff_mode, _.
+    """
+    radius = light_properties[..., 0]
+    ramp_length = jnp.maximum(light_properties[..., 1], 1e-6)
+    falloff_mode = light_properties[..., 2]
+
+    d3 = shaded_position - light_center
+    d3 = jnp.stack(
+        [d3[..., 0], d3[..., 1] * y_distance_factor, d3[..., 2]], axis=-1
+    )
+    distance = jnp.sqrt(jnp.maximum(jnp.sum(d3 * d3, axis=-1), 1e-12))
+    distance_factor = 1.0 - _saturate((distance - radius) / ramp_length)
+
+    # Far-behind-the-pixel occlusion (fxh:187-192).
+    lo = jnp.maximum(light_occlusion, 1e-6)
+    occl = 1.0 - _saturate(d3[..., 2] / lo)
+    distance_factor = distance_factor * jnp.where(
+        light_occlusion > 0.0, occl, 1.0
+    )
+
+    light_normal = d3 / distance[..., None]
+    normal_factor = compute_normal_factor(light_normal, shaded_normal)
+
+    # Falloff modes (fxh:197-203): 2 = none, 1 = exponential, 0 = linear.
+    df_none = 1.0 - _saturate(distance - radius)
+    df_exp = distance_factor * distance_factor
+    distance_factor = jnp.where(
+        falloff_mode >= 2.0,
+        df_none,
+        jnp.where(falloff_mode >= 1.0, df_exp, distance_factor),
+    )
+    normal_factor = jnp.where(falloff_mode >= 2.0, 1.0, normal_factor)
+
+    # Inside the radius -> fully lit (fxh:208-209).
+    return _saturate(
+        normal_factor * distance_factor + _saturate(radius - distance)
+    )
+
+
+def compute_ao(volume: SdfVolume | None, shaded_position, shaded_normal,
+               ao_radius, ao_opacity, visible):
+    """AOCommon.fxh:1-20: one field sample above the surface, squared ramp."""
+    if volume is None:
+        return jnp.ones(jnp.shape(ao_radius), jnp.float32)
+    offset = jnp.stack(
+        [
+            jnp.zeros_like(ao_radius),
+            jnp.zeros_like(ao_radius),
+            shaded_normal[..., 2] * ao_radius,
+        ],
+        axis=-1,
+    )
+    d = sample(volume, shaded_position + offset)
+    clamped = jnp.clip(d, 0.0, ao_radius)
+    r = 1.0 - _saturate(clamped / jnp.maximum(ao_radius, 1e-6))
+    r = 1.0 - r * r
+    result = (1.0 - ao_opacity) + r * ao_opacity
+    return jnp.where((ao_radius >= 0.5) & visible, result, 1.0)
+
+
+def compute_specularity(camera_position, shaded_position, shaded_normal,
+                        light_center, power):
+    """CalcSphereLightSpecularity (LightCommon.fxh:212-222)."""
+    light_direction = shaded_position - light_center
+
+    def norm(v):
+        return v / jnp.sqrt(
+            jnp.maximum(jnp.sum(v * v, axis=-1, keepdims=True), 1e-12)
+        )
+
+    h = norm(norm(camera_position - shaded_position) - light_direction)
+    return _saturate(jnp.sum(h * shaded_normal, axis=-1)) ** jnp.maximum(
+        power, 1e-6
+    )
+
+
+def accumulate_sphere_lights(
+    volume: SdfVolume | None,
+    gbuffer: GBuffer,
+    lights: SphereLights,
+    env: EnvironmentUniforms,
+    quality: QualitySettings,
+    with_specular: bool = True,
+):
+    """Shade all sphere lights against the G-buffer -> (H, W, 4) HDR add.
+
+    Equivalent to the instanced SphereLight.fx draws with additive blend:
+    out.rgb = sum_l color_l.rgb * color_l.a * opacity_l (+ specular);
+    out.a accumulates opacity so the albedo resolve's `saturate(light.a)`
+    lerp behaves like the reference (Resolve.fx:56-59, light alpha written
+    as 1 per lit pixel — here we accumulate opacity which saturates the
+    same way for lit pixels).
+    """
+    world_pos = gbuffer.world_position()  # (H, W, 3)
+    normal = gbuffer.normal
+
+    # Light axes broadcast as leading dim: (L, 1, 1).
+    L = lights.capacity
+    lc = lights.position[:, None, None, :]
+    props = lights.properties[:, None, None, :]
+    more = lights.more[:, None, None, :]
+    color = lights.color  # (L, 4)
+    active = lights.active[:, None, None]
+
+    distance_opacity = compute_sphere_light_opacity(
+        world_pos[None], normal[None], lc, props,
+        more[..., 2], env.light_occlusion,
+    )  # (L, H, W)
+
+    visible = (distance_opacity > 0.0) & (world_pos[None, ..., 0] > -9999.0)
+
+    # Fullbright pixels and shadow filtering (SphereLight.fx:25-31).
+    not_fullbright = gbuffer.fullbright[None] < 0.5
+    visible = visible & not_fullbright
+
+    # AO only on upward-facing surfaces (SphereLightCore.fxh:77).
+    ao_radius = more[..., 0] * jnp.maximum(0.0, normal[None, ..., 2])
+    ao = compute_ao(
+        volume, world_pos[None], normal[None], ao_radius, more[..., 3],
+        visible,
+    )
+    pre_trace = distance_opacity * ao
+
+    cast_shadows = props[..., 3] * gbuffer.enable_shadows[None]
+    trace_enable = (
+        visible
+        & (cast_shadows > 0.0)
+        & (pre_trace >= SHADOW_OPACITY_THRESHOLD)
+        & (active > 0.0)
+    )
+    cone = cone_trace(
+        volume,
+        lc,
+        props[..., 0],
+        props[..., 1],
+        world_pos[None] + SELF_OCCLUSION_HACK * normal[None],
+        trace_enable,
+        quality,
+    )
+
+    opacity = pre_trace * cone
+    opacity = jnp.where(visible, opacity, 0.0) * active  # epilogue discard
+
+    rgb = (
+        color[:, None, None, :3]
+        * color[:, None, None, 3:4]
+        * opacity[..., None]
+    )
+
+    if with_specular:
+        spec = lights.specular_color_power
+        cam = gbuffer.camera_position(env)
+        specularity = compute_specularity(
+            cam[None], world_pos[None], normal[None], lc,
+            spec[:, None, None, 3],
+        )
+        rgb = rgb + (
+            spec[:, None, None, :3]
+            * specularity[..., None]
+            * opacity[..., None]
+        )
+
+    out_rgb = jnp.sum(rgb, axis=0)
+    out_a = jnp.sum(opacity, axis=0)
+    return jnp.concatenate([out_rgb, out_a[..., None]], axis=-1)

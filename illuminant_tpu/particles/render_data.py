@@ -1,0 +1,86 @@
+"""Per-particle render data: bezier color/size ramps + rotation.
+
+Port of computeRenderData (/root/reference/Illuminant/Shaders/
+UpdateCommon.fxh:97-117) and its helpers (:41-95): evaluates the system's
+ColorFromLife x ColorFromVelocity and SizeFromLife x SizeFromVelocity
+beziers for every live particle, premultiplies alpha, and derives rotation
+from velocity direction / life / index. Runs fused into the integrator
+(the reference's 4-MRT update pass).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core.pytree import pytree_dataclass
+from ..ops.bezier import ClampedBezier, constant_bezier, evaluate_bezier
+
+
+@pytree_dataclass
+class RenderDataUniforms:
+    color_from_life: ClampedBezier  # 4-channel
+    color_from_velocity: ClampedBezier  # 4-channel
+    size_from_life: ClampedBezier  # 1-channel
+    size_from_velocity: ClampedBezier  # 1-channel
+    # (life_rotation, index_rotation) (UpdateCommon.fxh:18, 41-44).
+    rotation_from_life_and_index: jnp.ndarray  # (2,)
+    velocity_rotation: jnp.ndarray  # ()
+
+    @staticmethod
+    def defaults(size: float = 1.0) -> "RenderDataUniforms":
+        return RenderDataUniforms(
+            color_from_life=constant_bezier([1.0, 1.0, 1.0, 1.0]),
+            color_from_velocity=constant_bezier([1.0, 1.0, 1.0, 1.0]),
+            size_from_life=constant_bezier([size]),
+            size_from_velocity=constant_bezier([1.0]),
+            rotation_from_life_and_index=jnp.zeros((2,), jnp.float32),
+            velocity_rotation=jnp.asarray(0.0, jnp.float32),
+        )
+
+
+def rotation_for_velocity(velocity):
+    """getRotationForVelocity (UpdateCommon.fxh:82-95)."""
+    absvel = jnp.abs(velocity[..., :2])
+    angle = jnp.arctan2(velocity[..., 1], velocity[..., 0])
+    angle = jnp.where(angle < 0.0, angle + 2.0 * jnp.pi, angle)
+    near_zero = jnp.all(absvel < 0.01, axis=-1)
+    return jnp.where(near_zero, 0.0, angle)
+
+
+def compute_render_data(position, velocity, attributes, index,
+                        u: RenderDataUniforms):
+    """(N, 4) state rows -> (render_color, render_data) (N, 4) each.
+
+    UpdateCommon.fxh:97-117. Dead particles (life <= 0) produce zeros.
+    """
+    life = position[..., 3]
+    vel_len = jnp.maximum(
+        jnp.sqrt(jnp.sum(velocity[..., :3] ** 2, axis=-1)), 1e-4
+    )
+
+    color = (
+        evaluate_bezier(u.color_from_life, life)
+        * evaluate_bezier(u.color_from_velocity, vel_len)
+    )
+    render_color = attributes * color
+    a = jnp.clip(render_color[..., 3:4], 0.0, 1.0)
+    render_color = jnp.concatenate([render_color[..., :3] * a, a], axis=-1)
+
+    size = (
+        evaluate_bezier(u.size_from_life, life)[..., 0]
+        * evaluate_bezier(u.size_from_velocity, vel_len)[..., 0]
+    )
+    rotation = (
+        rotation_for_velocity(velocity) * u.velocity_rotation
+        + life * u.rotation_from_life_and_index[0]
+        + index.astype(jnp.float32) * u.rotation_from_life_and_index[1]
+    )
+    render_data = jnp.stack(
+        [size, rotation, vel_len, velocity[..., 3]], axis=-1
+    )
+
+    dead = (life <= 0.0)[..., None]
+    return (
+        jnp.where(dead, 0.0, render_color),
+        jnp.where(dead, 0.0, render_data),
+    )

@@ -1,0 +1,246 @@
+"""Particle spawning.
+
+Host side ports SpawnerBase's stochastic rate logic — min/max rate draw,
+RateError accumulation, MaximumTotal clamp
+(/root/reference/Illuminant/Particles/ParticleSpawner.cs:152-196) — and the
+chunk/index bookkeeping of ParticleSpawning.cs collapses into a ring-cursor
+range on the flat state array.
+
+Device side ports Spawn_Stage1/2 (SpawnerCommon.fxh:119-190): per-slot
+randomness -> position/velocity/life/category/color formulas -> post
+matrices -> attribute discard. Randomness comes from jax.random per spawn
+batch instead of the wrap-sampled randomness texture (behavioral
+equivalence; evaluateRandomForIndex's modulo offsets were just a way to
+decorrelate texture reads).
+
+A spawner writes at most `spawn_max` slots per tick (static), masked by the
+actual count — the jitted step has a fixed shape regardless of the
+stochastic spawn count.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.pytree import pytree_dataclass
+from .formula import Formula1, Formula3, Formula4, evaluate_formula
+from .state import ParticleState
+
+
+@pytree_dataclass
+class SpawnUniforms:
+    """Configuration[9] + friends (SpawnerCommon.fxh:1-15,
+    ParticleSpawner.cs:200-256)."""
+
+    position_constants: jnp.ndarray  # (P, 4) xyz + life constant
+    position_constant_count: jnp.ndarray  # () f32
+    config: jnp.ndarray  # (9, 4): see pack order below
+    formula_types: jnp.ndarray  # (4,)
+    position_matrix: jnp.ndarray  # (4, 4) row-vector convention
+    velocity_matrix: jnp.ndarray  # (4, 4)
+    axis_mask: jnp.ndarray  # (3,)
+    align_velocity_and_position: jnp.ndarray  # ()
+    attribute_discard_threshold: jnp.ndarray  # ()
+
+
+def spawn(
+    state: ParticleState,
+    u: SpawnUniforms,
+    count,  # traced int32 <= spawn_max
+    key,
+    spawn_max: int,
+) -> ParticleState:
+    """Write up to spawn_max new particles at the ring cursor."""
+    n = state.capacity
+    rel = jnp.arange(spawn_max, dtype=jnp.int32)
+    idx = jnp.mod(state.write_cursor + rel, n)
+    mask = rel < count
+
+    k1, k2, k3 = jax.random.split(key, 3)
+    random1 = jax.random.uniform(k1, (spawn_max, 4), jnp.float32)
+    random2 = jax.random.uniform(k2, (spawn_max, 4), jnp.float32)
+    random3 = jax.random.uniform(k3, (spawn_max, 4), jnp.float32)
+    # AlignVelocityAndPosition (SpawnerCommon.fxh:114-117).
+    random2 = jnp.where(
+        u.align_velocity_and_position > 0.5,
+        jnp.concatenate([random1[:, :2], random2[:, 2:]], axis=-1),
+        random2,
+    )
+
+    # Position constant selection (Spawn_Stage1, fxh:149-151): cycle
+    # through the inline constants by global spawn index.
+    p_count = jnp.maximum(u.position_constant_count, 1.0)
+    c_idx = jnp.mod(
+        (rel + state.total_spawned).astype(jnp.float32), p_count
+    ).astype(jnp.int32)
+    position_constant = u.position_constants[c_idx]  # (S, 4)
+
+    zero = jnp.zeros_like(position_constant)
+    # Spawn_Stage2 (fxh:157-190).
+    temp_position = evaluate_formula(
+        zero, position_constant, u.config[0], u.config[1], random1,
+        u.formula_types[0], u.axis_mask,
+    )
+    new_position = _mul_point(temp_position, u.position_matrix)
+
+    temp_velocity = evaluate_formula(
+        temp_position, jnp.broadcast_to(u.config[2], temp_position.shape),
+        u.config[3], u.config[4], random2, u.formula_types[1], u.axis_mask,
+    )
+    new_velocity = _mul_point(temp_velocity, u.velocity_matrix)
+
+    new_attributes = evaluate_formula(
+        zero, jnp.broadcast_to(u.config[5], temp_position.shape),
+        u.config[6], u.config[7], random3, u.formula_types[2], u.axis_mask,
+    )
+
+    mask = mask & (new_attributes[:, 3] >= u.attribute_discard_threshold)
+
+    # Masked rows scatter to an out-of-bounds index and are dropped — a
+    # read-modify-write would resurrect stale values when the ring index
+    # range wraps the capacity (duplicate indices).
+    safe_idx = jnp.where(mask, idx, n)
+    position = state.position.at[safe_idx].set(new_position, mode="drop")
+    velocity = state.velocity.at[safe_idx].set(new_velocity, mode="drop")
+    color = state.color.at[safe_idx].set(new_attributes, mode="drop")
+
+    return state.replace(
+        position=position,
+        velocity=velocity,
+        color=color,
+        write_cursor=jnp.mod(state.write_cursor + count, n).astype(jnp.int32),
+        total_spawned=state.total_spawned + count,
+    )
+
+
+def _mul_point(v4, matrix):
+    """mul(float4(v.xyz, 1), M) keeping the original w
+    (SpawnerCommon.fxh:166-167, 179-180).
+
+    Written as explicit row combinations, NOT a matmul: a (N, 4) @ (4, 4)
+    jnp.dot on TPU rounds inputs to bf16 at default precision, visibly
+    quantizing spawn positions/velocities. Element-wise VPU ops keep f32.
+    """
+    out = (
+        v4[:, 0:1] * matrix[0, :3]
+        + v4[:, 1:2] * matrix[1, :3]
+        + v4[:, 2:3] * matrix[2, :3]
+        + matrix[3, :3]
+    )
+    return jnp.concatenate([out, v4[:, 3:4]], axis=-1)
+
+
+@dataclasses.dataclass
+class Spawner:
+    """Host spawner (SpawnerBase + Spawner, ParticleSpawner.cs)."""
+
+    min_rate: float = 0.0  # particles per second
+    max_rate: float = 0.0
+    life: Formula1 = dataclasses.field(
+        default_factory=lambda: Formula1(constant=1.0)
+    )
+    position: Formula3 = dataclasses.field(default_factory=Formula3)
+    velocity: Formula3 = dataclasses.field(default_factory=Formula3)
+    color: Formula4 = dataclasses.field(default_factory=Formula4)
+    category: Formula1 = dataclasses.field(default_factory=Formula1)
+    additional_positions: list = dataclasses.field(default_factory=list)
+    axis_mask: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    align_velocity_and_position: bool = False
+    maximum_total: Optional[int] = None
+    position_post_matrix: Optional[np.ndarray] = None
+    velocity_post_matrix: Optional[np.ndarray] = None
+    alpha_discard_threshold: float = 0.0
+    spawn_max: int = 8192  # static per-tick cap
+    seed: int = 0
+    is_spawner = True
+
+    def __post_init__(self):
+        self._rng = np.random.default_rng(self.seed)
+        self.rate_error = 0.0
+        self.total_spawned = 0
+
+    def reset(self):
+        self.rate_error = 0.0
+        self.total_spawned = 0
+
+    def begin_tick(self, now: float, dt: float) -> int:
+        """BeginTick (ParticleSpawner.cs:152-196): stochastic count with
+        error carry."""
+        min_rate = min(self.min_rate, self.max_rate)
+        max_rate = self.max_rate
+        current = (
+            self._rng.uniform() * (max_rate - min_rate) + min_rate
+        ) * dt
+        current += self.rate_error
+        self.rate_error = 0.0
+        if current < 1.0:
+            self.rate_error = max(current, 0.0)
+            count = 0
+        else:
+            count = int(current)
+            self.rate_error = current - count
+        if self.maximum_total is not None:
+            remaining = self.maximum_total - self.total_spawned
+            if count > remaining:
+                count = max(remaining, 0)
+                self.rate_error = 0.0
+        count = min(count, self.spawn_max)
+        self.total_spawned += count
+        return count
+
+    def estimate_maximum_life(self, now: float) -> float:
+        """EstimateMaximumLifeForNewParticle (ParticleSpawner.cs:132-140)."""
+        c, o, s = self.life.constant, self.life.offset, self.life.random_scale
+        return max(c + o * s, c - o * s)
+
+    def uniforms(self, now: float) -> SpawnUniforms:
+        pos_constants = [(*self.position.constant,
+                          self.life.constant)]
+        for p in self.additional_positions:
+            pos_constants.append((*p, self.life.constant))
+        pc = np.asarray(pos_constants, np.float32)
+
+        config = np.zeros((9, 4), np.float32)
+        # Pack order (ParticleSpawner.cs:220-227).
+        config[0] = (*self.position.random_scale, self.life.random_scale)
+        config[1] = (*self.position.offset, self.life.offset)
+        config[2] = (*self.velocity.constant, self.category.constant)
+        config[3] = (*self.velocity.random_scale, self.category.random_scale)
+        config[4] = (*self.velocity.offset, self.category.offset)
+        config[5] = self.color.constant
+        config[6] = self.color.random_scale
+        config[7] = self.color.offset
+
+        identity = np.eye(4, dtype=np.float32)
+        return SpawnUniforms(
+            position_constants=jnp.asarray(pc),
+            position_constant_count=jnp.asarray(float(len(pos_constants)),
+                                                jnp.float32),
+            config=jnp.asarray(config),
+            formula_types=jnp.asarray(
+                [self.position.type, self.velocity.type, 0.0, 0.0],
+                jnp.float32,
+            ),
+            position_matrix=jnp.asarray(
+                self.position_post_matrix
+                if self.position_post_matrix is not None else identity,
+                jnp.float32,
+            ),
+            velocity_matrix=jnp.asarray(
+                self.velocity_post_matrix
+                if self.velocity_post_matrix is not None else identity,
+                jnp.float32,
+            ),
+            axis_mask=jnp.asarray(self.axis_mask, jnp.float32),
+            align_velocity_and_position=jnp.asarray(
+                1.0 if self.align_velocity_and_position else 0.0, jnp.float32
+            ),
+            attribute_discard_threshold=jnp.asarray(
+                self.alpha_discard_threshold / 255.0, jnp.float32
+            ),
+        )

@@ -1,0 +1,216 @@
+"""ParticleSystem: host orchestrator + the fused jitted step.
+
+Mirrors the reference's ParticleSystem surface
+(/root/reference/Illuminant/Particles/ParticleSystem.cs:338 — Update :634,
+Spawn, Reset :518, LiveCount :293) and its pass sequencing: spawners first
+(:725-741), then per-chunk non-spawn transforms in order, then the
+integrator (:791-856). The whole sequence traces into ONE XLA program per
+system (the transform list is static), state stays HBM-resident, and
+double-buffering is just functional update with donated buffers.
+
+The fixed-timestep accumulator (UpdatesPerSecond + error carry,
+ParticleSystem.cs:634-665) runs host-side, calling the jitted tick 0..k
+times per frame.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.pytree import pytree_dataclass, static_field
+from ..ops.noise import RandomField
+from ..sdf.volume import SdfVolume
+from . import spawner as spawner_mod
+from . import transforms as tx
+from .integrate import integrate, integrate_with_distance_field
+from .render_data import RenderDataUniforms
+from .state import ParticleState, SystemUniforms
+
+
+@dataclasses.dataclass(frozen=True)
+class ParticleSystemConfig:
+    """Static system configuration (ParticleSystemConfiguration,
+    ParticleConfiguration.cs:187-303, TPU-relevant subset; appearance
+    fields live with the rasterizer)."""
+
+    capacity: int = 1 << 20
+    updates_per_second: float = 60.0
+    maximum_update_delta: float = 1.0 / 20.0
+    friction: float = 0.0
+    maximum_velocity: float = 16384.0
+    life_decay_per_second: float = 1.0
+    z_to_y: float = 0.0
+    # ParticleCollision (ParticleConfiguration.cs:8-40).
+    collision_distance: float = 0.33
+    collision_life_penalty: float = 0.0
+    escape_velocity: float = 128.0
+    bounce_velocity_multiplier: float = 0.0
+    collision_maximum_z: float = 1e9
+
+
+def _slot_xy(capacity: int):
+    """Map flat slot index -> the reference's 256-wide chunk texel grid
+    (for randomness sampling parity, ParticleSystem.cs:49)."""
+    i = jnp.arange(capacity, dtype=jnp.float32)
+    return jnp.stack([i % 256.0, jnp.floor(i / 256.0)], axis=-1)
+
+
+class ParticleSystem:
+    """One particle system; transforms (incl. spawners) are fixed at
+    construction (changing them rebuilds the jitted step, like the
+    reference recompiling its pass list)."""
+
+    def __init__(
+        self,
+        config: ParticleSystemConfig,
+        transforms: Optional[List] = None,
+        seed: int = 0,
+        volume: Optional[SdfVolume] = None,
+        render_data: Optional[RenderDataUniforms] = None,
+    ):
+        self.config = config
+        self.transforms = list(transforms or [])
+        self.volume = volume
+        self.render_data = render_data or RenderDataUniforms.defaults()
+        self.random_field = RandomField.create(jax.random.key(seed ^ 0x5EED))
+        self.state = ParticleState.empty(config.capacity)
+        self._base_key = jax.random.key(seed)
+        self._tick_index = 0
+        self._time = 0.0
+        self._update_error = 0.0
+        self._step = self._build_step()
+
+    # -- step construction -------------------------------------------------
+
+    @property
+    def spawners(self):
+        return [t for t in self.transforms if getattr(t, "is_spawner", False)]
+
+    @property
+    def modifiers(self):
+        return [
+            t for t in self.transforms if not getattr(t, "is_spawner", False)
+        ]
+
+    def _build_step(self):
+        cfg = self.config
+        spawner_maxes = tuple(s.spawn_max for s in self.spawners)
+        modifier_kinds = tuple(type(t).__name__ for t in self.modifiers)
+        modifier_spatial = tuple(
+            getattr(t, "spatial", False) for t in self.modifiers
+        )
+        has_volume = self.volume is not None
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def step(state, su, rd, spawn_batches, modifier_uniforms,
+                 random_field, volume, key):
+            # Spawners first (ParticleSystem.cs:725-741).
+            for i, (uni, count) in enumerate(spawn_batches):
+                k = jax.random.fold_in(key, i)
+                state = spawner_mod.spawn(
+                    state, uni, count, k, spawner_maxes[i]
+                )
+
+            # Non-spawn transforms in order (:800-817).
+            pos, vel = state.position, state.velocity
+            slot_xy = _slot_xy(cfg.capacity)
+            for i, kind in enumerate(modifier_kinds):
+                u = modifier_uniforms[i]
+                if kind == "FMA":
+                    pos, vel = tx.apply_fma(pos, vel, u, su)
+                elif kind == "MatrixMultiply":
+                    pos, vel = tx.apply_matrix_multiply(pos, vel, u, su)
+                elif kind == "Gravity":
+                    pos, vel = tx.apply_gravity(pos, vel, u, su)
+                elif kind == "Noise":
+                    if modifier_spatial[i]:
+                        pos, vel = tx.apply_spatial_noise(
+                            pos, vel, u, su, random_field, slot_xy
+                        )
+                    else:
+                        pos, vel = tx.apply_noise(
+                            pos, vel, u, su, random_field, slot_xy
+                        )
+                else:
+                    raise TypeError(f"unknown transform kind {kind}")
+            state = state.replace(position=pos, velocity=vel)
+
+            # Integrator last (:834-855).
+            if has_volume:
+                state = integrate_with_distance_field(
+                    state, su, rd, volume, cfg.collision_maximum_z
+                )
+            else:
+                state = integrate(state, su, rd)
+            return state
+
+        return step
+
+    # -- public surface -----------------------------------------------------
+
+    def system_uniforms(self, dt: float) -> SystemUniforms:
+        cfg = self.config
+        return SystemUniforms.make(
+            dt=dt,
+            friction=cfg.friction,
+            maximum_velocity=cfg.maximum_velocity,
+            life_decay=cfg.life_decay_per_second,
+            escape_velocity=cfg.escape_velocity,
+            bounce_velocity_multiplier=cfg.bounce_velocity_multiplier,
+            collision_distance=cfg.collision_distance,
+            collision_life_penalty=cfg.collision_life_penalty,
+            z_to_y=cfg.z_to_y,
+        )
+
+    def tick(self, dt: float):
+        """Run exactly one fixed step of length dt."""
+        su = self.system_uniforms(dt)
+        now = self._time
+        spawn_batches = []
+        for s in self.spawners:
+            count = s.begin_tick(now, dt)
+            spawn_batches.append(
+                (s.uniforms(now), jnp.asarray(count, jnp.int32))
+            )
+        modifier_uniforms = [t.uniforms(now) for t in self.modifiers]
+        key = jax.random.fold_in(self._base_key, self._tick_index)
+        self.state = self._step(
+            self.state, su, self.render_data, tuple(spawn_batches),
+            tuple(modifier_uniforms), self.random_field, self.volume, key,
+        )
+        self._tick_index += 1
+        self._time += dt
+
+    def update(self, delta_time_seconds: float):
+        """Frame update with fixed-timestep accumulation
+        (ParticleSystem.cs:634-665)."""
+        cfg = self.config
+        if cfg.updates_per_second <= 0:
+            self.tick(min(delta_time_seconds, cfg.maximum_update_delta))
+            return
+        step_dt = 1.0 / cfg.updates_per_second
+        accumulated = min(
+            delta_time_seconds + self._update_error,
+            cfg.maximum_update_delta,
+        )
+        steps = int(accumulated / step_dt)
+        self._update_error = accumulated - steps * step_dt
+        for _ in range(steps):
+            self.tick(step_dt)
+
+    def reset(self):
+        """Clear (ParticleSystem.cs:518)."""
+        self.state = ParticleState.empty(self.config.capacity)
+        self._time = 0.0
+        self._update_error = 0.0
+        for s in self.spawners:
+            s.reset()
+
+    @property
+    def live_count(self) -> int:
+        return int(self.state.live_count())

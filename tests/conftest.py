@@ -1,13 +1,15 @@
 """Test configuration: run on a virtual 8-device CPU mesh.
 
-Multi-chip sharding is validated on host CPU devices
-(xla_force_host_platform_device_count) per SURVEY.md §4; benchmarks run
-separately on real TPU hardware via bench.py.
+Multi-chip sharding is validated on host CPU devices per SURVEY.md §4;
+benchmarks run separately on real TPU hardware via bench.py.
+
+NOTE: in this environment the axon TPU plugin ignores the JAX_PLATFORMS
+env var — jax.config.update("jax_platforms", "cpu") is the reliable way to
+force the CPU backend.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,4 +18,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+assert jax.default_backend() == "cpu", jax.default_backend()

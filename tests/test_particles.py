@@ -1,0 +1,268 @@
+"""Particle engine: spawn, transforms, integrate, collision, liveness."""
+
+import numpy as np
+
+from illuminant_tpu.particles.formula import (
+    FORMULA_SPHERICAL,
+    Formula1,
+    Formula3,
+    Formula4,
+)
+from illuminant_tpu.particles.spawner import Spawner
+from illuminant_tpu.particles.system import ParticleSystem, ParticleSystemConfig
+from illuminant_tpu.particles import transforms as tx
+from illuminant_tpu.ops import sdf_primitives as sp
+from illuminant_tpu.sdf import volume as vol
+
+
+def basic_spawner(rate=600.0, life=2.0, speed=20.0):
+    return Spawner(
+        min_rate=rate,
+        max_rate=rate,
+        life=Formula1(constant=life),
+        position=Formula3(constant=(100.0, 100.0, 10.0)),
+        velocity=Formula3.unit_normal(speed),
+        color=Formula4(constant=(1.0, 0.5, 0.25, 1.0)),
+        spawn_max=256,
+    )
+
+
+def test_spawn_rate_and_error_accumulation():
+    cfg = ParticleSystemConfig(capacity=4096, updates_per_second=0.0,
+                               life_decay_per_second=0.0)
+    system = ParticleSystem(cfg, [basic_spawner(rate=100.0)])
+    # 100/s at 60 fixed steps of 1/60s -> exactly 100 after 1s (the
+    # RateError carry makes fractional-per-tick rates exact over time,
+    # ParticleSpawner.cs:152-196).
+    for _ in range(60):
+        system.tick(1.0 / 60.0)
+    assert system.live_count == 100
+
+
+def test_spawn_positions_and_color():
+    cfg = ParticleSystemConfig(capacity=1024, updates_per_second=0.0,
+                               life_decay_per_second=0.0)
+    system = ParticleSystem(cfg, [basic_spawner(rate=6000.0, speed=5.0)])
+    system.tick(1.0 / 60.0)
+    state = system.state
+    live = np.asarray(state.live_mask())
+    assert live.sum() == 100
+    pos = np.asarray(state.position)[live]
+    # Spawned particles integrate within the same tick (spawners run before
+    # the integrator, ParticleSystem.cs:725-856): one step of drift at
+    # speed 5 -> |dp| <= 5/60.
+    np.testing.assert_allclose(pos[:, :3], [[100, 100, 10]] * 100, atol=0.1)
+    col = np.asarray(state.color)[live]
+    np.testing.assert_allclose(col, [[1, 0.5, 0.25, 1]] * 100, atol=1e-6)
+    vel = np.asarray(state.velocity)[live]
+    speeds = np.linalg.norm(vel[:, :3], axis=-1)
+    # unit_normal(scale) draws magnitude ~ U[0, scale] (Formula.cs
+    # SetToUnitNormal: RandomScale=1 -> circular = normal * rand.z * scale).
+    assert speeds.max() <= 5.0 + 1e-3
+    assert speeds.std() > 0.5, "speeds should be spread over [0, 5]"
+
+
+def test_spawn_fixed_speed_shell():
+    # Spherical formula with offset=s, random_scale=0 -> exact speed s
+    # (SpawnerCommon.fxh:86 circular += randomNormal * offset).
+    cfg = ParticleSystemConfig(capacity=1024, updates_per_second=0.0,
+                               life_decay_per_second=0.0)
+    spn = Spawner(
+        min_rate=3000.0, max_rate=3000.0,
+        life=Formula1(constant=10.0),
+        position=Formula3(constant=(0.0, 0.0, 0.0)),
+        velocity=Formula3(offset=(7.0, 7.0, 7.0), type=FORMULA_SPHERICAL),
+        spawn_max=64,
+    )
+    system = ParticleSystem(cfg, [spn])
+    system.tick(1.0 / 60.0)
+    live = np.asarray(system.state.live_mask())
+    vel = np.asarray(system.state.velocity)[live]
+    speeds = np.linalg.norm(vel[:, :3], axis=-1)
+    np.testing.assert_allclose(speeds, 7.0, atol=1e-3)
+
+
+def test_life_decay_and_death():
+    cfg = ParticleSystemConfig(capacity=512, updates_per_second=0.0,
+                               life_decay_per_second=1.0)
+    sp_ = basic_spawner(rate=3000.0, life=0.1)
+    sp_.maximum_total = 50
+    system = ParticleSystem(cfg, [sp_])
+    system.tick(1.0 / 60.0)
+    assert system.live_count == 50
+    for _ in range(12):  # 12/60 s > 0.1 s of life
+        system.tick(1.0 / 60.0)
+    assert system.live_count == 0
+
+
+def test_euler_integration_matches_oracle():
+    cfg = ParticleSystemConfig(capacity=256, updates_per_second=0.0,
+                               life_decay_per_second=0.0, friction=0.5)
+    spn = Spawner(
+        min_rate=60.0, max_rate=60.0,
+        life=Formula1(constant=10.0),
+        position=Formula3(constant=(0.0, 0.0, 0.0)),
+        velocity=Formula3(constant=(10.0, 0.0, 0.0)),
+        spawn_max=16,
+    )
+    system = ParticleSystem(cfg, [spn])
+    dt = 1.0 / 60.0
+    system.tick(dt)  # spawns 1 particle, integrates it once
+    # Oracle: friction shortens speed each step: l -= l*friction*dt.
+    v = 10.0
+    p = 0.0
+    v_after = max(v - v * 0.5 * dt, 0.0)
+    p += v_after * dt
+    state = system.state
+    live = np.asarray(state.live_mask())
+    assert live.sum() == 1
+    got_p = np.asarray(state.position)[live][0]
+    got_v = np.asarray(state.velocity)[live][0]
+    np.testing.assert_allclose(got_v[0], v_after, rtol=1e-5)
+    np.testing.assert_allclose(got_p[0], p, rtol=1e-5)
+    for _ in range(10):
+        system.tick(dt)
+        v_after = max(v_after - v_after * 0.5 * dt, 0.0)
+        p += v_after * dt
+    live = np.asarray(system.state.live_mask())
+    got_p = np.asarray(system.state.position)[live][0]
+    np.testing.assert_allclose(got_p[0], p, rtol=1e-4)
+
+
+def test_gravity_attractor_pulls():
+    cfg = ParticleSystemConfig(capacity=256, updates_per_second=0.0,
+                               life_decay_per_second=0.0)
+    spn = Spawner(
+        min_rate=60.0, max_rate=60.0,
+        life=Formula1(constant=100.0),
+        position=Formula3(constant=(0.0, 0.0, 0.0)),
+        velocity=Formula3(constant=(0.0, 0.0, 0.0)),
+        spawn_max=16,
+    )
+    grav = tx.Gravity(
+        attractors=[tx.Attractor(position=(100.0, 0.0, 0.0), radius=500.0,
+                                 strength=50.0,
+                                 falloff_type=tx.FALLOFF_LINEAR)]
+    )
+    system = ParticleSystem(cfg, [spn, grav])
+    for _ in range(30):
+        system.tick(1.0 / 60.0)
+    live = np.asarray(system.state.live_mask())
+    pos = np.asarray(system.state.position)[live][0]
+    vel = np.asarray(system.state.velocity)[live][0]
+    assert vel[0] > 0.1, "should accelerate toward +x attractor"
+    assert pos[0] > 0.0
+    assert abs(pos[1]) < 1e-3 and abs(pos[2]) < 1e-3
+
+
+def test_fma_velocity_add():
+    cfg = ParticleSystemConfig(capacity=256, updates_per_second=0.0,
+                               life_decay_per_second=0.0)
+    spn = Spawner(
+        min_rate=60.0, max_rate=60.0,
+        life=Formula1(constant=100.0),
+        position=Formula3(constant=(0.0, 0.0, 0.0)),
+        velocity=Formula3(constant=(0.0, 0.0, 0.0)),
+        spawn_max=16,
+    )
+    fma = tx.FMA(velocity_add=(0.0, 50.0, 0.0), cycles_per_second=1.0)
+    system = ParticleSystem(cfg, [spn, fma])
+    for _ in range(30):
+        system.tick(1.0 / 60.0)
+    live = np.asarray(system.state.live_mask())
+    vel = np.asarray(system.state.velocity)[live][0]
+    assert vel[1] > 0.1, "FMA should add +y velocity over time"
+
+
+def test_noise_perturbs_velocity():
+    cfg = ParticleSystemConfig(capacity=256, updates_per_second=0.0,
+                               life_decay_per_second=0.0)
+    spn = Spawner(
+        min_rate=1200.0, max_rate=1200.0,
+        life=Formula1(constant=100.0),
+        position=Formula3(constant=(0.0, 0.0, 0.0)),
+        velocity=Formula3(constant=(0.0, 0.0, 0.0)),
+        spawn_max=64,
+    )
+    noise = tx.Noise(velocity_scale=(30.0, 30.0, 0.0, 0.0),
+                     cycles_per_second=None)
+    system = ParticleSystem(cfg, [spn, noise])
+    for _ in range(5):
+        system.tick(1.0 / 60.0)
+    live = np.asarray(system.state.live_mask())
+    vel = np.asarray(system.state.velocity)[live]
+    speeds = np.linalg.norm(vel[:, :2], axis=-1)
+    assert speeds.std() > 0.5, "noise should decorrelate velocities"
+
+
+def test_collision_keeps_particles_out_of_box():
+    # Particles shot at a wall must not end up inside it.
+    sdf_config = vol.SdfVolumeConfig(
+        virtual_width=256, virtual_height=256, virtual_depth=64,
+        slice_count=16, resolution_scale=0.5,
+    )
+    field = vol.generate_volume(
+        sdf_config,
+        vol.SdfObstructions.from_lists(
+            [sp.TYPE_BOX], [[128.0, 128.0, 32.0]], [[10.0, 100.0, 32.0]]
+        ),
+    )
+    cfg = ParticleSystemConfig(
+        capacity=512, updates_per_second=0.0, life_decay_per_second=0.0,
+        collision_distance=1.0, bounce_velocity_multiplier=0.8,
+    )
+    spn = Spawner(
+        min_rate=6000.0, max_rate=6000.0,
+        life=Formula1(constant=100.0),
+        position=Formula3(constant=(60.0, 128.0, 32.0)),
+        velocity=Formula3(constant=(120.0, 0.0, 0.0)),
+        spawn_max=128,
+        # Bound the burst so the ring cursor never wraps and overwrites
+        # the bounced particles we assert on.
+        maximum_total=400,
+    )
+    system = ParticleSystem(cfg, [spn], volume=field)
+    for _ in range(120):  # 2 seconds: plenty to reach the wall at x=118
+        system.tick(1.0 / 60.0)
+    live = np.asarray(system.state.live_mask())
+    pos = np.asarray(system.state.position)[live]
+    assert live.sum() > 0
+    # Box spans x in [118, 138]: nobody may be inside it (allow the
+    # collision_distance shell).
+    inside = (pos[:, 0] > 119.5) & (pos[:, 0] < 136.5)
+    assert inside.sum() == 0, f"{inside.sum()} particles inside the wall"
+    # With bounce, some particles should be moving back (-x).
+    vel = np.asarray(system.state.velocity)[live]
+    assert (vel[:, 0] < -1.0).any(), "expected bounced particles"
+
+
+def test_ring_cursor_wraps():
+    cfg = ParticleSystemConfig(capacity=128, updates_per_second=0.0,
+                               life_decay_per_second=0.0)
+    system = ParticleSystem(cfg, [basic_spawner(rate=6000.0)])
+    for _ in range(3):
+        system.tick(1.0 / 60.0)  # 100/tick > capacity 128 after 2 ticks
+    assert system.live_count == 128  # saturated, oldest overwritten
+    assert int(system.state.total_spawned) == 300
+
+
+def test_reset():
+    cfg = ParticleSystemConfig(capacity=256, updates_per_second=0.0)
+    system = ParticleSystem(cfg, [basic_spawner(rate=600.0)])
+    system.tick(1.0 / 60.0)
+    assert system.live_count > 0
+    system.reset()
+    assert system.live_count == 0
+    assert int(system.state.total_spawned) == 0
+
+
+def test_update_fixed_timestep_accumulation():
+    cfg = ParticleSystemConfig(capacity=1024, updates_per_second=60.0,
+                               life_decay_per_second=0.0)
+    system = ParticleSystem(cfg, [basic_spawner(rate=60.0)])
+    # 0.5s of wall time in odd increments -> 30 fixed ticks -> 30 particles.
+    t = 0.0
+    while t < 0.5 - 1e-9:
+        system.update(0.0137)
+        t += 0.0137
+    assert abs(system.live_count - 30) <= 2

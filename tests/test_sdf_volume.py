@@ -59,7 +59,7 @@ def test_incremental_slice_update():
     cur = empty
     for start in range(0, config.slice_count, 4):
         slab = vol.generate_slab(config, obs, start, 4)
-        cur = vol.update_slices(cur, obs, start, slab)
+        cur = vol.update_slices(cur, start, slab)
     cur = cur.replace(max_valid_z=v.max_valid_z)
     np.testing.assert_allclose(
         np.asarray(cur.data), np.asarray(v.data), atol=1e-6
