@@ -1,0 +1,95 @@
+"""Benchmark harness.
+
+Measures the BASELINE.md north-star workload on the local accelerator:
+1080p 8-light SDF-shadowed light resolve fused with a 1M-particle
+(gravity + SDF collision + spawn) step — one jitted frame.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+value = frames (steps) per second of the fused frame; vs_baseline is
+against the 60 steps/s target (BASELINE.json north_star). Extra context
+fields (Mpix/s, live particles) ride along.
+
+Usage: python bench.py [--small] [--frames N]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    small = "--small" in sys.argv
+    frames = 50
+    if "--frames" in sys.argv:
+        frames = int(sys.argv[sys.argv.index("--frames") + 1])
+
+    if small:
+        height, width, capacity = 270, 480, 1 << 16
+    else:
+        height, width, capacity = 1080, 1920, 1 << 20
+
+    from illuminant_tpu.scenes import build_flagship
+
+    scene = build_flagship(height=height, width=width, capacity=capacity)
+    system = scene.system
+    state = system.state
+    key = jax.random.key(0)
+    env_u = scene.environment.uniforms()
+
+    spawn_count = jnp.asarray(scene.spawner.spawn_max, jnp.int32)
+    chunk = 50  # frames per dispatch — amortizes host-tunnel latency
+
+    def run(state, i0, n):
+        return scene.frame_loop(
+            state, key, scene.volume, scene.gbuffer, scene.sphere_lights,
+            env_u, spawn_count, jnp.asarray(i0, jnp.int32), n,
+        )
+
+    # Warm up: compile + prime the particle population.
+    # NOTE: block_until_ready does not actually synchronize on the axon
+    # backend — a small host transfer is the only reliable fence.
+    def fence(x):
+        return float(jnp.max(x[::257, 0]))
+
+    lightmap, state = run(state, 0, chunk)
+    fence(lightmap)
+    fence(state.position)  # also compiles the state-fence op
+    lightmap, state = run(state, chunk, chunk)
+    fence(lightmap)
+
+    done = 2 * chunk
+    frames = max(frames, chunk)
+    n_chunks = frames // chunk
+    t0 = time.perf_counter()
+    for c in range(n_chunks):
+        lightmap, state = run(state, done + c * chunk, chunk)
+    fence(lightmap)
+    fence(state.position)
+    dt = time.perf_counter() - t0
+    frames = n_chunks * chunk
+
+    steps_per_sec = frames / dt
+    mpix_per_sec = steps_per_sec * height * width / 1e6
+    live = int(jnp.sum(state.position[:, 3] > 0.0))
+
+    result = {
+        "metric": "1080p light-resolve Mpix/s; 1M-particle steps/sec",
+        "value": round(steps_per_sec, 3),
+        "unit": "fused frames/sec (8-light SDF resolve + particle step)",
+        "vs_baseline": round(steps_per_sec / 60.0, 4),
+        "mpix_per_sec": round(mpix_per_sec, 1),
+        "resolution": f"{width}x{height}",
+        "particle_capacity": capacity,
+        "live_particles": live,
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

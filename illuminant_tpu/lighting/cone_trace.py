@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.config import QualitySettings
-from ..sdf.sampling import sample
+from ..sdf.analytic import scene_sample
 from ..sdf.volume import SdfVolume
 
 MIN_CONE_RADIUS = 0.33
@@ -38,7 +38,7 @@ def _saturate(x):
 
 
 def cone_trace(
-    volume: SdfVolume | None,
+    volume,
     light_center,
     light_radius,
     light_ramp_length,
@@ -100,7 +100,7 @@ def cone_trace(
 
         # coneTraceAdvance (fxh:73-82): sample, shrink visibility, step.
         pos = origin + direction * offset[..., None]
-        d = sample(volume, pos)
+        d = scene_sample(volume, pos)
         local_radius = jnp.minimum(
             growth_per_px * offset + MIN_CONE_RADIUS, max_radius
         )

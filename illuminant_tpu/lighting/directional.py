@@ -1,0 +1,180 @@
+"""Directional lights.
+
+Port of /root/reference/Illuminant/Shaders/DirectionalLight.fx and
+DirectionalLightSource (Lighting/LightSource.cs:105-212): a light direction
+(or none -> pure ambient term), normal-factor opacity with the directional
+dot constants (LightCommon.fxh:7-8, 224-231), AO, and shadows traced toward
+a fake light center `pixel - direction * shadowTraceLength`
+(DirectionalLight.fx:76-83) with (softness, rampRate) shaping the cone.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core.config import QualitySettings
+from ..core.pytree import pytree_dataclass
+from .cone_trace import cone_trace
+from .environment import EnvironmentUniforms
+from .gbuffer import GBuffer
+from .sphere import compute_ao, compute_normal_factor
+
+# LightCommon.fxh:7-8.
+DIRECTIONAL_DOT_OFFSET = 0.35
+DIRECTIONAL_DOT_RAMP_RANGE = 0.35
+# DirectionalLight.fx:13.
+SELF_OCCLUSION_HACK = 1.5
+
+
+@pytree_dataclass
+class DirectionalLights:
+    """SoA; direction (L, 4) with .w = has-direction flag (0 -> ambient,
+    LightSource.cs DirectionalLightSource.Direction nullable)."""
+
+    direction: jnp.ndarray  # (L, 4) normalized xyz + flag
+    color: jnp.ndarray  # (L, 4) opacity pre-folded
+    # (cast_shadows, trace_length, softness, ramp_rate) (fx:57).
+    properties: jnp.ndarray  # (L, 4)
+    # (ao_radius, distance_falloff, _, ao_opacity).
+    more: jnp.ndarray  # (L, 4)
+    active: jnp.ndarray  # (L,)
+
+    @property
+    def capacity(self) -> int:
+        return self.direction.shape[0]
+
+
+@dataclasses.dataclass
+class DirectionalLightSource:
+    """Host-side (LightSource.cs:105-212)."""
+
+    direction: Optional[Tuple[float, float, float]] = (0.0, 0.0, -1.0)
+    color: tuple = (1.0, 1.0, 1.0, 1.0)
+    opacity: float = 1.0
+    cast_shadows: bool = True
+    shadow_trace_length: float = 256.0
+    shadow_softness: float = 12.0
+    shadow_ramp_rate: float = 0.5
+    shadow_distance_falloff: Optional[float] = None
+    ambient_occlusion_radius: float = 0.0
+    ambient_occlusion_opacity: float = 1.0
+
+
+def pack_directional_lights(lights: List[DirectionalLightSource],
+                            capacity: Optional[int] = None
+                            ) -> DirectionalLights:
+    n = len(lights)
+    cap = capacity or max(n, 1)
+    direction = np.zeros((cap, 4), np.float32)
+    color = np.zeros((cap, 4), np.float32)
+    props = np.zeros((cap, 4), np.float32)
+    more = np.zeros((cap, 4), np.float32)
+    more[:, 3] = 1.0
+    active = np.zeros((cap,), np.float32)
+    for i, l in enumerate(lights):
+        if l.direction is not None:
+            d = np.asarray(l.direction, np.float32)
+            norm = np.linalg.norm(d)
+            if norm > 0:
+                d = d / norm
+            direction[i] = [*d, 1.0]
+        col = np.asarray(l.color, np.float32).copy()
+        col[3] *= l.opacity
+        color[i] = col
+        props[i] = [
+            1.0 if l.cast_shadows else 0.0,
+            l.shadow_trace_length,
+            l.shadow_softness,
+            l.shadow_ramp_rate,
+        ]
+        more[i] = [
+            l.ambient_occlusion_radius,
+            l.shadow_distance_falloff or 0.0,
+            0.0,
+            l.ambient_occlusion_opacity,
+        ]
+        active[i] = 1.0
+    return DirectionalLights(
+        direction=jnp.asarray(direction),
+        color=jnp.asarray(color),
+        properties=jnp.asarray(props),
+        more=jnp.asarray(more),
+        active=jnp.asarray(active),
+    )
+
+
+def compute_directional_opacity(light_direction, shaded_normal):
+    """computeDirectionalLightOpacity (LightCommon.fxh:224-231)."""
+    factor = compute_normal_factor(
+        light_direction[..., :3], shaded_normal,
+        DIRECTIONAL_DOT_OFFSET, DIRECTIONAL_DOT_RAMP_RANGE,
+    )
+    return jnp.where(light_direction[..., 3] < 0.1, 1.0, factor)
+
+
+def accumulate_directional_lights(
+    volume,
+    gbuffer: GBuffer,
+    lights: DirectionalLights,
+    env: EnvironmentUniforms,
+    quality: QualitySettings,
+):
+    """All directional lights -> (H, W, 4) additive HDR contribution."""
+    world_pos = gbuffer.world_position()
+    normal = gbuffer.normal
+
+    direction = lights.direction[:, None, None, :]
+    props = lights.properties[:, None, None, :]
+    more = lights.more[:, None, None, :]
+    active = lights.active[:, None, None]
+
+    opacity = compute_directional_opacity(direction, normal[None])
+    visible = (world_pos[None, ..., 0] > -9999.0) & (
+        gbuffer.fullbright[None] < 0.5
+    )
+
+    ao_radius = more[..., 0] * jnp.maximum(0.0, normal[None, ..., 2])
+    ao = compute_ao(volume, world_pos[None], normal[None], ao_radius,
+                    more[..., 3], visible)
+    opacity = opacity * ao
+
+    cast = props[..., 0] * gbuffer.enable_shadows[None]
+    trace_enable = (
+        visible
+        & (cast > 0.0)
+        & (opacity >= 1.0 / 256.0)
+        & (direction[..., 3] >= 0.1)
+        & (active > 0.0)
+    )
+    # Fake light center behind the pixel along the direction (fx:76-77).
+    fake_center = world_pos[None] - direction[..., :3] * props[..., 1:2]
+    # Cone config (fx:78-83): radius = softness, ramp = distance falloff,
+    # per-light growth factor = rampRate — folded into the ramp length
+    # (growth = maxR / ramp * rate == maxR / (ramp / rate)).
+    ramp = jnp.maximum(more[..., 1], 16.0) / jnp.maximum(
+        props[..., 3], 1e-3
+    )
+    cone = cone_trace(
+        volume,
+        fake_center,
+        props[..., 2],
+        ramp,
+        world_pos[None] + SELF_OCCLUSION_HACK * normal[None],
+        trace_enable,
+        quality,
+    )
+    opacity = opacity * cone
+
+    opacity = jnp.where(visible, opacity, 0.0) * active
+    rgb = (
+        lights.color[:, None, None, :3]
+        * lights.color[:, None, None, 3:4]
+        * opacity[..., None]
+    )
+    out_rgb = jnp.sum(rgb, axis=0)
+    out_a = jnp.sum(opacity, axis=0)
+    return jnp.concatenate([out_rgb, out_a[..., None]], axis=-1)

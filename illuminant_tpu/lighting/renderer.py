@@ -35,14 +35,19 @@ from .environment import (
 from .sphere import accumulate_sphere_lights
 
 
-@partial(jax.jit, static_argnames=("config", "with_specular"))
+@partial(
+    jax.jit,
+    static_argnames=("config", "with_specular", "shadow_mode"),
+)
 def render_lightmap(
-    volume: Optional[SdfVolume],
+    volume,
     gbuffer: gbuf.GBuffer,
     sphere_lights: SphereLights,
     env: EnvironmentUniforms,
     config: RendererConfig,
+    directional_lights=None,
     with_specular: bool = False,
+    shadow_mode: str = "march",
 ):
     """The Light Pass (LightingRenderer.cs:1004-1168): clear to ambient,
     accumulate every light family additively -> (H, W, 4) HDR lightmap."""
@@ -50,8 +55,14 @@ def render_lightmap(
     lightmap = jnp.broadcast_to(env.ambient, (h, w, 4)).astype(jnp.float32)
     lightmap = lightmap + accumulate_sphere_lights(
         volume, gbuffer, sphere_lights, env, config.quality,
-        with_specular=with_specular,
+        with_specular=with_specular, shadow_mode=shadow_mode,
     )
+    if directional_lights is not None:
+        from .directional import accumulate_directional_lights
+
+        lightmap = lightmap + accumulate_directional_lights(
+            volume, gbuffer, directional_lights, env, config.quality
+        )
     return lightmap
 
 
@@ -147,7 +158,13 @@ class LightingRenderer:
 
     # -- lighting ---------------------------------------------------------
 
-    def render_lighting(self, intensity_scale: float = 1.0):
+    def render_lighting(self, intensity_scale: float = 1.0,
+                        shadow_mode: str = "march"):
+        from .directional import (
+            DirectionalLightSource,
+            pack_directional_lights,
+        )
+
         if self.gbuffer is None:
             self.update_fields(budget=10**6)
         sphere_lights = pack_sphere_lights(
@@ -155,12 +172,26 @@ class LightingRenderer:
              if isinstance(l, SphereLightSource)],
             capacity=self.light_capacity,
         )
+        directional = [
+            l for l in self.environment.lights
+            if isinstance(l, DirectionalLightSource)
+        ]
+        directional_lights = (
+            pack_directional_lights(directional) if directional else None
+        )
+        field = self.volume
+        if shadow_mode == "scan" or field is None:
+            from ..sdf.analytic import pack_scene
+
+            field = pack_scene(self.environment.obstructions)
         lightmap = render_lightmap(
-            self.volume,
+            field,
             self.gbuffer,
             sphere_lights,
             self.environment.uniforms(),
             self.config,
+            directional_lights=directional_lights,
+            shadow_mode=shadow_mode,
         )
         if intensity_scale != 1.0:
             lightmap = lightmap * intensity_scale

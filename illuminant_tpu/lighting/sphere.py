@@ -19,7 +19,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..core.config import QualitySettings
-from ..sdf.sampling import sample
+from ..sdf.analytic import scene_sample
 from ..sdf.volume import SdfVolume
 from .cone_trace import cone_trace
 from .environment import EnvironmentUniforms, SphereLights
@@ -93,7 +93,7 @@ def compute_sphere_light_opacity(
     )
 
 
-def compute_ao(volume: SdfVolume | None, shaded_position, shaded_normal,
+def compute_ao(volume, shaded_position, shaded_normal,
                ao_radius, ao_opacity, visible):
     """AOCommon.fxh:1-20: one field sample above the surface, squared ramp."""
     if volume is None:
@@ -106,7 +106,7 @@ def compute_ao(volume: SdfVolume | None, shaded_position, shaded_normal,
         ],
         axis=-1,
     )
-    d = sample(volume, shaded_position + offset)
+    d = scene_sample(volume, shaded_position + offset)
     clamped = jnp.clip(d, 0.0, ao_radius)
     r = 1.0 - _saturate(clamped / jnp.maximum(ao_radius, 1e-6))
     r = 1.0 - r * r
@@ -131,12 +131,13 @@ def compute_specularity(camera_position, shaded_position, shaded_normal,
 
 
 def accumulate_sphere_lights(
-    volume: SdfVolume | None,
+    volume,
     gbuffer: GBuffer,
     lights: SphereLights,
     env: EnvironmentUniforms,
     quality: QualitySettings,
     with_specular: bool = True,
+    shadow_mode: str = "march",
 ):
     """Shade all sphere lights against the G-buffer -> (H, W, 4) HDR add.
 
@@ -184,15 +185,28 @@ def accumulate_sphere_lights(
         & (pre_trace >= SHADOW_OPACITY_THRESHOLD)
         & (active > 0.0)
     )
-    cone = cone_trace(
-        volume,
-        lc,
-        props[..., 0],
-        props[..., 1],
-        world_pos[None] + SELF_OCCLUSION_HACK * normal[None],
-        trace_enable,
-        quality,
-    )
+    if shadow_mode == "scan":
+        # Fast gather-free path (scan_shadows.py); `trace_enable` gating
+        # applied afterward like the march's early-disable.
+        from .scan_shadows import scan_visibility
+
+        h, w = gbuffer.shape
+        vis = scan_visibility(
+            volume, h, w, lights.position,
+            lights.properties[:, 0], lights.properties[:, 1], quality,
+            render_scale=gbuffer.render_scale,
+        )
+        cone = jnp.where(trace_enable, vis, 1.0)
+    else:
+        cone = cone_trace(
+            volume,
+            lc,
+            props[..., 0],
+            props[..., 1],
+            world_pos[None] + SELF_OCCLUSION_HACK * normal[None],
+            trace_enable,
+            quality,
+        )
 
     opacity = pre_trace * cone
     opacity = jnp.where(visible, opacity, 0.0) * active  # epilogue discard

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..sdf.sampling import estimate_normal, sample
+from ..sdf.analytic import scene_normal, scene_sample
 from ..sdf.volume import SdfVolume
 from .render_data import RenderDataUniforms, compute_render_data
 from .state import ParticleState, SystemUniforms, apply_friction_and_maximum
@@ -76,7 +76,7 @@ def integrate_with_distance_field(
     state: ParticleState,
     su: SystemUniforms,
     rd: RenderDataUniforms,
-    volume: SdfVolume,
+    volume,
     maximum_z: float | jnp.ndarray = 1e9,
 ) -> ParticleState:
     """SDF collision integrate (UpdateParticleSystemWithDistanceField.fx).
@@ -102,7 +102,7 @@ def integrate_with_distance_field(
     scaled_velocity = velocity * dt
 
     # fx:63-70.
-    initial_distance = sample(volume, old_xyz)
+    initial_distance = scene_sample(volume, old_xyz)
     above_field = old_xyz[:, 2] > maximum_z
     initial_distance = jnp.where(above_field, 1e9, initial_distance)
     was_colliding = initial_distance < collision_distance
@@ -122,7 +122,7 @@ def integrate_with_distance_field(
     for _ in range(MAX_STEP_COUNT):  # fx:72-90, statically unrolled
         active = steps_left > 0
         test_pos = old_xyz + travel[:, None] * unit_vector
-        step_distance = sample(volume, test_pos)
+        step_distance = scene_sample(volume, test_pos)
         step_distance = jnp.where(above_field, 1e9, step_distance)
         hit = step_distance < collision_distance
 
@@ -150,7 +150,7 @@ def integrate_with_distance_field(
     redirect = was_colliding & ~escaping
     needs_normal = collided & (bounce | redirect)
     normal = jnp.where(
-        needs_normal[:, None], estimate_normal(volume, collision_pos), 0.0
+        needs_normal[:, None], scene_normal(volume, collision_pos), 0.0
     )
     escape_speed = jnp.minimum(su.maximum_velocity, escape_velocity)
 

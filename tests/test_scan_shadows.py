@@ -1,0 +1,94 @@
+"""Scan-shadow fast path vs the exact cone-trace march."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from illuminant_tpu.core.config import QualitySettings
+from illuminant_tpu.lighting import cone_trace as ct
+from illuminant_tpu.lighting.scan_shadows import scan_visibility
+from illuminant_tpu.sdf.analytic import pack_scene
+from illuminant_tpu.lighting.environment import LightObstruction
+
+
+def _setup():
+    scene = pack_scene(
+        [LightObstruction.box((128.0, 128.0, 16.0), (10.0, 40.0, 16.0))]
+    )
+    q = QualitySettings()
+    light = np.asarray([[60.0, 128.0, 32.0]], np.float32)
+    return scene, q, light
+
+
+def test_scan_matches_march_classification():
+    scene, q, light = _setup()
+    H = W = 256
+
+    vis_scan = np.asarray(
+        scan_visibility(
+            scene, H, W, jnp.asarray(light),
+            jnp.asarray([8.0]), jnp.asarray([200.0]), q,
+            trace_z=jnp.float32(16.0),
+        )
+    )[0]
+
+    ys, xs = np.meshgrid(
+        np.arange(H, dtype=np.float32) + 0.5,
+        np.arange(W, dtype=np.float32) + 0.5,
+        indexing="ij",
+    )
+    shaded = np.stack(
+        [xs, ys, np.full_like(xs, 16.0)], axis=-1
+    ).astype(np.float32)
+    vis_march = np.asarray(
+        ct.cone_trace(
+            scene, jnp.asarray(light[0]), jnp.float32(8.0),
+            jnp.float32(200.0), jnp.asarray(shaded),
+            jnp.ones((H, W), bool), q,
+        )
+    )
+
+    # Hard-shadow core behind the box must be dark in both.
+    assert vis_scan[120:136, 160:220].max() < 0.05
+    assert vis_march[120:136, 160:220].max() < 0.05
+    # Open regions fully lit in both.
+    assert vis_scan[30:60, 30:60].min() > 0.95
+    assert vis_march[30:60, 30:60].min() > 0.95
+    # Overall agreement: mean abs difference small over the whole image.
+    diff = np.abs(vis_scan - vis_march)
+    assert diff.mean() < 0.03, f"mean abs diff {diff.mean()}"
+    # Penumbra must widen with distance from the occluder in the scan too
+    # (cone growth): measure shadow width at two distances behind the box.
+    def shadow_width(col):
+        return (vis_scan[:, col] < 0.5).sum()
+
+    assert shadow_width(250) >= shadow_width(150) - 1
+
+
+def test_scan_no_occluder_is_fully_lit():
+    scene = pack_scene([])
+    q = QualitySettings()
+    vis = np.asarray(
+        scan_visibility(
+            scene, 64, 64, jnp.asarray([[32.0, 32.0, 20.0]]),
+            jnp.asarray([4.0]), jnp.asarray([100.0]), q,
+            trace_z=jnp.float32(8.0),
+        )
+    )[0]
+    assert vis.min() > 0.99
+
+
+def test_scan_multiple_lights_independent():
+    scene, q, _ = _setup()
+    lights = jnp.asarray(
+        [[60.0, 128.0, 32.0], [250.0, 30.0, 32.0]], jnp.float32
+    )
+    vis = np.asarray(
+        scan_visibility(
+            scene, 256, 256, lights,
+            jnp.asarray([8.0, 8.0]), jnp.asarray([200.0, 200.0]), q,
+            trace_z=jnp.float32(16.0),
+        )
+    )
+    # Light 0 shadows to the east of the box; light 1 (above-right) casts
+    # a different shadow — the maps must differ.
+    assert np.abs(vis[0] - vis[1]).max() > 0.5
