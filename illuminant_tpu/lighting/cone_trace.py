@@ -45,12 +45,17 @@ def cone_trace(
     shaded_position,
     enable,
     quality: QualitySettings,
+    raw: bool = False,
 ):
     """Visibility in [0, 1] of `light_center` from `shaded_position`.
 
     light_center/shaded_position: (..., 3); light_radius/ramp_length:
     broadcastable (...); enable: (...,) bool — disabled rays return 1.0
     (ConeTrace.fxh:190). All inputs broadcast together.
+
+    raw=True returns the pre-threshold visibility min(vis, stepWindow)
+    (fxh:175-180) so multi-ray variants like the line light's 3-trace
+    average can apply the threshold/power once (LineLightCore.fxh:52-65).
     """
     if volume is None:
         return jnp.ones(jnp.broadcast_shapes(
@@ -127,6 +132,9 @@ def cone_trace(
     # Ramp visibility to 0 when the step budget ran out (fxh:175-180).
     step_window_vis = steps / MAX_STEP_RAMP_WINDOW
     visibility = jnp.minimum(vis, step_window_vis)
+
+    if raw:
+        return jnp.where(enable, visibility, 1.0)
 
     final = (
         _saturate(

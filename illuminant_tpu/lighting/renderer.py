@@ -46,6 +46,7 @@ def render_lightmap(
     env: EnvironmentUniforms,
     config: RendererConfig,
     directional_lights=None,
+    line_lights=None,
     with_specular: bool = False,
     shadow_mode: str = "march",
 ):
@@ -62,6 +63,12 @@ def render_lightmap(
 
         lightmap = lightmap + accumulate_directional_lights(
             volume, gbuffer, directional_lights, env, config.quality
+        )
+    if line_lights is not None:
+        from .line import accumulate_line_lights
+
+        lightmap = lightmap + accumulate_line_lights(
+            volume, gbuffer, line_lights, env, config.quality
         )
     return lightmap
 
@@ -179,6 +186,13 @@ class LightingRenderer:
         directional_lights = (
             pack_directional_lights(directional) if directional else None
         )
+        from .line import LineLightSource, pack_line_lights
+
+        line = [
+            l for l in self.environment.lights
+            if isinstance(l, LineLightSource)
+        ]
+        line_lights = pack_line_lights(line) if line else None
         field = self.volume
         if shadow_mode == "scan" or field is None:
             from ..sdf.analytic import pack_scene
@@ -191,6 +205,7 @@ class LightingRenderer:
             self.environment.uniforms(),
             self.config,
             directional_lights=directional_lights,
+            line_lights=line_lights,
             shadow_mode=shadow_mode,
         )
         if intensity_scale != 1.0:

@@ -1,0 +1,107 @@
+"""Directional and line light families."""
+
+import numpy as np
+
+from illuminant_tpu.core.config import QualitySettings, RendererConfig
+from illuminant_tpu.lighting.directional import (
+    DirectionalLightSource,
+    compute_directional_opacity,
+    pack_directional_lights,
+)
+from illuminant_tpu.lighting.environment import (
+    LightObstruction,
+    LightingEnvironment,
+    SphereLightSource,
+)
+from illuminant_tpu.lighting.line import (
+    LineLightSource,
+    closest_point_on_segment,
+    compute_line_light_opacity,
+    pack_line_lights,
+)
+from illuminant_tpu.lighting.renderer import LightingRenderer
+
+
+def test_directional_opacity_oracle():
+    # Straight-down light over an upward normal: d = dot(-dir, n) = 1 ->
+    # saturate((1+0.35)/0.35)=1 -> 1^0.85 = 1.
+    d = np.asarray([0.0, 0.0, -1.0, 1.0], np.float32)
+    n = np.asarray([0.0, 0.0, 1.0], np.float32)
+    assert float(compute_directional_opacity(d, n)) == 1.0
+    # Grazing (perpendicular): d = 0 -> (0+0.35)/0.35 = 1 -> still 1
+    # (the ramp is a mask, LightCommon.fxh:1-10).
+    d2 = np.asarray([1.0, 0.0, 0.0, 1.0], np.float32)
+    assert float(compute_directional_opacity(d2, n)) == 1.0
+    # Behind the surface: dot = -1 -> 0.
+    d3 = np.asarray([0.0, 0.0, 1.0, 1.0], np.float32)
+    assert float(compute_directional_opacity(d3, n)) == 0.0
+    # No direction (w < 0.1) -> ambient, always 1.
+    d4 = np.asarray([0.0, 0.0, 1.0, 0.0], np.float32)
+    assert float(compute_directional_opacity(d4, n)) == 1.0
+
+
+def test_directional_light_shadows():
+    env = LightingEnvironment(ambient=(0.0, 0.0, 0.0, 1.0))
+    env.lights.append(
+        DirectionalLightSource(
+            direction=(1.0, 0.0, -0.5),
+            color=(1.0, 1.0, 1.0, 1.0),
+            shadow_trace_length=300.0,
+        )
+    )
+    env.obstructions.append(
+        LightObstruction.box((128.0, 128.0, 24.0), (10.0, 40.0, 24.0))
+    )
+    r = LightingRenderer(RendererConfig(width=256, height=256), env, None)
+    r.update_fields()
+    lm = np.asarray(r.render_lighting())
+    open_region = lm[40, 40, :3].mean()
+    shadow_region = lm[128, 160, :3].mean()  # east of the box
+    assert open_region > 0.5, open_region
+    assert shadow_region < open_region * 0.3, (open_region, shadow_region)
+
+
+def test_closest_point_on_segment():
+    p0 = np.zeros((3,), np.float32)
+    p1 = np.asarray([10.0, 0.0, 0.0], np.float32)
+    c, u = closest_point_on_segment(p0, p1, np.asarray([4.0, 3.0, 0.0]))
+    np.testing.assert_allclose(np.asarray(c), [4.0, 0.0, 0.0], atol=1e-6)
+    np.testing.assert_allclose(float(u), 0.4, atol=1e-6)
+    c2, u2 = closest_point_on_segment(p0, p1, np.asarray([-5.0, 1.0, 0.0]))
+    np.testing.assert_allclose(float(u2), 0.0)
+
+
+def test_line_light_opacity_falls_off():
+    p0 = np.asarray([0.0, 0.0, 10.0], np.float32)
+    p1 = np.asarray([100.0, 0.0, 10.0], np.float32)
+    n = np.asarray([0.0, 0.0, 1.0], np.float32)
+    radius = np.float32(5.0)
+    near, _, _ = compute_line_light_opacity(
+        np.asarray([50.0, 10.0, 0.0], np.float32), n, p0, p1, radius
+    )
+    far, _, _ = compute_line_light_opacity(
+        np.asarray([50.0, 120.0, 0.0], np.float32), n, p0, p1, radius
+    )
+    assert float(near) > float(far) > 0.0
+    assert float(near) <= 1.0
+
+
+def test_line_light_render_color_gradient():
+    env = LightingEnvironment(ambient=(0.0, 0.0, 0.0, 1.0))
+    env.lights.append(
+        LineLightSource(
+            start=(40.0, 128.0, 20.0),
+            end=(216.0, 128.0, 20.0),
+            radius=6.0,
+            color_start=(1.0, 0.0, 0.0, 1.0),
+            color_end=(0.0, 0.0, 1.0, 1.0),
+            cast_shadows=False,
+        )
+    )
+    r = LightingRenderer(RendererConfig(width=256, height=256), env, None)
+    r.update_fields()
+    lm = np.asarray(r.render_lighting())
+    left = lm[100, 60]
+    right = lm[100, 200]
+    assert left[0] > left[2], "left end should be red-dominant"
+    assert right[2] > right[0], "right end should be blue-dominant"
