@@ -47,6 +47,7 @@ def render_lightmap(
     config: RendererConfig,
     directional_lights=None,
     line_lights=None,
+    volumetric_lights=None,
     with_specular: bool = False,
     shadow_mode: str = "march",
 ):
@@ -69,6 +70,12 @@ def render_lightmap(
 
         lightmap = lightmap + accumulate_line_lights(
             volume, gbuffer, line_lights, env, config.quality
+        )
+    if volumetric_lights is not None:
+        from .volumetric import accumulate_volumetric_lights
+
+        lightmap = lightmap + accumulate_volumetric_lights(
+            volume, gbuffer, volumetric_lights, env, config.quality
         )
     return lightmap
 
@@ -193,6 +200,18 @@ class LightingRenderer:
             if isinstance(l, LineLightSource)
         ]
         line_lights = pack_line_lights(line) if line else None
+        from .volumetric import (
+            VolumetricLightSource,
+            pack_volumetric_lights,
+        )
+
+        volumetric = [
+            l for l in self.environment.lights
+            if isinstance(l, VolumetricLightSource)
+        ]
+        volumetric_lights = (
+            pack_volumetric_lights(volumetric) if volumetric else None
+        )
         field = self.volume
         if shadow_mode == "scan" or field is None:
             from ..sdf.analytic import pack_scene
@@ -206,6 +225,7 @@ class LightingRenderer:
             self.config,
             directional_lights=directional_lights,
             line_lights=line_lights,
+            volumetric_lights=volumetric_lights,
             shadow_mode=shadow_mode,
         )
         if intensity_scale != 1.0:

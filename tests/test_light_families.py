@@ -105,3 +105,31 @@ def test_line_light_render_color_gradient():
     right = lm[100, 200]
     assert left[0] > left[2], "left end should be red-dominant"
     assert right[2] > right[0], "right end should be blue-dominant"
+
+
+def test_volumetric_light_cone():
+    from illuminant_tpu.lighting.volumetric import (
+        SHAPE_CONE,
+        VolumetricLightSource,
+    )
+
+    env = LightingEnvironment(ambient=(0.0, 0.0, 0.0, 1.0), maximum_z=64.0)
+    env.lights.append(
+        VolumetricLightSource(
+            shape=SHAPE_CONE,
+            start_position=(60.0, 128.0, 40.0),
+            end_position=(200.0, 128.0, 10.0),
+            start_radius=6.0,
+            end_radius=30.0,
+            volumetricity=0.3,
+            color=(1.0, 0.9, 0.6, 1.0),
+        )
+    )
+    r = LightingRenderer(RendererConfig(width=256, height=256), env, None)
+    r.update_fields()
+    lm = np.asarray(r.render_lighting())
+    inside_beam = lm[128, 130, :3].mean()
+    outside_beam = lm[30, 30, :3].mean()
+    assert inside_beam > 0.05, inside_beam
+    assert outside_beam < inside_beam * 0.1, (inside_beam, outside_beam)
+    assert np.isfinite(lm).all()
