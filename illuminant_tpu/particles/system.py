@@ -127,6 +127,8 @@ class ParticleSystem:
                     pos, vel = tx.apply_matrix_multiply(pos, vel, u, su)
                 elif kind == "Gravity":
                     pos, vel = tx.apply_gravity(pos, vel, u, su)
+                elif kind == "VectorField":
+                    pos, vel = tx.apply_vector_field(pos, vel, u, su)
                 elif kind == "Noise":
                     if modifier_spatial[i]:
                         pos, vel = tx.apply_spatial_noise(

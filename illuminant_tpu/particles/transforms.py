@@ -500,3 +500,85 @@ class Noise:
 
 def spatial_noise(**kwargs) -> Noise:
     return Noise(spatial=True, **kwargs)
+
+
+# --------------------------------------------------------------------------
+# VectorField force (VectorField.cs:10-51 + config-4 usage): a (H, W, 4)
+# field sampled bilinearly at particle xy drives velocity. The reference
+# uses vector-field textures for the VectorWarp material and editor tests;
+# as a particle force it is the texture-driven analog of SpatialNoise.
+
+
+@pytree_dataclass
+class VectorFieldUniforms:
+    area: AreaUniforms
+    field: jnp.ndarray  # (H, W, 4)
+    field_scale: jnp.ndarray  # (2,) world xy -> field texel scale
+    field_offset: jnp.ndarray  # (2,)
+    velocity_scale: jnp.ndarray  # (4,) xyz force scale + w: along-velocity
+    replace_old_velocity: jnp.ndarray  # ()
+    cycles_per_second: jnp.ndarray  # ()
+    category_filter: jnp.ndarray  # (2,)
+
+
+def apply_vector_field(position, velocity, u: VectorFieldUniforms,
+                       su: SystemUniforms):
+    from ..ops.noise import RandomField, bilinear_sample
+
+    w = area_weight(position[:, :3], u.area)
+    t = jnp.where(
+        u.cycles_per_second >= 0.0, w * su.dt * u.cycles_per_second, w
+    )
+    sample = bilinear_sample(
+        RandomField(data=u.field), position[:, :2], u.field_offset,
+        u.field_scale,
+    )
+    # Field xy(z) channels are signed directions; scale per axis.
+    delta = sample * u.velocity_scale
+    vnorm = velocity[:, :3] / jnp.sqrt(
+        jnp.maximum(jnp.sum(velocity[:, :3] ** 2, axis=-1, keepdims=True),
+                    1e-12)
+    )
+    v_rep = velocity[:, :3] + (delta[:, :3] - velocity[:, :3]) * w[:, None]
+    v_add = velocity[:, :3] + delta[:, :3] * t[:, None]
+    new_v = jnp.where(u.replace_old_velocity > 0.5, v_rep, v_add)
+    new_v = new_v + vnorm * delta[:, 3:4]
+    new_vel = jnp.concatenate([new_v, velocity[:, 3:4]], axis=-1)
+    live = ((position[:, 3] > 0.0)
+            & _category_mask(velocity, u.category_filter))[:, None]
+    return position, jnp.where(live, new_vel, velocity)
+
+
+@dataclasses.dataclass
+class VectorField:
+    """Texture-driven force field."""
+
+    field: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros((8, 8, 4), np.float32)
+    )
+    field_scale: Tuple[float, float] = (1.0, 1.0)
+    field_offset: Tuple[float, float] = (0.0, 0.0)
+    velocity_scale: Tuple[float, float, float, float] = (1.0, 1.0, 0.0, 0.0)
+    replace_old_velocity: bool = False
+    cycles_per_second: Optional[float] = 10.0
+    strength: float = 1.0
+    area: TransformArea = dataclasses.field(default_factory=TransformArea)
+    category_filter: Tuple[float, float] = (-1e9, 1e9)
+    is_spawner = False
+
+    def uniforms(self, now: float) -> VectorFieldUniforms:
+        return VectorFieldUniforms(
+            area=self.area.uniforms(self.strength),
+            field=jnp.asarray(self.field, jnp.float32),
+            field_scale=jnp.asarray(self.field_scale, jnp.float32),
+            field_offset=jnp.asarray(self.field_offset, jnp.float32),
+            velocity_scale=jnp.asarray(self.velocity_scale, jnp.float32),
+            replace_old_velocity=jnp.asarray(
+                1.0 if self.replace_old_velocity else 0.0, jnp.float32
+            ),
+            cycles_per_second=jnp.asarray(
+                -1.0 if self.cycles_per_second is None
+                else self.cycles_per_second, jnp.float32,
+            ),
+            category_filter=jnp.asarray(self.category_filter, jnp.float32),
+        )
