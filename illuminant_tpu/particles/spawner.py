@@ -244,3 +244,237 @@ class Spawner:
                 self.alpha_discard_threshold / 255.0, jnp.float32
             ),
         )
+
+
+# --------------------------------------------------------------------------
+# Feedback spawning (SpecialSpawners.cs:265-442, SpawnParticles.fx
+# PS_SpawnFeedback :55-118): consume another system's live particles as
+# spawn inputs.
+
+
+@pytree_dataclass
+class FeedbackUniforms:
+    base: SpawnUniforms
+    source_index: jnp.ndarray  # () f32 — window start (FeedbackSourceIndex)
+    instance_multiplier: jnp.ndarray  # ()
+    source_velocity_factor: jnp.ndarray  # ()
+    source_life_range: jnp.ndarray  # (2,)
+    align_position_constant: jnp.ndarray  # ()
+    multiply_attribute_constant: jnp.ndarray  # ()
+    multiply_life: jnp.ndarray  # ()
+
+
+def spawn_feedback(
+    state: ParticleState,
+    source: ParticleState,
+    u: FeedbackUniforms,
+    count,
+    key,
+    spawn_max: int,
+) -> ParticleState:
+    """PS_SpawnFeedback as a masked batch over spawn_max slots."""
+    n = state.capacity
+    b = u.base
+    rel = jnp.arange(spawn_max, dtype=jnp.int32)
+    idx = jnp.mod(state.write_cursor + rel, n)
+    mask = rel < count
+
+    # Source slot per new particle (fx:69-71).
+    src_idx = jnp.mod(
+        (rel.astype(jnp.float32) / jnp.maximum(u.instance_multiplier, 1.0)
+         + u.source_index).astype(jnp.int32),
+        source.capacity,
+    )
+    src_pos = source.position[src_idx]
+    src_vel = source.velocity[src_idx]
+    src_attr = source.color[src_idx]
+    life_ok = (src_pos[:, 3] > u.source_life_range[0]) & (
+        src_pos[:, 3] < u.source_life_range[1]
+    )
+    mask = mask & life_ok
+
+    k1, k2, k3 = jax.random.split(key, 3)
+    random1 = jax.random.uniform(k1, (spawn_max, 4), jnp.float32)
+    random2 = jax.random.uniform(k2, (spawn_max, 4), jnp.float32)
+    random3 = jax.random.uniform(k3, (spawn_max, 4), jnp.float32)
+    random2 = jnp.where(
+        b.align_velocity_and_position > 0.5,
+        jnp.concatenate([random1[:, :2], random2[:, 2:]], axis=-1),
+        random2,
+    )
+
+    position_constant = jnp.broadcast_to(
+        b.position_constants[0], (spawn_max, 4)
+    )
+    position_constant = jnp.where(
+        u.align_position_constant > 0.5,
+        jnp.concatenate(
+            [position_constant[:, :3] + src_pos[:, :3],
+             position_constant[:, 3:4]], axis=-1,
+        ),
+        position_constant,
+    )
+    zero = jnp.zeros_like(position_constant)
+    temp_position = evaluate_formula(
+        zero, position_constant, b.config[0], b.config[1], random1,
+        b.formula_types[0], b.axis_mask,
+    )
+    new_position = _mul_point(temp_position, b.position_matrix)
+    new_position = jnp.where(
+        u.multiply_life > 0.5,
+        jnp.concatenate(
+            [new_position[:, :3],
+             new_position[:, 3:4] * src_pos[:, 3:4]], axis=-1,
+        ),
+        new_position,
+    )
+
+    temp_velocity = evaluate_formula(
+        temp_position, jnp.broadcast_to(b.config[2], (spawn_max, 4)),
+        b.config[3], b.config[4], random2, b.formula_types[1], b.axis_mask,
+    )
+    temp_velocity = temp_velocity + src_vel * u.source_velocity_factor
+    new_velocity = _mul_point(temp_velocity, b.velocity_matrix)
+
+    attribute_constant = jnp.broadcast_to(b.config[5], (spawn_max, 4))
+    attribute_constant = jnp.where(
+        u.multiply_attribute_constant > 0.5,
+        attribute_constant * src_attr,
+        attribute_constant,
+    )
+    new_attributes = evaluate_formula(
+        temp_position, attribute_constant, b.config[6], b.config[7],
+        random3, b.formula_types[2], b.axis_mask,
+    )
+    mask = mask & (new_attributes[:, 3] >= b.attribute_discard_threshold)
+
+    safe_idx = jnp.where(mask, idx, n)
+    return state.replace(
+        position=state.position.at[safe_idx].set(new_position, mode="drop"),
+        velocity=state.velocity.at[safe_idx].set(new_velocity, mode="drop"),
+        color=state.color.at[safe_idx].set(new_attributes, mode="drop"),
+        write_cursor=jnp.mod(state.write_cursor + count, n).astype(
+            jnp.int32
+        ),
+        total_spawned=state.total_spawned + count,
+    )
+
+
+@dataclasses.dataclass
+class FeedbackSpawner(Spawner):
+    """Host feedback spawner (SpecialSpawners.cs:265-442). `source` is the
+    live ParticleSystem consumed; the sliding window cursor advances by
+    consumed count (SlidingWindow/WindowMargin semantics reduced to a ring
+    cursor over the source capacity)."""
+
+    source: object = None  # ParticleSystem
+    instance_multiplier: int = 1
+    source_velocity_factor: float = 0.0
+    source_life_min: float = 0.0
+    source_life_max: float = 1e9
+    align_position_constant: bool = True
+    multiply_attribute_constant: bool = True
+    multiply_life: bool = False
+    spawn_from_entire_window: bool = False
+
+    def __post_init__(self):
+        super().__post_init__()
+        self.read_cursor = 0
+        self.is_feedback = True
+
+    def feedback_uniforms(self, now: float) -> FeedbackUniforms:
+        return FeedbackUniforms(
+            base=self.uniforms(now),
+            source_index=jnp.asarray(float(self.read_cursor), jnp.float32),
+            instance_multiplier=jnp.asarray(
+                float(self.instance_multiplier), jnp.float32
+            ),
+            source_velocity_factor=jnp.asarray(
+                self.source_velocity_factor, jnp.float32
+            ),
+            source_life_range=jnp.asarray(
+                [self.source_life_min, self.source_life_max], jnp.float32
+            ),
+            align_position_constant=jnp.asarray(
+                1.0 if self.align_position_constant else 0.0, jnp.float32
+            ),
+            multiply_attribute_constant=jnp.asarray(
+                1.0 if self.multiply_attribute_constant else 0.0, jnp.float32
+            ),
+            multiply_life=jnp.asarray(
+                1.0 if self.multiply_life else 0.0, jnp.float32
+            ),
+        )
+
+    def advance_window(self, consumed: int):
+        if self.source is None:
+            return
+        cap = self.source.config.capacity
+        if self.spawn_from_entire_window:
+            self.read_cursor = int(
+                self._rng.integers(0, max(cap, 1))
+            )
+        else:
+            self.read_cursor = (
+                self.read_cursor
+                + max(consumed // max(self.instance_multiplier, 1), 1)
+            ) % cap
+
+
+@dataclasses.dataclass
+class PatternSpawner(Spawner):
+    """Spawns particles from image pixels (SpecialSpawners.cs:15-263):
+    pixel coordinates become position constants and pixel colors multiply
+    the color formula. `image` is (H, W, 4) in [0, 1]; `divisor` thins the
+    pixel grid; whole_spawn cycles through every pixel exactly once per
+    pass."""
+
+    image: object = None  # np.ndarray (H, W, 4)
+    divisor: int = 1
+    alpha_threshold: float = 0.05
+    pixel_scale: float = 1.0
+
+    def __post_init__(self):
+        super().__post_init__()
+        img = np.asarray(
+            self.image if self.image is not None
+            else np.ones((1, 1, 4), np.float32),
+            np.float32,
+        )
+        h, w = img.shape[:2]
+        ys, xs = np.mgrid[0:h:self.divisor, 0:w:self.divisor]
+        cols = img[::self.divisor, ::self.divisor].reshape(-1, 4)
+        keep = cols[:, 3] > self.alpha_threshold
+        self._pattern_positions = np.stack(
+            [
+                xs.reshape(-1)[keep] * self.pixel_scale,
+                ys.reshape(-1)[keep] * self.pixel_scale,
+                np.zeros(keep.sum(), np.float32),
+                np.zeros(keep.sum(), np.float32),
+            ],
+            axis=-1,
+        ).astype(np.float32)
+        self._pattern_colors = cols[keep]
+
+    @property
+    def pattern_size(self) -> int:
+        return len(self._pattern_positions)
+
+    def uniforms(self, now: float) -> SpawnUniforms:
+        u = super().uniforms(now)
+        if self.pattern_size == 0:
+            return u
+        base = np.asarray([(*self.position.constant, self.life.constant)],
+                          np.float32)
+        pc = self._pattern_positions + base
+        return SpawnUniforms(
+            position_constants=jnp.asarray(pc),
+            position_constant_count=jnp.asarray(float(len(pc)), jnp.float32),
+            config=u.config,
+            formula_types=u.formula_types,
+            position_matrix=u.position_matrix,
+            velocity_matrix=u.velocity_matrix,
+            axis_mask=u.axis_mask,
+            align_velocity_and_position=u.align_velocity_and_position,
+            attribute_discard_threshold=u.attribute_discard_threshold,
+        )

@@ -100,6 +100,9 @@ class ParticleSystem:
     def _build_step(self):
         cfg = self.config
         spawner_maxes = tuple(s.spawn_max for s in self.spawners)
+        spawner_feedback = tuple(
+            getattr(s, "is_feedback", False) for s in self.spawners
+        )
         modifier_kinds = tuple(type(t).__name__ for t in self.modifiers)
         modifier_spatial = tuple(
             getattr(t, "spatial", False) for t in self.modifiers
@@ -110,11 +113,16 @@ class ParticleSystem:
         def step(state, su, rd, spawn_batches, modifier_uniforms,
                  random_field, volume, key):
             # Spawners first (ParticleSystem.cs:725-741).
-            for i, (uni, count) in enumerate(spawn_batches):
+            for i, (uni, count, src) in enumerate(spawn_batches):
                 k = jax.random.fold_in(key, i)
-                state = spawner_mod.spawn(
-                    state, uni, count, k, spawner_maxes[i]
-                )
+                if spawner_feedback[i]:
+                    state = spawner_mod.spawn_feedback(
+                        state, src, uni, count, k, spawner_maxes[i]
+                    )
+                else:
+                    state = spawner_mod.spawn(
+                        state, uni, count, k, spawner_maxes[i]
+                    )
 
             # Non-spawn transforms in order (:800-817).
             pos, vel = state.position, state.velocity
@@ -176,9 +184,17 @@ class ParticleSystem:
         spawn_batches = []
         for s in self.spawners:
             count = s.begin_tick(now, dt)
-            spawn_batches.append(
-                (s.uniforms(now), jnp.asarray(count, jnp.int32))
-            )
+            if getattr(s, "is_feedback", False):
+                src = s.source.state if s.source is not None else self.state
+                spawn_batches.append(
+                    (s.feedback_uniforms(now),
+                     jnp.asarray(count, jnp.int32), src)
+                )
+                s.advance_window(count)
+            else:
+                spawn_batches.append(
+                    (s.uniforms(now), jnp.asarray(count, jnp.int32), None)
+                )
         modifier_uniforms = [t.uniforms(now) for t in self.modifiers]
         key = jax.random.fold_in(self._base_key, self._tick_index)
         self.state = self._step(

@@ -266,3 +266,66 @@ def test_update_fixed_timestep_accumulation():
         system.update(0.0137)
         t += 0.0137
     assert abs(system.live_count - 30) <= 2
+
+
+def test_pattern_spawner_spawns_image_pixels():
+    from illuminant_tpu.particles.spawner import PatternSpawner
+
+    img = np.zeros((4, 4, 4), np.float32)
+    img[1, 2] = [1.0, 0.0, 0.0, 1.0]
+    img[3, 0] = [0.0, 1.0, 0.0, 1.0]
+    spn = PatternSpawner(
+        image=img, min_rate=600.0, max_rate=600.0,
+        life=Formula1(constant=10.0),
+        position=Formula3(constant=(100.0, 200.0, 0.0)),
+        spawn_max=32, pixel_scale=10.0,
+    )
+    assert spn.pattern_size == 2
+    cfg = ParticleSystemConfig(capacity=256, updates_per_second=0.0,
+                               life_decay_per_second=0.0)
+    system = ParticleSystem(cfg, [spn])
+    system.tick(1.0 / 60.0)
+    live = np.asarray(system.state.live_mask())
+    pos = np.asarray(system.state.position)[live]
+    # Positions cycle through the two pattern pixels offset by the base.
+    want = {(120.0, 210.0), (100.0, 230.0)}
+    got = {(round(p[0]), round(p[1])) for p in pos}
+    assert got == want, got
+
+
+def test_feedback_spawner_inherits_source():
+    from illuminant_tpu.particles.spawner import FeedbackSpawner
+
+    src_cfg = ParticleSystemConfig(capacity=256, updates_per_second=0.0,
+                                   life_decay_per_second=0.0)
+    src_spawner = Spawner(
+        min_rate=1200.0, max_rate=1200.0,
+        life=Formula1(constant=10.0),
+        position=Formula3(constant=(50.0, 60.0, 0.0)),
+        velocity=Formula3(constant=(7.0, 0.0, 0.0)),
+        spawn_max=64,
+    )
+    source = ParticleSystem(src_cfg, [src_spawner])
+    source.tick(1.0 / 60.0)
+    assert source.live_count == 20
+
+    fb = FeedbackSpawner(
+        source=source,
+        min_rate=600.0, max_rate=600.0,
+        life=Formula1(constant=5.0),
+        source_velocity_factor=1.0,
+        align_position_constant=True,
+        spawn_max=32,
+    )
+    cfg = ParticleSystemConfig(capacity=256, updates_per_second=0.0,
+                               life_decay_per_second=0.0)
+    system = ParticleSystem(cfg, [fb])
+    system.tick(1.0 / 60.0)
+    live = np.asarray(system.state.live_mask())
+    assert live.sum() == 10
+    pos = np.asarray(system.state.position)[live]
+    vel = np.asarray(system.state.velocity)[live]
+    # Inherited source position (plus one tick of drift at speed 7).
+    np.testing.assert_allclose(pos[:, 1], 60.0, atol=0.5)
+    assert np.all(np.abs(pos[:, 0] - 50.0) < 1.0)
+    np.testing.assert_allclose(vel[:, 0], 7.0, atol=0.1)
