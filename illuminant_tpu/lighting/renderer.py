@@ -124,12 +124,20 @@ class LightingRenderer:
         env_u = self.environment.uniforms()
         h, w = self.config.lightmap_shape
 
-        # G-buffer: ground plane only for now (height volumes/billboards
-        # arrive with the gbuffer rasterizer module).
         if self.config.enable_gbuffer:
             self.gbuffer = gbuf.flat_ground(
                 h, w, env_u, self.config.render_scale
             )
+            if self.environment.height_volumes and self.config.two_point_five_d:
+                from ..sdf.height_volume import pack_height_volumes
+                from .height_volume import rasterize_height_volumes
+
+                packed = pack_height_volumes(
+                    self.environment.height_volumes
+                )
+                self.gbuffer = rasterize_height_volumes(
+                    self.gbuffer, packed, env_u
+                )
         else:
             self.gbuffer = gbuf.no_gbuffer(
                 h, w, env_u, self.config.render_scale
@@ -216,7 +224,10 @@ class LightingRenderer:
         if shadow_mode == "scan" or field is None:
             from ..sdf.analytic import pack_scene
 
-            field = pack_scene(self.environment.obstructions)
+            field = pack_scene(
+                self.environment.obstructions,
+                height_volumes=self.environment.height_volumes,
+            )
         lightmap = render_lightmap(
             field,
             self.gbuffer,

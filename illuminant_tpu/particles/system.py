@@ -129,7 +129,9 @@ class ParticleSystem:
             slot_xy = _slot_xy(cfg.capacity)
             for i, kind in enumerate(modifier_kinds):
                 u = modifier_uniforms[i]
-                if kind == "FMA":
+                if kind == "Sensor":
+                    pass  # analyzer: measured host-side via .measure()
+                elif kind == "FMA":
                     pos, vel = tx.apply_fma(pos, vel, u, su)
                 elif kind == "MatrixMultiply":
                     pos, vel = tx.apply_matrix_multiply(pos, vel, u, su)

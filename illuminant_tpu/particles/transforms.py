@@ -582,3 +582,36 @@ class VectorField:
             ),
             category_filter=jnp.asarray(self.category_filter, jnp.float32),
         )
+
+
+# --------------------------------------------------------------------------
+# Sensor (Transforms.cs:374-486, CollectParticles.fx): counts live
+# particles inside an area. The reference renders a count pass through an
+# occlusion query and drains results on a thread pool; on TPU it is one
+# masked reduction over the SoA state.
+
+
+@dataclasses.dataclass
+class Sensor:
+    """Analyzer transform: does not modify particles (IsAnalyzer)."""
+
+    area: TransformArea = dataclasses.field(default_factory=TransformArea)
+    category_filter: Tuple[float, float] = (-1e9, 1e9)
+    is_spawner = False
+    is_analyzer = True
+    last_count: int = 0
+
+    def uniforms(self, now: float) -> AreaUniforms:
+        return self.area.uniforms(1.0)
+
+    def measure(self, state) -> int:
+        """Count live particles inside the area (device reduction)."""
+        u = self.uniforms(0.0)
+        w = area_weight(state.position[:, :3], u)
+        live = state.position[:, 3] > 0.0
+        cat = check_category_filter(state.velocity[:, 3],
+                                    jnp.asarray(self.category_filter))
+        inside = w > 0.5
+        self.last_count = int(jnp.sum((live & cat & inside).astype(
+            jnp.int32)))
+        return self.last_count

@@ -21,7 +21,7 @@ sharper than the reference's rasterized-texture results at equal settings.
 
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 import jax.numpy as jnp
@@ -53,6 +53,7 @@ class AnalyticScene:
     centers: Tuple[jnp.ndarray, ...]
     sizes: Tuple[jnp.ndarray, ...]
     rotations: Tuple[jnp.ndarray, ...]
+    polygons: object = None  # Optional[sdf.height_volume.HeightVolumes]
     group_types: Tuple[int, ...] = static_field(default=())
     group_rotated: Tuple[bool, ...] = static_field(default=())
     maximum_distance: float = static_field(default=128.0)
@@ -60,7 +61,7 @@ class AnalyticScene:
     def distance(self, position):
         """Scene distance at (..., 3) points -> (...,). Min over all
         obstructions (== the reference's MAX blend over encoded distances,
-        fxh:264-270)."""
+        fxh:264-270) and extruded height-volume polygons."""
         d = jnp.full(position.shape[:-1], self.maximum_distance,
                      dtype=jnp.float32)
         for gi, type_id in enumerate(self.group_types):
@@ -71,6 +72,12 @@ class AnalyticScene:
                 p = sp.rotate_by_quaternion(p, self.rotations[gi])
             dg = _EVALUATORS[type_id](p, sizes)
             d = jnp.minimum(d, jnp.min(dg, axis=-1))
+        if self.polygons is not None:
+            from .height_volume import extruded_polygon_distance
+
+            d = jnp.minimum(
+                d, extruded_polygon_distance(position, self.polygons)
+            )
         return d
 
     def estimate_normal(self, position, texel=(1.0, 1.0, 1.0)):
@@ -98,10 +105,13 @@ def _is_identity_rotation(q) -> bool:
 
 
 def pack_scene(obstructions: List, maximum_distance: float = 128.0,
-               group_capacity_round: int = 4) -> AnalyticScene:
+               group_capacity_round: int = 4,
+               height_volumes: Optional[List] = None) -> AnalyticScene:
     """Group host LightObstruction-likes (.type/.center/.size/.rotation)
     by type. Group sizes round up to `group_capacity_round` (padded with
-    far-away unit boxes) so small scene edits reuse the jit cache."""
+    far-away unit boxes) so small scene edits reuse the jit cache.
+    `height_volumes`: optional list of sdf.height_volume.HeightVolume
+    (obstruction-flagged ones contribute extruded polygon SDFs)."""
     by_type: Dict[int, list] = {}
     for o in obstructions:
         if o.type == sp.TYPE_NONE:
@@ -130,10 +140,19 @@ def pack_scene(obstructions: List, maximum_distance: float = 128.0,
         sizes.append(jnp.asarray(s))
         rotations.append(jnp.asarray(r))
 
+    polygons = None
+    if height_volumes:
+        from .height_volume import pack_height_volumes
+
+        obstructing = [v for v in height_volumes if v.is_obstruction]
+        if obstructing:
+            polygons = pack_height_volumes(obstructing)
+
     return AnalyticScene(
         centers=tuple(centers),
         sizes=tuple(sizes),
         rotations=tuple(rotations),
+        polygons=polygons,
         group_types=tuple(group_types),
         group_rotated=tuple(group_rotated),
         maximum_distance=maximum_distance,

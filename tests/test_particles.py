@@ -329,3 +329,28 @@ def test_feedback_spawner_inherits_source():
     np.testing.assert_allclose(pos[:, 1], 60.0, atol=0.5)
     assert np.all(np.abs(pos[:, 0] - 50.0) < 1.0)
     np.testing.assert_allclose(vel[:, 0], 7.0, atol=0.1)
+
+
+def test_sensor_counts_particles_in_area():
+    spn = Spawner(
+        min_rate=6000.0, max_rate=6000.0,
+        life=Formula1(constant=10.0),
+        position=Formula3(constant=(50.0, 50.0, 0.0),
+                          random_scale=(100.0, 0.0, 0.0)),
+        spawn_max=128,
+    )
+    sensor = tx.Sensor(
+        area=tx.TransformArea(type=sp.TYPE_BOX, center=(50.0, 50.0, 0.0),
+                              size=(30.0, 30.0, 30.0), falloff=0.1)
+    )
+    cfg = ParticleSystemConfig(capacity=512, updates_per_second=0.0,
+                               life_decay_per_second=0.0)
+    system = ParticleSystem(cfg, [spn, sensor])
+    system.tick(1.0 / 60.0)
+    total = system.live_count
+    inside = sensor.measure(system.state)
+    assert 0 < inside < total
+    pos = np.asarray(system.state.position)
+    live = np.asarray(system.state.live_mask())
+    want = int(((np.abs(pos[live, 0] - 50.0) <= 30.5)).sum())
+    assert abs(inside - want) <= 2
