@@ -162,10 +162,133 @@ def scene_particles_gravity():
     return np.asarray(out)
 
 
+def scene_composite():
+    """Full-pipeline showcase: 2.5D height volumes, scan shadows, a
+    volumetric beam, and rasterized particles, HDR tonemapped with
+    histogram-driven exposure (BASELINE config-5 shape at 960x540)."""
+    import jax.numpy as jnp
+
+    from illuminant_tpu.lighting.volumetric import (
+        SHAPE_CONE,
+        VolumetricLightSource,
+    )
+    from illuminant_tpu.sdf.height_volume import HeightVolume
+    from illuminant_tpu.particles.formula import (
+        FORMULA_SPHERICAL,
+        Formula1,
+        Formula3,
+        Formula4,
+    )
+    from illuminant_tpu.particles.spawner import Spawner
+    from illuminant_tpu.particles.system import (
+        ParticleSystem,
+        ParticleSystemConfig,
+    )
+    from illuminant_tpu.particles import transforms as tx
+    from illuminant_tpu.raster.particles import rasterize_additive
+    from illuminant_tpu.raster.resolve import resolve
+    from illuminant_tpu.sdf.analytic import pack_scene
+    from illuminant_tpu.utils.histogram import (
+        bucket_boundaries,
+        compute_histogram,
+        percentile,
+    )
+
+    W, H = 960, 540
+    env = LightingEnvironment(
+        ground_z=0.0, maximum_z=96.0, z_to_y_multiplier=1.0,
+        ambient=(0.015, 0.015, 0.025, 1.0),
+    )
+    env.lights += [
+        SphereLightSource(position=(240.0, 300.0, 44.0), radius=10.0,
+                          ramp_length=420.0, color=(1.0, 0.7, 0.45, 1.0)),
+        SphereLightSource(position=(700.0, 180.0, 40.0), radius=9.0,
+                          ramp_length=380.0, color=(0.4, 0.6, 1.0, 1.0)),
+        SphereLightSource(position=(520.0, 430.0, 36.0), radius=8.0,
+                          ramp_length=300.0, color=(0.5, 1.0, 0.55, 0.9)),
+        VolumetricLightSource(
+            shape=SHAPE_CONE,
+            start_position=(820.0, 420.0, 70.0),
+            end_position=(640.0, 330.0, 4.0),
+            start_radius=6.0, end_radius=52.0,
+            volumetricity=0.35, distance_attenuation=1.4,
+            color=(1.0, 0.95, 0.7, 0.8),
+        ),
+    ]
+    env.obstructions += [
+        LightObstruction.ellipsoid((420.0, 200.0, 22.0),
+                                   (30.0, 18.0, 22.0)),
+        LightObstruction.cylinder((600.0, 300.0, 26.0),
+                                  (12.0, 12.0, 26.0)),
+    ]
+    env.height_volumes += [
+        HeightVolume(polygon=[(140.0, 120.0), (240.0, 120.0),
+                              (240.0, 200.0), (140.0, 200.0)],
+                     z_base=0.0, height=36.0),
+        HeightVolume(polygon=[(360.0, 330.0), (430.0, 315.0),
+                              (455.0, 380.0), (385.0, 405.0)],
+                     z_base=0.0, height=24.0),
+    ]
+
+    config = RendererConfig(width=W, height=H, two_point_five_d=True)
+    r = LightingRenderer(config, env, None)
+    r.update_fields()
+    lightmap = r.render_lighting(shadow_mode="scan")
+
+    # Particles: embers drifting up with SDF collision.
+    scene_field = pack_scene(env.obstructions,
+                             height_volumes=env.height_volumes)
+    p_cfg = ParticleSystemConfig(
+        capacity=1 << 15, updates_per_second=0.0,
+        life_decay_per_second=0.3, friction=0.25, maximum_velocity=160.0,
+        collision_distance=1.0, bounce_velocity_multiplier=0.5,
+    )
+    spawner = Spawner(
+        min_rate=12000.0, max_rate=12000.0,
+        life=Formula1(constant=3.0, random_scale=1.5, offset=-0.5),
+        position=Formula3(constant=(480.0, 300.0, 8.0),
+                          offset=(330.0, 170.0, 4.0),
+                          random_scale=(60.0, 40.0, 3.0),
+                          type=FORMULA_SPHERICAL),
+        velocity=Formula3(constant=(0.0, -6.0, 2.0),
+                          random_scale=(14.0, 14.0, 2.0),
+                          type=FORMULA_SPHERICAL),
+        color=Formula4(constant=(1.0, 0.55, 0.18, 0.5),
+                       random_scale=(0.3, 0.25, 0.1, 0.3)),
+        spawn_max=4096,
+    )
+    noise = tx.Noise(velocity_scale=(18.0, 18.0, 3.0, 0.0),
+                     cycles_per_second=4.0)
+    system = ParticleSystem(p_cfg, [spawner, noise], volume=scene_field)
+    for _ in range(200):
+        system.tick(1.0 / 60.0)
+    particles = rasterize_additive(
+        system.state, H, W, footprint=5, z_to_y=1.0
+    )
+    print(f"  live particles: {system.live_count}")
+
+    hdr_frame = lightmap + particles * 1.5
+
+    # Histogram-driven exposure (EnableBrightnessEstimation flow).
+    bounds = bucket_boundaries(64.0, 2.0, 64)
+    hist = compute_histogram(hdr_frame, bounds, ignore_zeroes=True)
+    p95 = float(percentile(hist, 95.0))
+    exposure = min(max(1.2 / max(p95, 1e-3), 0.4), 4.0)
+    print(f"  histogram p95 luminance: {p95:.3f} -> exposure {exposure:.2f}")
+
+    img = resolve(
+        hdr_frame,
+        HDRConfig(mode=2, exposure=exposure, white_point=3.5,
+                  srgb_output=True, dithering=True),
+    )
+    return np.asarray(img)
+
+
 SCENES = {
     "single_light_box": scene_single_light_box,
     "multi_light": scene_multi_light,
     "particles_gravity": scene_particles_gravity,
+    "composite": scene_composite,
 }
 
 

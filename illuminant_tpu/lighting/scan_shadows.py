@@ -143,8 +143,15 @@ def scan_visibility(
     quality: QualitySettings,
     trace_z=None,
     render_scale: float = 1.0,
+    pixel_z=None,
 ):
-    """Cone-trace-equivalent visibility for all lights -> (L, H, W)."""
+    """Cone-trace-equivalent visibility for all lights -> (L, H, W).
+
+    `pixel_z` (H, W): shaded-surface heights. The occlusion image lives at
+    one trace height, so pixels standing ABOVE it (height-volume tops)
+    would self-shadow; their true rays clear the occluders, so visibility
+    fades back to 1 as the surface rises past the trace plane (the 3D
+    march has no such artifact — see PERF.md approximations)."""
     lx = light_position[:, 0] * render_scale
     ly = light_position[:, 1] * render_scale
     lz = light_position[:, 2]
@@ -212,4 +219,7 @@ def scan_visibility(
         )
         ** quality.occlusion_to_opacity_power
     )
+    if pixel_z is not None:
+        elevated = jnp.clip((pixel_z[None] - trace_z) / 8.0, 0.0, 1.0)
+        final = final + (1.0 - final) * elevated
     return final

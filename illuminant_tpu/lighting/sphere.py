@@ -195,6 +195,7 @@ def accumulate_sphere_lights(
             volume, h, w, lights.position,
             lights.properties[:, 0], lights.properties[:, 1], quality,
             render_scale=gbuffer.render_scale,
+            pixel_z=gbuffer.z,
         )
         cone = jnp.where(trace_enable, vis, 1.0)
     else:

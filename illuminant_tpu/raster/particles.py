@@ -71,3 +71,85 @@ def splat_additive(
         contrib = color * (w * inside.astype(jnp.float32))[:, None]
         img = img.at[yi, xi].add(contrib)
     return img
+
+
+def rasterize_additive(
+    state: ParticleState,
+    height: int,
+    width: int,
+    footprint: int = 5,
+    z_to_y: float = 0.0,
+    render_scale: float = 1.0,
+    global_color=None,
+    rounded: bool = True,
+    stipple_factor: float = 1.0,
+    size_scale: float = 1.0,
+):
+    """Sized-particle additive rasterization.
+
+    The RasterizeParticleSystem.fx path for additively-blended systems:
+    each live particle covers a (size x size) screen quad with circular
+    rounding (`computeCircularAlpha`, fx:145-156) and stipple rejection
+    (fx StippleReject). On TPU the quad becomes a static `footprint`^2
+    scatter fan per particle (footprint odd; sizes clamp to it — raise it
+    for big particles). Energy is normalized over the footprint so a
+    size-s disc deposits ~s^2-proportional light like the reference quad.
+    """
+    pos = state.position
+    live = state.live_mask()
+
+    # Stipple (deterministic per-slot fraction, fx StippleReject).
+    if stipple_factor < 1.0:
+        n = state.capacity
+        slot = jnp.arange(n, dtype=jnp.float32)
+        keep = jnp.mod(slot * 0.6180339887, 1.0) < stipple_factor
+        live = live & keep
+
+    x = pos[:, 0] * render_scale
+    y = (pos[:, 1] - pos[:, 2] * z_to_y) * render_scale
+    size = jnp.clip(
+        state.render_data[:, 0] * size_scale * render_scale,
+        1.0, float(footprint),
+    )
+    radius = size * 0.5
+
+    color = state.render_color
+    if global_color is not None:
+        color = color * global_color
+
+    half = footprint // 2
+    img = jnp.zeros((height, width, 4), jnp.float32)
+    xc = jnp.floor(x).astype(jnp.int32)
+    yc = jnp.floor(y).astype(jnp.int32)
+    fx = x - (xc.astype(jnp.float32) + 0.5)
+    fy = y - (yc.astype(jnp.float32) + 0.5)
+
+    for dy in range(-half, half + 1):
+        for dx in range(-half, half + 1):
+            # Distance from the texel center to the particle center.
+            ddx = dx - fx
+            ddy = dy - fy
+            r = jnp.sqrt(ddx * ddx + ddy * ddy)
+            if rounded:
+                # Soft disc edge (~computeCircularAlpha).
+                cov = jnp.clip(radius - r + 0.5, 0.0, 1.0)
+            else:
+                cov = (
+                    jnp.clip(radius - jnp.abs(ddx) + 0.5, 0.0, 1.0)
+                    * jnp.clip(radius - jnp.abs(ddy) + 0.5, 0.0, 1.0)
+                )
+            xi = xc + dx
+            yi = yc + dy
+            inside = (
+                live & (xi >= 0) & (xi < width)
+                & (yi >= 0) & (yi < height) & (cov > 0.0)
+            )
+            # Like the reference quad: every covered texel adds
+            # color * coverage (brightness scales with particle area).
+            contrib = color * (cov * inside.astype(jnp.float32))[:, None]
+            safe_x = jnp.clip(xi, 0, width - 1)
+            safe_y = jnp.clip(yi, 0, height - 1)
+            img = img.at[safe_y, safe_x].add(
+                jnp.where(inside[:, None], contrib, 0.0)
+            )
+    return img

@@ -354,3 +354,30 @@ def test_sensor_counts_particles_in_area():
     live = np.asarray(system.state.live_mask())
     want = int(((np.abs(pos[live, 0] - 50.0) <= 30.5)).sum())
     assert abs(inside - want) <= 2
+
+
+def test_rasterize_sized_particles():
+    from illuminant_tpu.raster.particles import rasterize_additive
+    import jax.numpy as jnp
+
+    cfg = ParticleSystemConfig(capacity=16, updates_per_second=0.0,
+                               life_decay_per_second=0.0)
+    system = ParticleSystem(cfg, [])
+    st = system.state
+    pos = np.zeros((16, 4), np.float32)
+    pos[0] = [32.5, 32.5, 0.0, 5.0]  # texel center
+    rc = np.zeros((16, 4), np.float32)
+    rc[0] = [1.0, 1.0, 1.0, 1.0]
+    rd = np.zeros((16, 4), np.float32)
+    rd[0, 0] = 5.0  # size
+    st = st.replace(position=jnp.asarray(pos),
+                    render_color=jnp.asarray(rc),
+                    render_data=jnp.asarray(rd))
+    img = np.asarray(rasterize_additive(st, 64, 64, footprint=7))
+    assert img[32, 32, 0] > 0.9  # center fully covered
+    assert img[32, 34, 0] > 0.3  # inside the disc
+    assert img[32, 38, 0] == 0.0  # outside
+    # Rough disc symmetry.
+    np.testing.assert_allclose(img[30, 32, 0], img[34, 32, 0], atol=0.15)
+    total = img[..., 0].sum()
+    assert 10.0 < total < 40.0  # ~pi r^2 = 19.6 coverage
