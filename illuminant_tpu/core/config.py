@@ -23,6 +23,10 @@ class QualitySettings:
     max_cone_radius: float = static_field(default=24.0)
     cone_growth_factor: float = static_field(default=1.0)
     occlusion_to_opacity_power: float = static_field(default=1.0)
+    # TPU fast-path knob: scan-shadow resolution relative to the lightmap
+    # (cone-softened shadows are band-limited; 0.5 is visually free).
+    # The render-scale analog of the reference's accuracy levers.
+    shadow_scale: float = static_field(default=1.0)
 
 
 @pytree_dataclass

@@ -1,0 +1,240 @@
+"""Projector lights: project a texture onto the scene.
+
+Port of /root/reference/Illuminant/Shaders/ProjectorLightCore.fxh and
+ProjectorLightSource (Lighting/LightSource.cs:507-600): the shaded world
+position maps through the projector's INVERSE transform into texture space
+(fxh:43-52), samples the projection texture within a region with optional
+wrap/clamp falloff (fxh:55-67, 290-301), and an optional origin point adds
+a normal factor plus cone-traced shadows (fxh:76-77, 134-137).
+
+The per-pixel texture fetch is a genuine gather (slow path on this TPU,
+see PERF.md); projector lights are an editor/authoring feature used in
+ones, so correctness wins over a bespoke kernel here.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core.config import QualitySettings
+from ..core.pytree import pytree_dataclass
+from .cone_trace import cone_trace
+from .environment import EnvironmentUniforms
+from .gbuffer import GBuffer
+from .sphere import compute_ao, compute_normal_factor
+
+
+@pytree_dataclass
+class ProjectorLights:
+    inverse_matrix: jnp.ndarray  # (L, 4, 4) world -> projector space
+    texture: jnp.ndarray  # (L, TH, TW, 4) projection textures (uniform size)
+    # radius, ramp_length, ramp_mode, cast_shadows.
+    properties: jnp.ndarray  # (L, 4)
+    # ao_radius, opacity, wrap(0)/clamp-falloff(1), ao_opacity.
+    more: jnp.ndarray  # (L, 4)
+    texture_region: jnp.ndarray  # (L, 4) x1 y1 x2 y2 in uv space
+    origin: jnp.ndarray  # (L, 4) xyz + has_origin
+    color: jnp.ndarray  # (L, 4) modulation color
+    active: jnp.ndarray  # (L,)
+
+    @property
+    def capacity(self):
+        return self.inverse_matrix.shape[0]
+
+
+@dataclasses.dataclass
+class ProjectorLightSource:
+    """Host (LightSource.cs:507-600). `transform` maps projector/texture
+    space ([0,1]^2 at z=0) into the world; the inverse is taken at pack."""
+
+    texture: np.ndarray = None  # (TH, TW, 4) float
+    transform: np.ndarray = None  # (4, 4) row-vector world transform
+    position: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    scale: Tuple[float, float] = (128.0, 128.0)
+    opacity: float = 1.0
+    wrap: bool = False
+    origin: Optional[Tuple[float, float, float]] = None
+    cast_shadows: bool = False
+    radius: float = 4.0
+    ramp_length: float = 128.0
+    color: tuple = (1.0, 1.0, 1.0, 1.0)
+    ambient_occlusion_radius: float = 0.0
+    ambient_occlusion_opacity: float = 1.0
+    texture_region: Tuple[float, float, float, float] = (0.0, 0.0, 1.0, 1.0)
+
+    def world_matrix(self) -> np.ndarray:
+        if self.transform is not None:
+            return np.asarray(self.transform, np.float32)
+        m = np.eye(4, dtype=np.float32)
+        m[0, 0] = self.scale[0]
+        m[1, 1] = self.scale[1]
+        m[3, :3] = self.position
+        return m
+
+
+def pack_projector_lights(lights: List[ProjectorLightSource]
+                          ) -> ProjectorLights:
+    n = max(len(lights), 1)
+    th = max((l.texture.shape[0] for l in lights if l.texture is not None),
+             default=1)
+    tw = max((l.texture.shape[1] for l in lights if l.texture is not None),
+             default=1)
+    inv = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+    tex = np.zeros((n, th, tw, 4), np.float32)
+    props = np.zeros((n, 4), np.float32)
+    more = np.zeros((n, 4), np.float32)
+    region = np.tile(np.asarray([0, 0, 1, 1], np.float32), (n, 1))
+    origin = np.zeros((n, 4), np.float32)
+    color = np.zeros((n, 4), np.float32)
+    active = np.zeros((n,), np.float32)
+    for i, l in enumerate(lights):
+        inv[i] = np.linalg.inv(l.world_matrix())
+        if l.texture is not None:
+            t = np.asarray(l.texture, np.float32)
+            tex[i, : t.shape[0], : t.shape[1]] = t
+        props[i] = [l.radius, l.ramp_length, 0.0,
+                    1.0 if l.cast_shadows else 0.0]
+        more[i] = [l.ambient_occlusion_radius, l.opacity,
+                   0.0 if l.wrap else 1.0, l.ambient_occlusion_opacity]
+        region[i] = l.texture_region
+        if l.origin is not None:
+            origin[i] = [*l.origin, 1.0]
+        color[i] = l.color
+        active[i] = 1.0
+    return ProjectorLights(
+        inverse_matrix=jnp.asarray(inv),
+        texture=jnp.asarray(tex),
+        properties=jnp.asarray(props),
+        more=jnp.asarray(more),
+        texture_region=jnp.asarray(region),
+        origin=jnp.asarray(origin),
+        color=jnp.asarray(color),
+        active=jnp.asarray(active),
+    )
+
+
+def _saturate(x):
+    return jnp.clip(x, 0.0, 1.0)
+
+
+def _transform_point(p, m):
+    """Row-vector homogeneous transform with perspective divide
+    (fxh:43-44). Explicit mul/adds (bf16 matmul hazard)."""
+    out = (
+        p[..., 0:1] * m[..., 0, :]
+        + p[..., 1:2] * m[..., 1, :]
+        + p[..., 2:3] * m[..., 2, :]
+        + m[..., 3, :]
+    )
+    w = jnp.where(jnp.abs(out[..., 3:4]) > 1e-9, out[..., 3:4], 1.0)
+    return out / w
+
+
+def _sample_texture_bilinear(tex, u, v, wrap):
+    """tex (TH, TW, 4); u/v in [0, 1]. Gather-based (see module note)."""
+    th, tw = tex.shape[0], tex.shape[1]
+    x = u * tw - 0.5
+    y = v * th - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+
+    def idx(a, n):
+        ai = a.astype(jnp.int32)
+        return jnp.where(wrap > 0.5, jnp.mod(ai, n), jnp.clip(ai, 0, n - 1))
+
+    x0i = idx(x0, tw)
+    x1i = idx(x0 + 1, tw)
+    y0i = idx(y0, th)
+    y1i = idx(y0 + 1, th)
+    v00 = tex[y0i, x0i]
+    v01 = tex[y0i, x1i]
+    v10 = tex[y1i, x0i]
+    v11 = tex[y1i, x1i]
+    top = v00 + (v01 - v00) * fx
+    bot = v10 + (v11 - v10) * fx
+    return top + (bot - top) * fy
+
+
+def accumulate_projector_lights(
+    volume,
+    gbuffer: GBuffer,
+    lights: ProjectorLights,
+    env: EnvironmentUniforms,
+    quality: QualitySettings,
+):
+    """All projector lights -> (H, W, 4) additive HDR contribution."""
+    world_pos = gbuffer.world_position()
+    normal = gbuffer.normal
+    h, w = gbuffer.shape
+
+    out = jnp.zeros((h, w, 4), jnp.float32)
+    # Projector count is tiny; loop per light (each needs its own texture).
+    for i in range(lights.capacity):
+        psp = _transform_point(world_pos, lights.inverse_matrix[i])
+        region = lights.texture_region[i]
+        uv = psp[..., :2] + region[:2]
+        z = jnp.maximum(psp[..., 2], 0.0)  # fxh:52
+
+        clamped = jnp.clip(uv, region[:2], region[2:])
+        clamp_mode = lights.more[i, 2]
+        dist_out = jnp.sqrt(
+            jnp.sum((clamped - uv) ** 2, axis=-1)
+        )
+        distance_opacity = jnp.where(
+            clamp_mode > 0.5,
+            jnp.maximum(1.0 - jnp.minimum(dist_out, 0.001) * 1000.0, 0.0),
+            1.0,
+        )
+        uv_final = uv + (clamped - uv) * clamp_mode  # fxh:74
+
+        origin = lights.origin[i]
+        light_normal = world_pos - origin[:3]
+        ln = light_normal / jnp.sqrt(
+            jnp.maximum(jnp.sum(light_normal**2, axis=-1, keepdims=True),
+                        1e-12)
+        )
+        nf = compute_normal_factor(ln, normal)
+        normal_opacity = 1.0 + (nf - 1.0) * origin[3]
+
+        constant_opacity = lights.more[i, 1]
+        visible = (
+            (distance_opacity > 0.0)
+            & (world_pos[..., 0] > -9999.0)
+            & (gbuffer.fullbright < 0.5)
+        )
+
+        ao_radius = lights.more[i, 0] * jnp.maximum(0.0, normal[..., 2])
+        ao = compute_ao(volume, world_pos, normal, ao_radius,
+                        lights.more[i, 3], visible)
+
+        trace_enable = (
+            visible
+            & (lights.properties[i, 3] * gbuffer.enable_shadows > 0.0)
+            & (origin[3] > 0.5)
+            & (lights.active[i] > 0.0)
+        )
+        cone = cone_trace(
+            volume, origin[:3], lights.properties[i, 0],
+            lights.properties[i, 1], world_pos + 1.5 * normal,
+            trace_enable, quality,
+        )
+
+        tex_color = _sample_texture_bilinear(
+            lights.texture[i], uv_final[..., 0], uv_final[..., 1],
+            1.0 - clamp_mode,
+        )
+        opacity = (
+            distance_opacity * normal_opacity * constant_opacity * ao
+            * cone
+        )
+        opacity = jnp.where(visible, opacity, 0.0) * lights.active[i]
+        color = tex_color * lights.color[i]
+        rgb = color[..., :3] * color[..., 3:4] * opacity[..., None]
+        out = out + jnp.concatenate([rgb, opacity[..., None]], axis=-1)
+    return out

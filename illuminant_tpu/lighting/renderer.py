@@ -48,6 +48,7 @@ def render_lightmap(
     directional_lights=None,
     line_lights=None,
     volumetric_lights=None,
+    projector_lights=None,
     with_specular: bool = False,
     shadow_mode: str = "march",
 ):
@@ -76,6 +77,12 @@ def render_lightmap(
 
         lightmap = lightmap + accumulate_volumetric_lights(
             volume, gbuffer, volumetric_lights, env, config.quality
+        )
+    if projector_lights is not None:
+        from .projector import accumulate_projector_lights
+
+        lightmap = lightmap + accumulate_projector_lights(
+            volume, gbuffer, projector_lights, env, config.quality
         )
     return lightmap
 
@@ -220,6 +227,15 @@ class LightingRenderer:
         volumetric_lights = (
             pack_volumetric_lights(volumetric) if volumetric else None
         )
+        from .projector import ProjectorLightSource, pack_projector_lights
+
+        projector = [
+            l for l in self.environment.lights
+            if isinstance(l, ProjectorLightSource)
+        ]
+        projector_lights = (
+            pack_projector_lights(projector) if projector else None
+        )
         field = self.volume
         if shadow_mode == "scan" or field is None:
             from ..sdf.analytic import pack_scene
@@ -237,6 +253,7 @@ class LightingRenderer:
             directional_lights=directional_lights,
             line_lights=line_lights,
             volumetric_lights=volumetric_lights,
+            projector_lights=projector_lights,
             shadow_mode=shadow_mode,
         )
         if intensity_scale != 1.0:

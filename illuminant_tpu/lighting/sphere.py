@@ -16,6 +16,7 @@ draws with additive blending (LightingRenderer.cs:1149-1166).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..core.config import QualitySettings
@@ -191,12 +192,24 @@ def accumulate_sphere_lights(
         from .scan_shadows import scan_visibility
 
         h, w = gbuffer.shape
-        vis = scan_visibility(
-            volume, h, w, lights.position,
-            lights.properties[:, 0], lights.properties[:, 1], quality,
-            render_scale=gbuffer.render_scale,
-            pixel_z=gbuffer.z,
-        )
+        ss = quality.shadow_scale
+        if ss != 1.0:
+            sh, sw = max(int(h * ss), 8), max(int(w * ss), 8)
+            pixel_z = jax.image.resize(gbuffer.z, (sh, sw), "linear")
+            vis = scan_visibility(
+                volume, sh, sw, lights.position,
+                lights.properties[:, 0], lights.properties[:, 1], quality,
+                render_scale=gbuffer.render_scale * ss,
+                pixel_z=pixel_z,
+            )
+            vis = jax.image.resize(vis, (vis.shape[0], h, w), "linear")
+        else:
+            vis = scan_visibility(
+                volume, h, w, lights.position,
+                lights.properties[:, 0], lights.properties[:, 1], quality,
+                render_scale=gbuffer.render_scale,
+                pixel_z=gbuffer.z,
+            )
         cone = jnp.where(trace_enable, vis, 1.0)
     else:
         cone = cone_trace(

@@ -94,8 +94,10 @@ def build_flagship(
                              (30.0, 10.0, 16.0)),
     ]
 
-    config = RendererConfig(width=width, height=height,
-                            quality=quality or QualitySettings())
+    config = RendererConfig(
+        width=width, height=height,
+        quality=quality or QualitySettings(shadow_scale=0.5),
+    )
     sdf_config = vol.SdfVolumeConfig(
         virtual_width=width,
         virtual_height=height,

@@ -133,3 +133,30 @@ def test_volumetric_light_cone():
     assert inside_beam > 0.05, inside_beam
     assert outside_beam < inside_beam * 0.1, (inside_beam, outside_beam)
     assert np.isfinite(lm).all()
+
+
+def test_projector_light_projects_texture():
+    from illuminant_tpu.lighting.projector import ProjectorLightSource
+
+    tex = np.zeros((8, 8, 4), np.float32)
+    tex[:, :4] = [1.0, 0.0, 0.0, 1.0]  # left half red
+    tex[:, 4:] = [0.0, 1.0, 0.0, 1.0]  # right half green
+
+    env = LightingEnvironment(ambient=(0.0, 0.0, 0.0, 1.0))
+    env.lights.append(
+        ProjectorLightSource(
+            texture=tex,
+            position=(64.0, 64.0, 0.0),
+            scale=(64.0, 64.0),
+            wrap=False,
+        )
+    )
+    r = LightingRenderer(RendererConfig(width=192, height=192), env, None)
+    r.update_fields()
+    lm = np.asarray(r.render_lighting())
+    left = lm[96, 70]  # inside projection, left half
+    right = lm[96, 120]  # inside, right half
+    outside = lm[20, 20]
+    assert left[0] > 0.5 and left[1] < 0.1, left
+    assert right[1] > 0.5 and right[0] < 0.1, right
+    assert outside[:3].max() < 0.05, outside
