@@ -45,7 +45,10 @@ def rotate_by_quaternion(p, q):
 
 
 def _length(v, axis=-1):
-    return jnp.sqrt(jnp.sum(v * v, axis=axis))
+    # The epsilon keeps sqrt differentiable at 0 — reverse-mode gradients
+    # (sdf/analytic.py estimate_normal) otherwise NaN exactly on flat
+    # faces and inside boxes, which silently zeroed collision normals.
+    return jnp.sqrt(jnp.sum(v * v, axis=axis) + 1e-12)
 
 
 def _op_elongate(p, h):

@@ -309,9 +309,13 @@ class Gravity:
     is_spawner = False
 
     def uniforms(self, now: float) -> GravityUniforms:
-        a = MAX_ATTRACTORS
-        if len(self.attractors) > a:
-            raise ValueError(f"at most {a} attractors (Gravity.fx:3)")
+        if len(self.attractors) > MAX_ATTRACTORS:
+            raise ValueError(
+                f"at most {MAX_ATTRACTORS} attractors (Gravity.fx:3)"
+            )
+        # Pad to a multiple of 4 (not the full 16): attractor count scales
+        # per-particle work linearly and most scenes use 1-4.
+        a = max(-(-len(self.attractors) // 4) * 4, 4)
         pos = np.zeros((a, 3), np.float32)
         rad = np.ones((a,), np.float32)
         stren = np.zeros((a,), np.float32)

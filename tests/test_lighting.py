@@ -198,3 +198,33 @@ def test_resolve_modes_run():
     assert out.shape == (32, 32, 4)
     img = np.asarray(to_uint8(out))
     assert img.dtype == np.uint8
+
+
+def test_lut_resolve():
+    from illuminant_tpu.raster.lut import (
+        LUTBlendingConfiguration,
+        identity_lut,
+        lut_blended_resolve,
+        sample_lut,
+    )
+
+    lut = identity_lut(16)
+    rgb = np.random.default_rng(0).uniform(0, 1, (8, 8, 3)).astype(
+        np.float32
+    )
+    out = np.asarray(sample_lut(lut, rgb))
+    np.testing.assert_allclose(out, rgb, atol=1e-5)
+
+    # A bright-look LUT that doubles red, blended by light level.
+    bright = identity_lut(16).copy()
+    bright[..., 0] = np.clip(bright[..., 0] * 2.0, 0, 1)
+    albedo = np.full((4, 4, 4), 0.4, np.float32)
+    dark_light = np.full((4, 4, 4), 0.0, np.float32)
+    bright_light = np.full((4, 4, 4), 1.0, np.float32)
+    cfg = LUTBlendingConfiguration(dark_lut=lut, bright_lut=bright,
+                                   lut_only=True)
+    out_dark = np.asarray(lut_blended_resolve(albedo, dark_light, cfg))
+    out_bright = np.asarray(lut_blended_resolve(albedo, bright_light, cfg))
+    np.testing.assert_allclose(out_dark[..., 0], 0.4, atol=1e-2)
+    np.testing.assert_allclose(out_bright[..., 0], 0.8, atol=1e-2)
+    np.testing.assert_allclose(out_bright[..., 1], 0.4, atol=1e-2)
