@@ -214,3 +214,61 @@ class LightingEnvironment:
             rotations=[o.rotation for o in obs],
             capacity=capacity,
         )
+
+
+@dataclasses.dataclass
+class ReplicatedLight:
+    """Per-instance overrides (LightSource.cs:615-620)."""
+
+    position: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    radius: Optional[float] = None
+    ramp_length: Optional[float] = None
+    opacity: Optional[float] = None
+    color: Optional[tuple] = None
+    specular_color: Optional[tuple] = None
+    specular_power: Optional[float] = None
+
+
+@dataclasses.dataclass
+class LightSourceReplicator:
+    """Cheap mass instancing of a sphere-light template
+    (LightSource.cs:601-613): on TPU this is just SoA packing — the
+    replicated set expands into the same batched SphereLights arrays the
+    accumulator already consumes."""
+
+    template: SphereLightSource = dataclasses.field(
+        default_factory=SphereLightSource
+    )
+    lights: list = dataclasses.field(default_factory=list)
+
+    def clear(self):
+        self.lights.clear()
+
+    def add(self, light: ReplicatedLight):
+        self.lights.append(light)
+
+    def expand(self) -> list:
+        """-> list of SphereLightSource with overrides applied."""
+        out = []
+        t = self.template
+        for r in self.lights:
+            out.append(
+                dataclasses.replace(
+                    t,
+                    position=r.position,
+                    radius=r.radius if r.radius is not None else t.radius,
+                    ramp_length=(r.ramp_length if r.ramp_length is not None
+                                 else t.ramp_length),
+                    opacity=(r.opacity if r.opacity is not None
+                             else t.opacity),
+                    color=tuple(r.color) if r.color is not None
+                    else t.color,
+                    specular_color=(tuple(r.specular_color)
+                                    if r.specular_color is not None
+                                    else t.specular_color),
+                    specular_power=(r.specular_power
+                                    if r.specular_power is not None
+                                    else t.specular_power),
+                )
+            )
+        return out

@@ -196,10 +196,18 @@ class LightingRenderer:
 
         if self.gbuffer is None:
             self.update_fields(budget=10**6)
+        from .environment import LightSourceReplicator
+
+        sphere_sources = [
+            l for l in self.environment.lights
+            if isinstance(l, SphereLightSource)
+        ]
+        for rep in self.environment.lights:
+            if isinstance(rep, LightSourceReplicator):
+                sphere_sources += rep.expand()
         sphere_lights = pack_sphere_lights(
-            [l for l in self.environment.lights
-             if isinstance(l, SphereLightSource)],
-            capacity=self.light_capacity,
+            sphere_sources,
+            capacity=max(self.light_capacity, len(sphere_sources)),
         )
         directional = [
             l for l in self.environment.lights

@@ -133,7 +133,7 @@ class ParticleSystem:
                     pass  # analyzer: measured host-side via .measure()
                 elif kind == "FMA":
                     pos, vel = tx.apply_fma(pos, vel, u, su)
-                elif kind == "MatrixMultiply":
+                elif kind in ("MatrixMultiply", "GeometricTransform"):
                     pos, vel = tx.apply_matrix_multiply(pos, vel, u, su)
                 elif kind == "Gravity":
                     pos, vel = tx.apply_gravity(pos, vel, u, su)

@@ -619,3 +619,60 @@ class Sensor:
         self.last_count = int(jnp.sum((live & cat & inside).astype(
             jnp.int32)))
         return self.last_count
+
+
+def _trs_matrix(pre_translate, pre_scale, rotation_xyz, post_translate,
+                post_scale):
+    """GeometricTransform matrix (Transforms.cs:81-107): row-vector
+    pre-translate * pre-scale * rotation(YawPitchRoll) * post-scale *
+    post-translate."""
+    def translation(t):
+        m = np.eye(4, dtype=np.float32)
+        m[3, :3] = t
+        return m
+
+    def scale(s):
+        m = np.eye(4, dtype=np.float32)
+        m[0, 0] = m[1, 1] = m[2, 2] = s
+        return m
+
+    rx, ry, rz = rotation_xyz
+    cy, sy = math.cos(ry), math.sin(ry)
+    cp, sp_ = math.cos(rx), math.sin(rx)
+    cr, sr = math.cos(rz), math.sin(rz)
+    # Yaw (y) * Pitch (x) * Roll (z), XNA row-vector convention.
+    m_y = np.asarray([[cy, 0, -sy, 0], [0, 1, 0, 0], [sy, 0, cy, 0],
+                      [0, 0, 0, 1]], np.float32)
+    m_x = np.asarray([[1, 0, 0, 0], [0, cp, sp_, 0], [0, -sp_, cp, 0],
+                      [0, 0, 0, 1]], np.float32)
+    m_z = np.asarray([[cr, sr, 0, 0], [-sr, cr, 0, 0], [0, 0, 1, 0],
+                      [0, 0, 0, 1]], np.float32)
+    rot = m_z @ m_x @ m_y
+    return (translation(pre_translate) @ scale(pre_scale) @ rot
+            @ scale(post_scale) @ translation(post_translate))
+
+
+@dataclasses.dataclass
+class GeometricTransform(MatrixMultiply):
+    """TRS-decomposed matrix transform (Transforms.cs:73-131) — lowers to
+    MatrixMultiply with host-computed matrices."""
+
+    position_pre_translate: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    position_pre_scale: float = 1.0
+    position_rotation: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    position_post_translate: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    position_post_scale: float = 1.0
+    velocity_rotation: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    velocity_scale: float = 1.0
+
+    def uniforms(self, now: float) -> MatrixMultiplyUniforms:
+        self.position_matrix = _trs_matrix(
+            self.position_pre_translate, self.position_pre_scale,
+            self.position_rotation, self.position_post_translate,
+            self.position_post_scale,
+        )
+        self.velocity_matrix = _trs_matrix(
+            (0.0, 0.0, 0.0), 1.0, self.velocity_rotation, (0.0, 0.0, 0.0),
+            self.velocity_scale,
+        )
+        return super().uniforms(now)

@@ -160,3 +160,26 @@ def test_projector_light_projects_texture():
     assert left[0] > 0.5 and left[1] < 0.1, left
     assert right[1] > 0.5 and right[0] < 0.1, right
     assert outside[:3].max() < 0.05, outside
+
+
+def test_replicator_expands_to_sphere_lights():
+    from illuminant_tpu.lighting.environment import (
+        LightSourceReplicator,
+        ReplicatedLight,
+    )
+
+    env = LightingEnvironment(ambient=(0.0, 0.0, 0.0, 1.0))
+    rep = LightSourceReplicator(
+        template=SphereLightSource(radius=6.0, ramp_length=80.0,
+                                   color=(1.0, 1.0, 1.0, 1.0),
+                                   cast_shadows=False)
+    )
+    rep.add(ReplicatedLight(position=(40.0, 64.0, 20.0)))
+    rep.add(ReplicatedLight(position=(160.0, 64.0, 20.0),
+                            color=(1.0, 0.0, 0.0, 1.0)))
+    env.lights.append(rep)
+    r = LightingRenderer(RendererConfig(width=192, height=128), env, None)
+    r.update_fields()
+    lm = np.asarray(r.render_lighting())
+    assert lm[64, 40, :3].mean() > 0.3  # template light
+    assert lm[64, 160, 0] > 0.3 and lm[64, 160, 1] < 0.05  # override red
