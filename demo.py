@@ -284,11 +284,32 @@ def scene_composite():
     return np.asarray(img)
 
 
+def scene_visualize_sdf():
+    """DistanceFieldEditor-style SDF debug view (surfaces mode)."""
+    from illuminant_tpu.sdf.analytic import pack_scene
+    from illuminant_tpu.sdf.height_volume import HeightVolume
+    from illuminant_tpu.utils.visualize import visualize_distance_field
+
+    scene = pack_scene(
+        [LightObstruction.ellipsoid((90.0, 110.0, 30.0), (40.0, 28.0, 30.0)),
+         LightObstruction.box((190.0, 70.0, 24.0), (24.0, 24.0, 24.0)),
+         LightObstruction.cylinder((170.0, 180.0, 30.0),
+                                   (18.0, 18.0, 30.0))],
+        height_volumes=[
+            HeightVolume(polygon=[(30.0, 190.0), (90.0, 210.0),
+                                  (70.0, 250.0), (20.0, 235.0)],
+                         z_base=0.0, height=20.0)
+        ],
+    )
+    return np.asarray(visualize_distance_field(scene, 256, 288, mode=0))
+
+
 SCENES = {
     "single_light_box": scene_single_light_box,
     "multi_light": scene_multi_light,
     "particles_gravity": scene_particles_gravity,
     "composite": scene_composite,
+    "visualize_sdf": scene_visualize_sdf,
 }
 
 

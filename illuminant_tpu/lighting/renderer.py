@@ -37,7 +37,7 @@ from .sphere import accumulate_sphere_lights
 
 @partial(
     jax.jit,
-    static_argnames=("config", "with_specular", "shadow_mode"),
+    static_argnames=("config", "with_specular", "shadow_mode", "with_ao"),
 )
 def render_lightmap(
     volume,
@@ -51,6 +51,7 @@ def render_lightmap(
     projector_lights=None,
     with_specular: bool = False,
     shadow_mode: str = "march",
+    with_ao: bool = True,
 ):
     """The Light Pass (LightingRenderer.cs:1004-1168): clear to ambient,
     accumulate every light family additively -> (H, W, 4) HDR lightmap."""
@@ -59,6 +60,7 @@ def render_lightmap(
     lightmap = lightmap + accumulate_sphere_lights(
         volume, gbuffer, sphere_lights, env, config.quality,
         with_specular=with_specular, shadow_mode=shadow_mode,
+        with_ao=with_ao,
     )
     if directional_lights is not None:
         from .directional import accumulate_directional_lights
@@ -263,6 +265,10 @@ class LightingRenderer:
             volumetric_lights=volumetric_lights,
             projector_lights=projector_lights,
             shadow_mode=shadow_mode,
+            with_ao=any(
+                getattr(l, "ambient_occlusion_radius", 0) > 0
+                for l in sphere_sources
+            ),
         )
         if intensity_scale != 1.0:
             lightmap = lightmap * intensity_scale

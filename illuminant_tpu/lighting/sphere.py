@@ -139,6 +139,7 @@ def accumulate_sphere_lights(
     quality: QualitySettings,
     with_specular: bool = True,
     shadow_mode: str = "march",
+    with_ao: bool = True,
 ):
     """Shade all sphere lights against the G-buffer -> (H, W, 4) HDR add.
 
@@ -171,13 +172,18 @@ def accumulate_sphere_lights(
     not_fullbright = gbuffer.fullbright[None] < 0.5
     visible = visible & not_fullbright
 
-    # AO only on upward-facing surfaces (SphereLightCore.fxh:77).
-    ao_radius = more[..., 0] * jnp.maximum(0.0, normal[None, ..., 2])
-    ao = compute_ao(
-        volume, world_pos[None], normal[None], ao_radius, more[..., 3],
-        visible,
-    )
-    pre_trace = distance_opacity * ao
+    if with_ao:
+        # AO only on upward-facing surfaces (SphereLightCore.fxh:77).
+        ao_radius = more[..., 0] * jnp.maximum(0.0, normal[None, ..., 2])
+        ao = compute_ao(
+            volume, world_pos[None], normal[None], ao_radius, more[..., 3],
+            visible,
+        )
+        pre_trace = distance_opacity * ao
+    else:
+        # Static skip: AO costs a full-res scene evaluation per light;
+        # hosts gate it on any(light.ambient_occlusion_radius > 0).
+        pre_trace = distance_opacity
 
     cast_shadows = props[..., 3] * gbuffer.enable_shadows[None]
     trace_enable = (

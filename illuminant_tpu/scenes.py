@@ -173,7 +173,7 @@ def build_flagship(
         ).astype(jnp.float32)
         lightmap = lightmap + accumulate_sphere_lights(
             volume_, gbuffer_, lights_i, env_u_, config.quality,
-            with_specular=False, shadow_mode="scan",
+            with_specular=False, shadow_mode="scan", with_ao=False,
         )
         k = jax.random.fold_in(key, i)
         state = spawn_fn(state, spawn_u, spawn_count, k,
