@@ -147,6 +147,12 @@ class LightingRenderer:
                 self.gbuffer = rasterize_height_volumes(
                     self.gbuffer, packed, env_u
                 )
+            if self.environment.billboards:
+                from .billboard import rasterize_billboards
+
+                self.gbuffer = rasterize_billboards(
+                    self.gbuffer, self.environment.billboards, env_u
+                )
         else:
             self.gbuffer = gbuf.no_gbuffer(
                 h, w, env_u, self.config.render_scale

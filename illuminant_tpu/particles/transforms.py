@@ -313,9 +313,9 @@ class Gravity:
             raise ValueError(
                 f"at most {MAX_ATTRACTORS} attractors (Gravity.fx:3)"
             )
-        # Pad to a multiple of 4 (not the full 16): attractor count scales
+        # Pad to a multiple of 2 (not the full 16): attractor count scales
         # per-particle work linearly and most scenes use 1-4.
-        a = max(-(-len(self.attractors) // 4) * 4, 4)
+        a = max(-(-len(self.attractors) // 2) * 2, 2)
         pos = np.zeros((a, 3), np.float32)
         rad = np.ones((a,), np.float32)
         stren = np.zeros((a,), np.float32)

@@ -105,7 +105,7 @@ def _is_identity_rotation(q) -> bool:
 
 
 def pack_scene(obstructions: List, maximum_distance: float = 128.0,
-               group_capacity_round: int = 4,
+               group_capacity_round: int = 2,
                height_volumes: Optional[List] = None) -> AnalyticScene:
     """Group host LightObstruction-likes (.type/.center/.size/.rotation)
     by type. Group sizes round up to `group_capacity_round` (padded with

@@ -109,3 +109,26 @@ def test_height_volume_shadows_in_scene():
     shadowed = lm[64, 110, :3].mean()
     assert lit > 0.3, lit
     assert shadowed < lit * 0.2, (lit, shadowed)
+
+
+def test_billboard_mask_writes_gbuffer():
+    from illuminant_tpu.lighting.billboard import Billboard, rasterize_billboards
+
+    env = LightingEnvironment(z_to_y_multiplier=1.0)
+    env_u = env.uniforms()
+    gb = flat_ground(64, 64, env_u)
+    tex = np.zeros((8, 8, 4), np.float32)
+    tex[:, 2:6, 3] = 1.0  # opaque vertical stripe
+    b = Billboard(screen_bounds=(16.0, 16.0, 48.0, 48.0), texture=tex,
+                  normal=(0.0, 1.0, 0.0), cylinder_factor=0.0)
+    out = rasterize_billboards(gb, [b], env_u)
+    z = np.asarray(out.z)
+    n = np.asarray(out.normal)
+    # Inside the opaque stripe: standing normal (0,1,0), z rises upward.
+    assert n[32, 32, 1] > 0.9
+    assert z[20, 32] > z[44, 32] > 0.0  # higher on screen = taller
+    # Outside the stripe alpha: untouched ground.
+    assert z[32, 20] == 0.0 and n[32, 20, 2] == 1.0
+    # relativeY anchors lighting at the bottom edge.
+    ry = np.asarray(out.relative_y)
+    assert abs(ry[32, 32] - (48.0 - 32.5)) < 1.0
