@@ -62,3 +62,21 @@ def pytree_dataclass(cls: type[_T] | None = None, **dc_kwargs: Any):
     if cls is None:
         return wrap
     return wrap(cls)
+
+
+def named_scope(name: str):
+    """Decorator: wrap a traced function in jax.named_scope — the
+    RenderTrace.Marker analog (SURVEY.md §5.1); scopes show up in
+    jax.profiler traces and HLO metadata."""
+
+    def wrap(fn):
+        import functools
+
+        @functools.wraps(fn)
+        def inner(*args, **kwargs):
+            with jax.named_scope(name):
+                return fn(*args, **kwargs)
+
+        return inner
+
+    return wrap

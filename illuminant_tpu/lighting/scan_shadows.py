@@ -43,6 +43,7 @@ import jax.numpy as jnp
 
 from ..core.config import QualitySettings
 from ..sdf.analytic import AnalyticScene
+from ..core.pytree import named_scope
 from .cone_trace import (
     FULLY_SHADOWED_THRESHOLD,
     HACK_DISTANCE_OFFSET,
@@ -133,6 +134,7 @@ def _bidirectional_scan(occ, light_x, light_y, light_radius, unroll=16):
     return east, west
 
 
+@named_scope("illuminant/scan_shadows")
 def scan_visibility(
     scene: AnalyticScene,
     height: int,

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from ..core.config import QualitySettings
 from ..sdf.analytic import scene_sample
 from ..sdf.volume import SdfVolume
+from ..core.pytree import named_scope
 from .cone_trace import cone_trace
 from .environment import EnvironmentUniforms, SphereLights
 from .gbuffer import GBuffer
@@ -131,6 +132,7 @@ def compute_specularity(camera_position, shaded_position, shaded_normal,
     )
 
 
+@named_scope("illuminant/sphere_lights")
 def accumulate_sphere_lights(
     volume,
     gbuffer: GBuffer,

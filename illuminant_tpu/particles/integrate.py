@@ -17,6 +17,7 @@ import jax.numpy as jnp
 
 from ..sdf.analytic import scene_normal, scene_sample
 from ..sdf.volume import SdfVolume
+from ..core.pytree import named_scope
 from .render_data import RenderDataUniforms, compute_render_data
 from .state import ParticleState, SystemUniforms, apply_friction_and_maximum
 
@@ -72,6 +73,7 @@ def integrate(state: ParticleState, su: SystemUniforms,
     )
 
 
+@named_scope("illuminant/particle_integrate")
 def integrate_with_distance_field(
     state: ParticleState,
     su: SystemUniforms,

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.pytree import pytree_dataclass
+from ..core.pytree import named_scope
 from .formula import Formula1, Formula3, Formula4, evaluate_formula
 from .state import ParticleState
 
@@ -46,8 +47,15 @@ class SpawnUniforms:
     axis_mask: jnp.ndarray  # (3,)
     align_velocity_and_position: jnp.ndarray  # ()
     attribute_discard_threshold: jnp.ndarray  # ()
+    # Polygon-path spawning (SpawnerCommon.fxh Spawn_Stage1 :136-155):
+    # every `polygon_rate` particles advance one position constant, with
+    # interpolation and optional loop closure; config row 8 = the
+    # velocity-along-polygon formula (constant, scale, offset).
+    polygon_rate: jnp.ndarray  # (); <= 0.05 disables
+    polygon_loop: jnp.ndarray  # ()
 
 
+@named_scope("illuminant/particle_spawn")
 def spawn(
     state: ParticleState,
     u: SpawnUniforms,
@@ -72,13 +80,30 @@ def spawn(
         random2,
     )
 
-    # Position constant selection (Spawn_Stage1, fxh:149-151): cycle
-    # through the inline constants by global spawn index.
+    # Position constant selection (Spawn_Stage1, fxh:136-155): either
+    # cycle one constant per particle, or walk the polygon path at
+    # `polygon_rate` particles per vertex with interpolation.
     p_count = jnp.maximum(u.position_constant_count, 1.0)
-    c_idx = jnp.mod(
-        (rel + state.total_spawned).astype(jnp.float32), p_count
-    ).astype(jnp.int32)
-    position_constant = u.position_constants[c_idx]  # (S, 4)
+    relf = (rel + state.total_spawned).astype(jnp.float32)
+    use_poly = u.polygon_rate > 0.05
+
+    pos_f = relf / jnp.maximum(u.polygon_rate, 1e-3)
+    pos_i = jnp.floor(pos_f)
+    poly_t = pos_f - pos_i
+    i1_loop = jnp.mod(pos_i, p_count)
+    i2_loop = jnp.mod(pos_i + 1.0, p_count)
+    i2_clamp = jnp.minimum(i1_loop + 1.0, p_count - 1.0)
+    idx1 = jnp.where(use_poly, i1_loop, jnp.mod(relf, p_count))
+    idx2 = jnp.where(
+        use_poly,
+        jnp.where(u.polygon_loop > 0.5, i2_loop, i2_clamp),
+        idx1,
+    )
+    t = jnp.where(use_poly, poly_t, 0.0)[:, None]
+    p1 = u.position_constants[idx1.astype(jnp.int32)]
+    p2 = u.position_constants[idx2.astype(jnp.int32)]
+    position_constant = p1 + (p2 - p1) * t
+    towards_next = p2[:, :3] - p1[:, :3]
 
     zero = jnp.zeros_like(position_constant)
     # Spawn_Stage2 (fxh:157-190).
@@ -91,6 +116,28 @@ def spawn(
     temp_velocity = evaluate_formula(
         temp_position, jnp.broadcast_to(u.config[2], temp_position.shape),
         u.config[3], u.config[4], random2, u.formula_types[1], u.axis_mask,
+    )
+    # Velocity along the polygon path (fxh:172-177): row 8 is a scalar
+    # linear formula on random3.w.
+    towards_len = jnp.sqrt(
+        jnp.maximum(jnp.sum(towards_next**2, axis=-1, keepdims=True),
+                    1e-12)
+    )
+    towards_speed = (
+        u.config[8, 0]
+        + (random3[:, 3:4] + u.config[8, 2]) * u.config[8, 1]
+    )
+    temp_velocity = jnp.concatenate(
+        [
+            temp_velocity[:, :3]
+            + jnp.where(
+                towards_len > 1e-4,
+                towards_speed * towards_next / towards_len,
+                0.0,
+            ),
+            temp_velocity[:, 3:4],
+        ],
+        axis=-1,
     )
     new_velocity = _mul_point(temp_velocity, u.velocity_matrix)
 
@@ -157,6 +204,10 @@ class Spawner:
     alpha_discard_threshold: float = 0.0
     spawn_max: int = 8192  # static per-tick cap
     seed: int = 0
+    # Polygon-path spawning (Spawner, ParticleSpawner.cs:262-419).
+    polygon_rate: float = 0.0
+    polygon_loop: bool = False
+    velocity_along_polygon: Optional[Formula1] = None
     is_spawner = True
 
     def __post_init__(self):
@@ -215,6 +266,9 @@ class Spawner:
         config[5] = self.color.constant
         config[6] = self.color.random_scale
         config[7] = self.color.offset
+        if self.velocity_along_polygon is not None:
+            vap = self.velocity_along_polygon
+            config[8, :3] = [vap.constant, vap.random_scale, vap.offset]
 
         identity = np.eye(4, dtype=np.float32)
         return SpawnUniforms(
@@ -242,6 +296,10 @@ class Spawner:
             ),
             attribute_discard_threshold=jnp.asarray(
                 self.alpha_discard_threshold / 255.0, jnp.float32
+            ),
+            polygon_rate=jnp.asarray(self.polygon_rate, jnp.float32),
+            polygon_loop=jnp.asarray(
+                1.0 if self.polygon_loop else 0.0, jnp.float32
             ),
         )
 
@@ -477,4 +535,6 @@ class PatternSpawner(Spawner):
             axis_mask=u.axis_mask,
             align_velocity_and_position=u.align_velocity_and_position,
             attribute_discard_threshold=u.attribute_discard_threshold,
+            polygon_rate=u.polygon_rate,
+            polygon_loop=u.polygon_loop,
         )

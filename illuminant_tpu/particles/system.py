@@ -234,3 +234,43 @@ class ParticleSystem:
     @property
     def live_count(self) -> int:
         return int(self.state.live_count())
+
+
+@dataclasses.dataclass
+class BitmapDrawCall:
+    """Host-side sprite draw call (the AutoReadback result shape,
+    ParticleReadback.cs:21-167): position/size/rotation/color per live
+    particle, optionally sorted."""
+
+    position: object  # (N, 2) np.ndarray
+    z: object  # (N,)
+    size: object  # (N,)
+    rotation: object  # (N,)
+    color: object  # (N, 4) premultiplied
+    category: object  # (N,)
+
+
+def auto_readback(system: ParticleSystem, sort: bool = True,
+                  z_to_y: float = 0.0) -> BitmapDrawCall:
+    """AutoReadback (ParticleConfiguration.AutoReadback +
+    ParticleReadback.cs): pull live particles to the host as a sprite
+    list. One transfer of the SoA slices (the reference's threaded
+    GetDataFast + CPU sort); `sort` orders back-to-front by screen y like
+    SortedReadback."""
+    import numpy as np
+
+    st = system.state
+    live = np.asarray(st.live_mask())
+    pos = np.asarray(st.position)[live]
+    rd = np.asarray(st.render_data)[live]
+    rc = np.asarray(st.render_color)[live]
+    screen_y = pos[:, 1] - pos[:, 2] * z_to_y
+    order = np.argsort(screen_y) if sort else np.arange(len(pos))
+    return BitmapDrawCall(
+        position=np.stack([pos[order, 0], screen_y[order]], axis=-1),
+        z=pos[order, 2],
+        size=rd[order, 0],
+        rotation=rd[order, 1],
+        color=rc[order],
+        category=rd[order, 3],
+    )

@@ -381,3 +381,47 @@ def test_rasterize_sized_particles():
     np.testing.assert_allclose(img[30, 32, 0], img[34, 32, 0], atol=0.15)
     total = img[..., 0].sum()
     assert 10.0 < total < 40.0  # ~pi r^2 = 19.6 coverage
+
+
+def test_polygon_path_spawning():
+    # Particles walk the polygon path, interpolating between vertices,
+    # with velocity along the path (SpawnerCommon.fxh:136-155, 172-177).
+    spn = Spawner(
+        min_rate=600.0, max_rate=600.0,
+        life=Formula1(constant=10.0),
+        position=Formula3(constant=(0.0, 0.0, 0.0)),
+        additional_positions=[(100.0, 0.0, 0.0), (100.0, 100.0, 0.0)],
+        polygon_rate=5.0,  # 5 particles per edge step
+        polygon_loop=False,
+        velocity_along_polygon=Formula1(constant=20.0),
+        spawn_max=32,
+    )
+    cfg = ParticleSystemConfig(capacity=256, updates_per_second=0.0,
+                               life_decay_per_second=0.0)
+    system = ParticleSystem(cfg, [spn])
+    system.tick(1.0 / 60.0)  # 10 spawns
+    live = np.asarray(system.state.live_mask())
+    pos = np.asarray(system.state.position)[live]
+    vel = np.asarray(system.state.velocity)[live]
+    assert live.sum() == 10
+    # First 5 interpolate (0,0)->(100,0): x = 0,20,40,60,80; y = 0.
+    xs = np.sort(pos[:, 0])
+    assert xs[0] < 5.0 and xs[-1] > 95.0
+    near_first_edge = pos[np.abs(pos[:, 1]) < 1.0]
+    assert len(near_first_edge) >= 5
+    # Velocity points along the current edge at speed ~20.
+    speeds = np.linalg.norm(vel[:, :3], axis=-1)
+    np.testing.assert_allclose(speeds, 20.0, atol=0.5)
+
+
+def test_auto_readback_sprite_list():
+    from illuminant_tpu.particles.system import auto_readback
+
+    cfg = ParticleSystemConfig(capacity=256, updates_per_second=0.0,
+                               life_decay_per_second=0.0)
+    system = ParticleSystem(cfg, [basic_spawner(rate=1200.0)])
+    system.tick(1.0 / 60.0)
+    calls = auto_readback(system, sort=True)
+    assert len(calls.position) == system.live_count == 20
+    assert calls.color.shape == (20, 4)
+    assert np.all(np.diff(calls.position[:, 1]) >= 0)  # sorted by y
