@@ -284,6 +284,120 @@ def scene_composite():
     return np.asarray(img)
 
 
+def scene_config3_multilight_25d():
+    """BASELINE config 3: 8 lights, cone-traced soft shadows + 2.5D
+    G-buffer normal/height lighting (512x512)."""
+    import math
+
+    from illuminant_tpu.sdf.height_volume import HeightVolume
+
+    env = LightingEnvironment(
+        ground_z=0.0, maximum_z=96.0, z_to_y_multiplier=1.0,
+        ambient=(0.02, 0.02, 0.03, 1.0),
+    )
+    colors = [
+        (1.0, 0.5, 0.3, 1.0), (0.3, 1.0, 0.5, 1.0), (0.4, 0.5, 1.0, 1.0),
+        (1.0, 0.9, 0.4, 1.0), (0.9, 0.3, 0.9, 1.0), (0.3, 0.9, 0.9, 1.0),
+        (1.0, 0.7, 0.7, 1.0), (0.7, 1.0, 0.7, 1.0),
+    ]
+    for i in range(8):
+        a = 2 * math.pi * i / 8
+        env.lights.append(
+            SphereLightSource(
+                position=(256 + 190 * math.cos(a), 256 + 190 * math.sin(a),
+                          40.0),
+                radius=9.0, ramp_length=260.0, color=colors[i],
+            )
+        )
+    env.height_volumes += [
+        HeightVolume(polygon=[(200.0, 200.0), (312.0, 200.0),
+                              (312.0, 312.0), (200.0, 312.0)],
+                     z_base=0.0, height=40.0),
+        HeightVolume(polygon=[(90.0, 360.0), (150.0, 340.0),
+                              (170.0, 400.0), (110.0, 420.0)],
+                     z_base=0.0, height=22.0),
+    ]
+    env.obstructions.append(
+        LightObstruction.cylinder((380.0, 140.0, 24.0), (14.0, 14.0, 24.0))
+    )
+    config = RendererConfig(width=512, height=512, two_point_five_d=True)
+    r = LightingRenderer(config, env, None)
+    r.update_fields()
+    lightmap = r.render_lighting(shadow_mode="scan")
+    img = r.resolve(lightmap, HDRConfig(mode=2, exposure=1.3,
+                                        white_point=4.0, srgb_output=True))
+    return np.asarray(img)
+
+
+def scene_config4_vectorfield_collision():
+    """BASELINE config 4: particles with VectorField forces, attractors,
+    SDF collision bounce/stick + spawn/reap (512x512)."""
+    from illuminant_tpu.particles.formula import (
+        FORMULA_SPHERICAL,
+        Formula1,
+        Formula3,
+        Formula4,
+    )
+    from illuminant_tpu.particles.spawner import Spawner
+    from illuminant_tpu.particles.system import (
+        ParticleSystem,
+        ParticleSystemConfig,
+    )
+    from illuminant_tpu.particles import transforms as tx
+    from illuminant_tpu.raster.particles import rasterize_additive
+    from illuminant_tpu.raster.resolve import resolve
+    from illuminant_tpu.sdf.analytic import pack_scene
+
+    # Swirl vector field (procedural, like VectorFieldTest's texture).
+    yy, xx = np.mgrid[0:64, 0:64].astype(np.float32)
+    cx, cy = 32.0, 32.0
+    fx = -(yy - cy)
+    fy = xx - cx
+    n = np.sqrt(fx * fx + fy * fy) + 1e-3
+    field = np.zeros((64, 64, 4), np.float32)
+    field[..., 0] = fx / n
+    field[..., 1] = fy / n
+
+    scene_field = pack_scene([
+        LightObstruction.box((256.0, 256.0, 24.0), (26.0, 26.0, 24.0)),
+        LightObstruction.ellipsoid((150.0, 330.0, 20.0),
+                                   (30.0, 18.0, 20.0)),
+    ])
+    cfg = ParticleSystemConfig(
+        capacity=1 << 16, updates_per_second=0.0,
+        life_decay_per_second=0.4, friction=0.1, maximum_velocity=220.0,
+        collision_distance=1.0, bounce_velocity_multiplier=0.65,
+    )
+    spawner = Spawner(
+        min_rate=20000.0, max_rate=26000.0,  # stochastic rate + reap churn
+        life=Formula1(constant=2.5, random_scale=1.0, offset=-0.5),
+        position=Formula3(constant=(256.0, 256.0, 10.0),
+                          offset=(170.0, 170.0, 4.0),
+                          random_scale=(30.0, 30.0, 2.0),
+                          type=FORMULA_SPHERICAL),
+        velocity=Formula3(random_scale=(30.0, 30.0, 0.0),
+                          type=FORMULA_SPHERICAL),
+        color=Formula4(constant=(0.3, 0.8, 1.0, 0.5),
+                       random_scale=(0.4, 0.2, 0.0, 0.3)),
+        spawn_max=4096,
+    )
+    vf = tx.VectorField(field=field, field_scale=(64.0 / 512.0,) * 2,
+                        velocity_scale=(160.0, 160.0, 0.0, 0.0),
+                        cycles_per_second=3.0)
+    grav = tx.Gravity(attractors=[
+        tx.Attractor(position=(256.0, 256.0, 10.0), radius=600.0,
+                     strength=60.0, falloff_type=tx.FALLOFF_LINEAR)
+    ])
+    system = ParticleSystem(cfg, [spawner, vf, grav], volume=scene_field)
+    for _ in range(240):
+        system.tick(1.0 / 60.0)
+    img = rasterize_additive(system.state, 512, 512, footprint=3)
+    print(f"  live particles: {system.live_count}")
+    out = resolve(img, HDRConfig(mode=2, exposure=2.2, white_point=3.0,
+                                 srgb_output=True))
+    return np.asarray(out)
+
+
 def scene_visualize_sdf():
     """DistanceFieldEditor-style SDF debug view (surfaces mode)."""
     from illuminant_tpu.sdf.analytic import pack_scene
@@ -309,6 +423,8 @@ SCENES = {
     "multi_light": scene_multi_light,
     "particles_gravity": scene_particles_gravity,
     "composite": scene_composite,
+    "config3_multilight_25d": scene_config3_multilight_25d,
+    "config4_vectorfield_collision": scene_config4_vectorfield_collision,
     "visualize_sdf": scene_visualize_sdf,
 }
 

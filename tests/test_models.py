@@ -202,3 +202,38 @@ def test_view_instantiates_and_runs():
     live = np.asarray(system.state.live_mask())
     vel = np.asarray(system.state.velocity)[live]
     assert vel[:, 0].mean() > 0.01
+
+
+def test_save_as_code_roundtrip(tmp_path):
+    from illuminant_tpu.models.model import save_as_code
+
+    model = EngineModel.loads(json.dumps(SAMPLE))
+    src = save_as_code(model)
+    path = tmp_path / "compiled_scene.py"
+    path.write_text(src)
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("compiled_scene", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    view = mod.build(capacity=512)
+    view.systems[0].system.tick(1.0 / 60.0)
+    assert view.live_count == 10  # 600/s / 60
+
+
+def test_deterministic_replay():
+    # Same seeds -> bit-identical state after N ticks (the MockTimeProvider
+    # deterministic-stepping story, ParticleEditor/View.cs:34-39).
+    model = EngineModel.loads(json.dumps(SAMPLE))
+
+    def run():
+        view = EngineView(model, capacity=1024)
+        s = view.systems[0].system
+        for _ in range(20):
+            s.tick(1.0 / 60.0)
+        return np.asarray(s.state.position), np.asarray(s.state.velocity)
+
+    p1, v1 = run()
+    p2, v2 = run()
+    np.testing.assert_array_equal(p1, p2)
+    np.testing.assert_array_equal(v1, v2)
