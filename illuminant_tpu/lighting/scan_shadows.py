@@ -64,7 +64,7 @@ def occlusion_image(scene: AnalyticScene, height: int, width: int, trace_z,
     return scene.distance(pos)
 
 
-def _bidirectional_scan(occ, light_x, light_y, light_radius, unroll=16):
+def _bidirectional_scan(occ, light_x, light_y, light_radius, unroll=32):
     """Both half-plane passes in ONE lax.scan (the reverse pass runs on the
     flipped image as a batch row — halves the sequential op count; unroll
     amortizes per-step overhead). occ: (H, W); light_x/y/radius: (L,).
@@ -225,3 +225,23 @@ def scan_visibility(
         elevated = jnp.clip((pixel_z[None] - trace_z) / 8.0, 0.0, 1.0)
         final = final + (1.0 - final) * elevated
     return final
+
+
+def upsample2x_bilinear(v):
+    """Elementwise bilinear 2x upsample over the last two axes (faster
+    than jax.image.resize for the fixed 2x case; used by the shadow-scale
+    path)."""
+    def axis_up(x, axis):
+        n = x.shape[axis]
+        first = jax.lax.slice_in_dim(x, 0, 1, axis=axis)
+        last = jax.lax.slice_in_dim(x, n - 1, n, axis=axis)
+        lo = jnp.concatenate([first, x], axis=axis)
+        hi = jnp.concatenate([x, last], axis=axis)
+        a = 0.75 * x + 0.25 * jax.lax.slice_in_dim(lo, 0, n, axis=axis)
+        b = 0.75 * x + 0.25 * jax.lax.slice_in_dim(hi, 1, n + 1, axis=axis)
+        stacked = jnp.stack([a, b], axis=axis + 1)
+        new_shape = list(x.shape)
+        new_shape[axis] = 2 * n
+        return stacked.reshape(new_shape)
+
+    return axis_up(axis_up(v, v.ndim - 2), v.ndim - 1)

@@ -201,7 +201,19 @@ def accumulate_sphere_lights(
 
         h, w = gbuffer.shape
         ss = quality.shadow_scale
-        if ss != 1.0:
+        if ss == 0.5 and h % 2 == 0 and w % 2 == 0:
+            from .scan_shadows import upsample2x_bilinear
+
+            sh, sw = h // 2, w // 2
+            pixel_z = jax.image.resize(gbuffer.z, (sh, sw), "linear")
+            vis = scan_visibility(
+                volume, sh, sw, lights.position,
+                lights.properties[:, 0], lights.properties[:, 1], quality,
+                render_scale=gbuffer.render_scale * ss,
+                pixel_z=pixel_z,
+            )
+            vis = upsample2x_bilinear(vis)
+        elif ss != 1.0:
             sh, sw = max(int(h * ss), 8), max(int(w * ss), 8)
             pixel_z = jax.image.resize(gbuffer.z, (sh, sw), "linear")
             vis = scan_visibility(
