@@ -70,6 +70,12 @@ class SphereLights:
     more: jnp.ndarray  # (L, 4)
     specular_color_power: jnp.ndarray  # (L, 4) = specular rgb + power
     active: jnp.ndarray  # (L,) f32 0/1
+    # Optional ramp textures (SphereLightCore.fxh WithRamp epilogue:
+    # rgb = ramp(pre_trace_opacity, (angle + offset) * rate)). None when
+    # no light uses a ramp; (L, RH, RW, 3) otherwise with per-light
+    # (offset, rate) in ramp_offset_rate.
+    ramp_texture: object = None
+    ramp_offset_rate: object = None
 
     @property
     def capacity(self) -> int:
@@ -108,6 +114,11 @@ class SphereLightSource:
     shadow_distance_falloff: Optional[float] = None
     specular_color: tuple = (0.0, 0.0, 0.0)
     specular_power: float = 2.0
+    # Ramp texture (LightSource.cs TextureRef + offset/rate :58-103):
+    # (RH, RW, 3) array; RH=1 gives the 1D distance-ramp variant.
+    ramp_texture: Optional[object] = None
+    ramp_offset: float = 0.0
+    ramp_rate: float = 1.0
 
 
 def pack_sphere_lights(lights: List[SphereLightSource],
@@ -124,6 +135,16 @@ def pack_sphere_lights(lights: List[SphereLightSource],
     out_more[:, 3] = 1.0
     out_spec = np.zeros((cap, 4), np.float32)
     out_active = np.zeros((cap,), np.float32)
+    ramps = [l.ramp_texture for l in lights if l.ramp_texture is not None]
+    out_ramp = None
+    out_ramp_or = None
+    if ramps:
+        rh = max(r.shape[0] for r in ramps)
+        rw = max(r.shape[1] for r in ramps)
+        out_ramp = np.ones((cap, rh, rw, 3), np.float32)
+        out_ramp_or = np.tile(
+            np.asarray([0.0, 1.0, 0.0], np.float32), (cap, 1)
+        )
     for i, l in enumerate(lights):
         out_pos[i] = l.position
         col = np.asarray(l.color, np.float32).copy()
@@ -144,6 +165,10 @@ def pack_sphere_lights(lights: List[SphereLightSource],
         out_spec[i, :3] = l.specular_color
         out_spec[i, 3] = l.specular_power
         out_active[i] = 1.0
+        if out_ramp is not None and l.ramp_texture is not None:
+            t = np.asarray(l.ramp_texture, np.float32)[..., :3]
+            out_ramp[i, : t.shape[0], : t.shape[1]] = t
+            out_ramp_or[i] = [l.ramp_offset, l.ramp_rate, 1.0]
     return SphereLights(
         position=jnp.asarray(out_pos),
         color=jnp.asarray(out_col),
@@ -151,6 +176,10 @@ def pack_sphere_lights(lights: List[SphereLightSource],
         more=jnp.asarray(out_more),
         specular_color_power=jnp.asarray(out_spec),
         active=jnp.asarray(out_active),
+        ramp_texture=(jnp.asarray(out_ramp) if out_ramp is not None
+                      else None),
+        ramp_offset_rate=(jnp.asarray(out_ramp_or)
+                          if out_ramp_or is not None else None),
     )
 
 

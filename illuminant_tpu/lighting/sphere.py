@@ -245,11 +245,42 @@ def accumulate_sphere_lights(
     opacity = pre_trace * cone
     opacity = jnp.where(visible, opacity, 0.0) * active  # epilogue discard
 
-    rgb = (
-        color[:, None, None, :3]
-        * color[:, None, None, 3:4]
-        * opacity[..., None]
-    )
+    if lights.ramp_texture is not None:
+        # WithRamp epilogue (SphereLightCore.fxh:99-119): rgb from a ramp
+        # texture sampled at (pre-trace opacity, angle-derived v), times
+        # the cone term. Per-light flag mixes ramped and plain lights.
+        from .projector import _sample_texture_bilinear
+
+        d = world_pos[None] - lc
+        angle = jnp.arctan2(d[..., 1], d[..., 0])
+        orate = lights.ramp_offset_rate
+        v = (angle + orate[:, None, None, 0]) * orate[:, None, None, 1]
+        ramp_rgbs = []
+        for li in range(L):
+            ramp_rgbs.append(
+                _sample_texture_bilinear(
+                    lights.ramp_texture[li],
+                    jnp.clip(pre_trace[li], 0.0, 1.0),
+                    jnp.mod(v[li], 1.0),
+                    jnp.float32(1.0),
+                )
+            )
+        ramp_rgb = jnp.stack(ramp_rgbs, axis=0)  # (L, H, W, 3)
+        lit = ramp_rgb * (cone * active)[..., None]
+        lit = jnp.where(visible[..., None], lit, 0.0)
+        has = orate[:, None, None, 2:3] > 0.5
+        per_light_rgb = jnp.where(has, lit, opacity[..., None])
+        rgb = (
+            color[:, None, None, :3]
+            * color[:, None, None, 3:4]
+            * per_light_rgb
+        )
+    else:
+        rgb = (
+            color[:, None, None, :3]
+            * color[:, None, None, 3:4]
+            * opacity[..., None]
+        )
 
     if with_specular:
         spec = lights.specular_color_power

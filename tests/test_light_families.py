@@ -183,3 +183,26 @@ def test_replicator_expands_to_sphere_lights():
     lm = np.asarray(r.render_lighting())
     assert lm[64, 40, :3].mean() > 0.3  # template light
     assert lm[64, 160, 0] > 0.3 and lm[64, 160, 1] < 0.05  # override red
+
+
+def test_sphere_light_ramp_texture():
+    # A red->blue 1D distance ramp recolors the falloff
+    # (SphereLightWithDistanceRamp, SphereLightCore.fxh:99-119).
+    ramp = np.zeros((1, 16, 3), np.float32)
+    ramp[0, :, 0] = np.linspace(0.0, 1.0, 16)  # red rises with opacity
+    ramp[0, :, 2] = np.linspace(1.0, 0.0, 16)  # blue falls
+    env = LightingEnvironment(ambient=(0.0, 0.0, 0.0, 1.0))
+    env.lights.append(
+        SphereLightSource(
+            position=(64.0, 64.0, 20.0), radius=6.0, ramp_length=100.0,
+            color=(1.0, 1.0, 1.0, 1.0), cast_shadows=False,
+            ramp_texture=ramp,
+        )
+    )
+    r = LightingRenderer(RendererConfig(width=128, height=128), env, None)
+    r.update_fields()
+    lm = np.asarray(r.render_lighting())
+    near = lm[64, 70]  # high opacity -> red end
+    far = lm[110, 110]  # low opacity -> blue end
+    assert near[0] > near[2], near
+    assert far[2] > far[0], far
