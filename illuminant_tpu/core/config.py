@@ -27,6 +27,10 @@ class QualitySettings:
     # (cone-softened shadows are band-limited; 0.5 is visually free).
     # The render-scale analog of the reference's accuracy levers.
     shadow_scale: float = static_field(default=1.0)
+    # 3D refinement samples per (light, pixel) on the scan path: 0 = pure
+    # flatland scan (fastest), 1 = blocker exit point, 2 = exit + arg-min
+    # (default; restores the reference's 3D shadow behavior).
+    scan_refine_samples: int = static_field(default=2)
 
 
 @pytree_dataclass

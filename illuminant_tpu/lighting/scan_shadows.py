@@ -89,27 +89,31 @@ def _bidirectional_scan(occ, light_x, light_y, light_radius, unroll=32):
     lr = jnp.broadcast_to(light_radius[None, :, None], (2, L, 1))
 
     def step(carry, inputs):
-        min_d, min_k = carry  # (2, L, H)
+        min_d, min_k, neg_k = carry  # (2, L, H) each
         x, occ_col = inputs  # (), (2, H)
         dx = x - lx  # (2, L, 1)
         in_front = dx >= 1.0
 
-        # Resample the carry along the ray fan: y_src = y - f,
+        # Resample the carries along the ray fan: y_src = y - f,
         # f = (y - yl)/dx in [-1, 1] inside the wedge.
         f = (ys - ly) / jnp.maximum(dx, 1.0)
         f = jnp.clip(f, -1.0, 1.0)
 
-        up_d = jnp.roll(min_d, 1, axis=2)  # index y -> value at y-1
-        dn_d = jnp.roll(min_d, -1, axis=2)
-        up_k = jnp.roll(min_k, 1, axis=2)
-        dn_k = jnp.roll(min_k, -1, axis=2)
         af = jnp.abs(f)
         near = 1.0 - af
-        res_d = min_d * near + jnp.where(f >= 0.0, up_d, dn_d) * af
-        res_k = min_k * near + jnp.where(f >= 0.0, up_k, dn_k) * af
+
+        def resample(c):
+            up = jnp.roll(c, 1, axis=2)  # index y -> value at y-1
+            dn = jnp.roll(c, -1, axis=2)
+            return c * near + jnp.where(f >= 0.0, up, dn) * af
+
+        res_d = resample(min_d)
+        res_k = resample(min_k)
+        res_n = resample(neg_k)
         # Outside the light's half-plane nothing has accumulated yet.
         res_d = jnp.where(in_front, res_d, _BIG)
         res_k = jnp.where(in_front, res_k, 0.0)
+        res_n = jnp.where(in_front, res_n, 0.0)
 
         # Merge this column's own sample (skipped within the light radius —
         # the trace stops `radius` short of the light, ConeTrace.fxh:46).
@@ -117,20 +121,26 @@ def _bidirectional_scan(occ, light_x, light_y, light_radius, unroll=32):
         d_here = jnp.where(sample_valid, occ_col[:, None, :], _BIG)
         new_min_d = jnp.minimum(res_d, d_here)
         new_min_k = jnp.where(d_here < res_d, dx, res_k)
-        return (new_min_d, new_min_k), (res_d, res_k)
+        # Blocker EXIT point: the farthest-from-light negative sample —
+        # the ray is lowest there, so it's the second 3D-refine candidate.
+        new_neg_k = jnp.where(d_here < 0.0, dx, res_n)
+        return (new_min_d, new_min_k, new_neg_k), (res_d, res_k, res_n)
 
     init = (
         jnp.full((2, L, H), _BIG, jnp.float32),
         jnp.zeros((2, L, H), jnp.float32),
+        jnp.zeros((2, L, H), jnp.float32),
     )
-    _, (pre_d, pre_k) = jax.lax.scan(
+    _, (pre_d, pre_k, pre_n) = jax.lax.scan(
         step, init, (cols, occ_both), unroll=unroll
     )
     # (W, 2, L, H) -> (2, L, H, W).
     pre_d = jnp.moveaxis(pre_d, 0, 3)
     pre_k = jnp.moveaxis(pre_k, 0, 3)
-    east = (pre_d[0], pre_k[0])
-    west = (pre_d[1, :, :, ::-1], pre_k[1, :, :, ::-1])
+    pre_n = jnp.moveaxis(pre_n, 0, 3)
+    east = (pre_d[0], pre_k[0], pre_n[0])
+    west = (pre_d[1, :, :, ::-1], pre_k[1, :, :, ::-1],
+            pre_n[1, :, :, ::-1])
     return east, west
 
 
@@ -161,14 +171,16 @@ def scan_visibility(
         trace_z = jnp.mean(lz) * 0.4
     occ = occlusion_image(scene, height, width, trace_z, render_scale)
 
-    (e_d, e_k), (w_d, w_k) = _bidirectional_scan(
+    (e_d, e_k, e_n), (w_d, w_k, w_n) = _bidirectional_scan(
         occ, lx, ly, light_radius
     )
-    (n_pair, s_pair) = _bidirectional_scan(occ.T, ly, lx, light_radius)
-    n_d = jnp.swapaxes(n_pair[0], 1, 2)
-    n_k = jnp.swapaxes(n_pair[1], 1, 2)
-    s_d = jnp.swapaxes(s_pair[0], 1, 2)
-    s_k = jnp.swapaxes(s_pair[1], 1, 2)
+    (n_tuple, s_tuple) = _bidirectional_scan(occ.T, ly, lx, light_radius)
+    n_d = jnp.swapaxes(n_tuple[0], 1, 2)
+    n_k = jnp.swapaxes(n_tuple[1], 1, 2)
+    n_n = jnp.swapaxes(n_tuple[2], 1, 2)
+    s_d = jnp.swapaxes(s_tuple[0], 1, 2)
+    s_k = jnp.swapaxes(s_tuple[1], 1, 2)
+    s_n = jnp.swapaxes(s_tuple[2], 1, 2)
 
     ys = jnp.arange(height, dtype=jnp.float32)[None, :, None]
     xs = jnp.arange(width, dtype=jnp.float32)[None, None, :]
@@ -191,11 +203,20 @@ def scan_visibility(
         east, e_k,
         jnp.where(west, w_k, jnp.where(north, n_k, s_k)),
     )
+    neg_k = jnp.where(
+        east, e_n,
+        jnp.where(west, w_n, jnp.where(north, n_n, s_n)),
+    )
 
     # Convert horizontal distances to along-ray distances (the scan walks
     # the major axis; the ray is longer by sec = ray_len / major_extent).
     major = jnp.maximum(jnp.maximum(adx, ady), 1e-3)
-    dz = jnp.broadcast_to(trace_z - lz[:, None, None], major.shape)
+    pz = (
+        pixel_z[None]
+        if pixel_z is not None
+        else jnp.zeros((1,) + min_d.shape[1:], jnp.float32)
+    )
+    dz = pz - lz[:, None, None]
     ray_len = jnp.sqrt(dx * dx + dy * dy + dz * dz)
     sec = ray_len / major
     u = jnp.maximum((major - min_k) * sec, 0.0)  # dist from pixel to blocker
@@ -207,11 +228,62 @@ def scan_visibility(
     )
     ramp = jnp.maximum(light_ramp_length[:, None, None], 16.0)
     growth = max_radius / ramp * quality.cone_growth_factor
-    local_radius = jnp.minimum(growth * u + MIN_CONE_RADIUS, max_radius)
 
-    vis = jnp.minimum(
-        (min_d + HACK_DISTANCE_OFFSET) / local_radius, 1.0
+    # --- 3D refinement: the 2D scan only NOMINATES the blocker (arg-min at
+    # the trace height); a short analytic mini-march over the blocker ->
+    # pixel segment of the TRUE 3D ray then replaces the flatland distance
+    # (each sample with its own cone radius, like the reference march).
+    # This restores 3D behavior — short obstructions don't shadow pixels
+    # whose rays pass over them, elevated pixels' rays clear ground
+    # obstructions — at the cost of K analytic evals per (light, pixel).
+    k_frac = jnp.clip(min_k / major, 0.0, 1.0)  # 0 at light, 1 at pixel
+    exit_frac = jnp.clip(
+        jnp.maximum(neg_k, min_k) / major, 0.0, 1.0
     )
+    px_x = xs / jnp.maximum(render_scale, 1e-6)
+    px_y = ys / jnp.maximum(render_scale, 1e-6)
+    lx_w = light_position[:, 0][:, None, None]
+    ly_w = light_position[:, 1][:, None, None]
+    # Ray endpoints: light (world) -> shaded surface + the self-occlusion
+    # lift the march applies (SphereLightCore.fxh:151).
+    pz_lift = pz + 1.6
+    has_blocker = min_d < 1e8
+    if quality.scan_refine_samples <= 0:
+        # Pure flatland: use the scan's own 2D min directly.
+        u0 = jnp.maximum((major - min_k) * sec, 0.0)
+        radius0 = jnp.minimum(growth * u0 + MIN_CONE_RADIUS, max_radius)
+        vis = jnp.minimum(
+            (min_d + HACK_DISTANCE_OFFSET) / radius0, 1.0
+        )
+        candidates = ()
+    elif quality.scan_refine_samples == 1:
+        vis = jnp.ones(min_d.shape, jnp.float32)
+        candidates = ((k_frac + exit_frac) * 0.5,)
+    elif quality.scan_refine_samples == 2:
+        vis = jnp.ones(min_d.shape, jnp.float32)
+        candidates = ((k_frac + exit_frac) * 0.5, exit_frac)
+    else:
+        vis = jnp.ones(min_d.shape, jnp.float32)
+        candidates = (k_frac, (k_frac + exit_frac) * 0.5, exit_frac)
+    # Candidates along the blocker span: the midpoint between the 2D
+    # arg-min and the blocker's exit toward the pixel is usually the
+    # 3D-deepest point (the ray descends toward the pixel); the exit
+    # point covers near-edge contact, the arg-min deep footprints.
+    for t in candidates:
+        sx = lx_w + (px_x - lx_w) * t
+        sy = ly_w + (px_y - ly_w) * t
+        sz = lz[:, None, None] + (pz_lift - lz[:, None, None]) * t
+        pos = jnp.stack(
+            [jnp.broadcast_to(sx, min_d.shape),
+             jnp.broadcast_to(sy, min_d.shape),
+             jnp.broadcast_to(sz, min_d.shape)],
+            axis=-1,
+        )
+        d_i = scene.distance(pos)
+        u_i = jnp.maximum((1.0 - t) * major * sec, 0.0)
+        radius_i = jnp.minimum(growth * u_i + MIN_CONE_RADIUS, max_radius)
+        vis_i = (d_i + HACK_DISTANCE_OFFSET) / radius_i
+        vis = jnp.minimum(vis, jnp.where(has_blocker, vis_i, 1.0))
     final = (
         jnp.clip(
             jnp.clip(vis - FULLY_SHADOWED_THRESHOLD, 0.0, 1.0)
@@ -221,9 +293,6 @@ def scan_visibility(
         )
         ** quality.occlusion_to_opacity_power
     )
-    if pixel_z is not None:
-        elevated = jnp.clip((pixel_z[None] - trace_z) / 8.0, 0.0, 1.0)
-        final = final + (1.0 - final) * elevated
     return final
 
 

@@ -96,7 +96,13 @@ def build_flagship(
 
     config = RendererConfig(
         width=width, height=height,
-        quality=quality or QualitySettings(shadow_scale=0.5),
+        # Flagship quality: half-res shadows, no 3D refinement — this
+        # scene's obstructions are tall relative to the trace plane, so
+        # the flatland scan is already accurate for it (the library
+        # default is scan_refine_samples=2; each sample costs ~2.5 ms at
+        # 1080p x 8 lights — see PERF.md).
+        quality=quality or QualitySettings(shadow_scale=0.5,
+                                           scan_refine_samples=0),
     )
     sdf_config = vol.SdfVolumeConfig(
         virtual_width=width,

@@ -70,3 +70,41 @@ def test_ignore_zeroes():
     r = hg.compute_histogram(lightmap, bounds, ignore_zeroes=True)
     assert int(r.sample_count) == 1
     np.testing.assert_allclose(float(r.mean), 10.0, rtol=1e-3)
+
+
+def test_performance_stats():
+    import time as _time
+
+    from illuminant_tpu.utils.perf import PerformanceStats
+
+    stats = PerformanceStats(samples=8)
+    for _ in range(3):
+        stats.begin_frame()
+        stats.begin("update")
+        _time.sleep(0.002)
+        stats.end("update")
+        stats.end_frame()
+    assert stats.frame_ms >= 2.0
+    assert stats.mean_ms("update") >= 2.0
+    assert "update" in stats.report()
+    assert stats.fps > 0
+
+
+def test_normals_from_lightmaps():
+    from illuminant_tpu.utils.mapgen import normals_from_lightmaps
+
+    h = w = 16
+    # Lit only from the right -> normal leans +x.
+    left = np.full((h, w), 0.1, np.float32)
+    right = np.full((h, w), 0.9, np.float32)
+    above = np.full((h, w), 0.5, np.float32)
+    below = np.full((h, w), 0.5, np.float32)
+    out = np.asarray(normals_from_lightmaps(left, right, above, below))
+    n = out[8, 8, :3] * 2.0 - 1.0
+    assert n[0] > 0.4 and abs(n[1]) < 1e-3 and n[2] > 0.0
+    np.testing.assert_allclose(np.linalg.norm(n), 1.0, atol=1e-3)
+    # Dead pixels encode as zeros.
+    dead = np.asarray(
+        normals_from_lightmaps(*(np.zeros((h, w), np.float32),) * 4)
+    )
+    assert np.all(dead[..., :3] == 0.0)

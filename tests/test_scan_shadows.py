@@ -92,3 +92,38 @@ def test_scan_multiple_lights_independent():
     # Light 0 shadows to the east of the box; light 1 (above-right) casts
     # a different shadow — the maps must differ.
     assert np.abs(vis[0] - vis[1]).max() > 0.5
+
+
+def test_scan_3d_short_obstruction_rays_pass_over():
+    # A SHORT wall must not shadow pixels whose ray to a HIGH light passes
+    # over it — the 3D refinement evaluates the blocker at the true ray
+    # height (the pure-2D scan over-shadowed here).
+    scene = pack_scene(
+        [LightObstruction.box((100.0, 64.0, 4.0), (4.0, 40.0, 4.0))]  # 8 tall
+    )
+    q = QualitySettings()
+    light = jnp.asarray([[40.0, 64.0, 60.0]], jnp.float32)  # high light
+    vis = np.asarray(
+        scan_visibility(
+            scene, 128, 192, light, jnp.asarray([6.0]),
+            jnp.asarray([300.0]), q, trace_z=jnp.float32(2.0),
+            pixel_z=jnp.zeros((128, 192), jnp.float32),
+        )
+    )[0]
+    # Ground shadow of an 8-tall wall under a z=60 light ends at
+    # x = 40 + 58.4 * 60/52 ~ 107.4; just behind the wall is shadowed,
+    # past the penumbra the ray clears the wall top.
+    near_behind = vis[64, 105]
+    far_behind = vis[64, 125]
+    assert near_behind < 0.35, near_behind
+    assert far_behind > 0.8, far_behind
+
+    # Exact march agreement at the far point.
+    shaded = np.zeros((1, 3), np.float32)
+    shaded[0] = [125.0, 64.0, 0.0]
+    march = float(
+        ct.cone_trace(scene, light[0], jnp.float32(6.0),
+                      jnp.float32(300.0), jnp.asarray(shaded),
+                      jnp.asarray([True]), q)[0]
+    )
+    assert abs(far_behind - march) < 0.15, (far_behind, march)
