@@ -156,6 +156,7 @@ def scan_visibility(
     trace_z=None,
     render_scale: float = 1.0,
     pixel_z=None,
+    pixel_offset_xy=None,
 ):
     """Cone-trace-equivalent visibility for all lights -> (L, H, W).
 
@@ -242,11 +243,17 @@ def scan_visibility(
     )
     px_x = xs / jnp.maximum(render_scale, 1e-6)
     px_y = ys / jnp.maximum(render_scale, 1e-6)
+    # Ray endpoints: light (world) -> shaded surface. The self-occlusion
+    # lift the march applies (SphereLightCore.fxh:151) must follow the
+    # SURFACE NORMAL (callers pass pixel_z/pixel_offset_xy already
+    # normal-lifted) — a pure +z lift leaves vertical-face pixels inside
+    # their own volume and blackens them.
+    pz_lift = pz
+    if pixel_offset_xy is not None:
+        px_x = px_x + pixel_offset_xy[None, ..., 0]
+        px_y = px_y + pixel_offset_xy[None, ..., 1]
     lx_w = light_position[:, 0][:, None, None]
     ly_w = light_position[:, 1][:, None, None]
-    # Ray endpoints: light (world) -> shaded surface + the self-occlusion
-    # lift the march applies (SphereLightCore.fxh:151).
-    pz_lift = pz + 1.6
     has_blocker = min_d < 1e8
     if quality.scan_refine_samples <= 0:
         # Pure flatland: use the scan's own 2D min directly.

@@ -201,26 +201,37 @@ def accumulate_sphere_lights(
 
         h, w = gbuffer.shape
         ss = quality.shadow_scale
+        # Normal-lifted shading endpoint (SphereLightCore.fxh:151), plus
+        # the 2.5D screen->world y reconstruction (LightCommon.fxh:119):
+        # world y = screen y + relativeY.
+        lifted_z = gbuffer.z + SELF_OCCLUSION_HACK * gbuffer.normal[..., 2]
+        offset_xy = SELF_OCCLUSION_HACK * gbuffer.normal[..., :2]
+        offset_xy = jnp.stack(
+            [offset_xy[..., 0], offset_xy[..., 1] + gbuffer.relative_y],
+            axis=-1,
+        )
         if ss == 0.5 and h % 2 == 0 and w % 2 == 0:
             from .scan_shadows import upsample2x_bilinear
 
             sh, sw = h // 2, w // 2
-            pixel_z = jax.image.resize(gbuffer.z, (sh, sw), "linear")
+            pixel_z = jax.image.resize(lifted_z, (sh, sw), "linear")
+            off = jax.image.resize(offset_xy, (sh, sw, 2), "linear")
             vis = scan_visibility(
                 volume, sh, sw, lights.position,
                 lights.properties[:, 0], lights.properties[:, 1], quality,
                 render_scale=gbuffer.render_scale * ss,
-                pixel_z=pixel_z,
+                pixel_z=pixel_z, pixel_offset_xy=off,
             )
             vis = upsample2x_bilinear(vis)
         elif ss != 1.0:
             sh, sw = max(int(h * ss), 8), max(int(w * ss), 8)
-            pixel_z = jax.image.resize(gbuffer.z, (sh, sw), "linear")
+            pixel_z = jax.image.resize(lifted_z, (sh, sw), "linear")
+            off = jax.image.resize(offset_xy, (sh, sw, 2), "linear")
             vis = scan_visibility(
                 volume, sh, sw, lights.position,
                 lights.properties[:, 0], lights.properties[:, 1], quality,
                 render_scale=gbuffer.render_scale * ss,
-                pixel_z=pixel_z,
+                pixel_z=pixel_z, pixel_offset_xy=off,
             )
             vis = jax.image.resize(vis, (vis.shape[0], h, w), "linear")
         else:
@@ -228,7 +239,7 @@ def accumulate_sphere_lights(
                 volume, h, w, lights.position,
                 lights.properties[:, 0], lights.properties[:, 1], quality,
                 render_scale=gbuffer.render_scale,
-                pixel_z=gbuffer.z,
+                pixel_z=lifted_z, pixel_offset_xy=offset_xy,
             )
         cone = jnp.where(trace_enable, vis, 1.0)
     else:
