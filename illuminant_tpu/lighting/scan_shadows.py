@@ -25,15 +25,16 @@ same math as a GATHER-FREE column scan:
 
 Exactness vs the reference march: the scan takes the TRUE minimum along
 the ray (the march approximates it with adaptive steps), so edges are
-slightly cleaner. Two deliberate approximations, both documented quality
-trade-offs of the fast path (the march in cone_trace.py remains the exact
-oracle):
-  * the cone radius divides the single arg-min sample instead of every
-    sample (penumbra growth behavior matches; deep-umbra values can differ
-    slightly);
-  * occlusion is evaluated at one trace height `trace_z` instead of along
-    the ray's z ascent toward the light (exact for tall extruded
-    obstructions; short obstructions cast slightly longer shadows).
+slightly cleaner. The flatland scan alone evaluates occlusion at one
+trace height; the 3D REFINEMENT stage (QualitySettings.scan_refine_samples,
+default 2) then re-evaluates the analytic scene at 1-3 true 3D ray
+positions chosen from the scan's carries (arg-min, blocker midpoint,
+blocker exit), restoring the reference's 3D behavior — short obstructions
+don't shadow rays passing over them, elevated surfaces clear ground
+obstructions. Remaining trade-off vs the march: the cone radius divides
+only the refined candidate samples instead of every step (penumbra growth
+matches; deep-umbra values can differ slightly). The march in
+cone_trace.py remains the exact oracle.
 """
 
 from __future__ import annotations
