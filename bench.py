@@ -15,11 +15,21 @@ Usage: python bench.py [--small] [--frames N]
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
+
+# Persistent compilation cache: a fresh bench process reuses prior
+# compiles (the remote compiler is the dominant cost of a cold run).
+_CACHE_DIR = os.path.join(os.path.dirname(__file__), ".jax_cache")
+try:
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
 
 
 def main():
