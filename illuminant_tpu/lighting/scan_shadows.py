@@ -60,9 +60,7 @@ def occlusion_image(scene: AnalyticScene, height: int, width: int, trace_z,
     """Dense scene distance at every pixel center, at height trace_z."""
     ys = (jnp.arange(height, dtype=jnp.float32) + 0.5) / render_scale
     xs = (jnp.arange(width, dtype=jnp.float32) + 0.5) / render_scale
-    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
-    pos = jnp.stack([gx, gy, jnp.broadcast_to(trace_z, gx.shape)], axis=-1)
-    return scene.distance(pos)
+    return scene.distance_p(xs[None, :], ys[:, None], trace_z)
 
 
 def _bidirectional_scan(occ, light_x, light_y, light_radius, unroll=32):
@@ -281,13 +279,7 @@ def scan_visibility(
         sx = lx_w + (px_x - lx_w) * t
         sy = ly_w + (px_y - ly_w) * t
         sz = lz[:, None, None] + (pz_lift - lz[:, None, None]) * t
-        pos = jnp.stack(
-            [jnp.broadcast_to(sx, min_d.shape),
-             jnp.broadcast_to(sy, min_d.shape),
-             jnp.broadcast_to(sz, min_d.shape)],
-            axis=-1,
-        )
-        d_i = scene.distance(pos)
+        d_i = scene.distance_p(sx, sy, sz)
         u_i = jnp.maximum((1.0 - t) * major * sec, 0.0)
         radius_i = jnp.minimum(growth * u_i + MIN_CONE_RADIUS, max_radius)
         vis_i = (d_i + HACK_DISTANCE_OFFSET) / radius_i

@@ -132,6 +132,23 @@ def compute_specularity(camera_position, shaded_position, shaded_normal,
     )
 
 
+def compute_ao_p(volume, px, py, pz, nz, ao_radius, ao_opacity, visible):
+    """Planar AOCommon.fxh:1-20 (one field sample above the surface).
+    The sample offset follows +z * normal.z * radius like compute_ao."""
+    if volume is None:
+        return jnp.ones(jnp.broadcast_shapes(jnp.shape(px),
+                                             jnp.shape(ao_radius)),
+                        jnp.float32)
+    from ..sdf.analytic import scene_sample_p
+
+    d = scene_sample_p(volume, px, py, pz + nz * ao_radius)
+    clamped = jnp.clip(d, 0.0, ao_radius)
+    r = 1.0 - _saturate(clamped / jnp.maximum(ao_radius, 1e-6))
+    r = 1.0 - r * r
+    result = (1.0 - ao_opacity) + r * ao_opacity
+    return jnp.where((ao_radius >= 0.5) & visible, result, 1.0)
+
+
 @named_scope("illuminant/sphere_lights")
 def accumulate_sphere_lights(
     volume,
@@ -152,8 +169,20 @@ def accumulate_sphere_lights(
     as 1 per lit pixel — here we accumulate opacity which saturates the
     same way for lit pixels).
     """
-    world_pos = gbuffer.world_position()  # (H, W, 3)
+    # Planar pixel planes — the whole per-(light, pixel) prologue runs on
+    # (L, H, W) component arrays; a (..., 3) minor dim would pad to the
+    # 128-lane registers and dominate the pass (see PERF.md).
+    h, w = gbuffer.shape
+    rs = gbuffer.render_scale
+    ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) / rs
+    xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / rs
+    wx = xs[None, None, :]  # (1, 1, W)
+    wy = ys[None, :, None] + gbuffer.relative_y[None]  # (1, H, W)
+    wz = gbuffer.z[None]
     normal = gbuffer.normal
+    nx = normal[None, ..., 0]
+    ny = normal[None, ..., 1]
+    nz = normal[None, ..., 2]
 
     # Light axes broadcast as leading dim: (L, 1, 1).
     L = lights.capacity
@@ -163,12 +192,51 @@ def accumulate_sphere_lights(
     color = lights.color  # (L, 4)
     active = lights.active[:, None, None]
 
-    distance_opacity = compute_sphere_light_opacity(
-        world_pos[None], normal[None], lc, props,
-        more[..., 2], env.light_occlusion,
+    def lplane(v):  # (L,) -> (L, 1, 1)
+        return v[:, None, None]
+
+    radius = lplane(lights.properties[:, 0])
+    ramp_length = jnp.maximum(lplane(lights.properties[:, 1]), 1e-6)
+    falloff_mode = lplane(lights.properties[:, 2])
+    y_factor = lplane(lights.more[:, 2])
+
+    # computeSphereLightOpacity (LightCommon.fxh:173-210), planar.
+    d3x = wx - lplane(lights.position[:, 0])
+    d3y = (wy - lplane(lights.position[:, 1])) * y_factor
+    d3z = wz - lplane(lights.position[:, 2])
+    distance = jnp.sqrt(d3x * d3x + d3y * d3y + d3z * d3z + 1e-12)
+    distance_factor = 1.0 - _saturate((distance - radius) / ramp_length)
+
+    # Far-behind-the-pixel occlusion (fxh:187-192).
+    lo = jnp.maximum(env.light_occlusion, 1e-6)
+    occl = 1.0 - _saturate(d3z / lo)
+    distance_factor = distance_factor * jnp.where(
+        env.light_occlusion > 0.0, occl, 1.0
+    )
+
+    # Normal ramp (fxh:154-171): light normal = d3/distance.
+    dot = -(d3x * nx + d3y * ny + d3z * nz) / distance
+    normal_factor = _saturate(
+        (dot + DOT_OFFSET) / DOT_RAMP_RANGE) ** DOT_EXPONENT
+    no_normal = (nx == 0.0) & (ny == 0.0) & (nz == 0.0)
+    normal_factor = jnp.where(no_normal, 1.0, normal_factor)
+
+    # Falloff modes (fxh:197-203): 2 = none, 1 = exponential, 0 = linear.
+    df_none = 1.0 - _saturate(distance - radius)
+    df_exp = distance_factor * distance_factor
+    distance_factor = jnp.where(
+        falloff_mode >= 2.0,
+        df_none,
+        jnp.where(falloff_mode >= 1.0, df_exp, distance_factor),
+    )
+    normal_factor = jnp.where(falloff_mode >= 2.0, 1.0, normal_factor)
+
+    # Inside the radius -> fully lit (fxh:208-209).
+    distance_opacity = _saturate(
+        normal_factor * distance_factor + _saturate(radius - distance)
     )  # (L, H, W)
 
-    visible = (distance_opacity > 0.0) & (world_pos[None, ..., 0] > -9999.0)
+    visible = (distance_opacity > 0.0) & (wx > -9999.0)
 
     # Fullbright pixels and shadow filtering (SphereLight.fx:25-31).
     not_fullbright = gbuffer.fullbright[None] < 0.5
@@ -176,10 +244,9 @@ def accumulate_sphere_lights(
 
     if with_ao:
         # AO only on upward-facing surfaces (SphereLightCore.fxh:77).
-        ao_radius = more[..., 0] * jnp.maximum(0.0, normal[None, ..., 2])
-        ao = compute_ao(
-            volume, world_pos[None], normal[None], ao_radius, more[..., 3],
-            visible,
+        ao_radius = more[..., 0] * jnp.maximum(0.0, nz)
+        ao = compute_ao_p(
+            volume, wx, wy, wz, nz, ao_radius, more[..., 3], visible,
         )
         pre_trace = distance_opacity * ao
     else:
@@ -243,6 +310,7 @@ def accumulate_sphere_lights(
             )
         cone = jnp.where(trace_enable, vis, 1.0)
     else:
+        world_pos = gbuffer.world_position()
         cone = cone_trace(
             volume,
             lc,
@@ -262,8 +330,7 @@ def accumulate_sphere_lights(
         # the cone term. Per-light flag mixes ramped and plain lights.
         from .projector import _sample_texture_bilinear
 
-        d = world_pos[None] - lc
-        angle = jnp.arctan2(d[..., 1], d[..., 0])
+        angle = jnp.arctan2(wy - lplane(lights.position[:, 1]), d3x)
         orate = lights.ramp_offset_rate
         v = (angle + orate[:, None, None, 0]) * orate[:, None, None, 1]
         ramp_rgbs = []
@@ -286,26 +353,33 @@ def accumulate_sphere_lights(
             * color[:, None, None, 3:4]
             * per_light_rgb
         )
+        out_rgb = jnp.sum(rgb, axis=0)
     else:
-        rgb = (
-            color[:, None, None, :3]
-            * color[:, None, None, 3:4]
-            * opacity[..., None]
+        # sum_l color_l.rgb * color_l.a * opacity_l as ONE contraction
+        # over the light axis — no (L, H, W, 3) materialization.
+        out_rgb = jnp.einsum(
+            "lhw,lc->hwc", opacity, color[:, :3] * color[:, 3:4],
+            preferred_element_type=jnp.float32,
         )
 
     if with_specular:
+        # CalcSphereLightSpecularity (LightCommon.fxh:212-222), planar:
+        # camera straight above the pixel at maximum_z + 0.01.
         spec = lights.specular_color_power
-        cam = gbuffer.camera_position(env)
-        specularity = compute_specularity(
-            cam[None], world_pos[None], normal[None], lc,
-            spec[:, None, None, 3],
-        )
-        rgb = rgb + (
-            spec[:, None, None, :3]
-            * specularity[..., None]
-            * opacity[..., None]
+        # camera - shaded = (0, -relativeY, maximum_z + 0.01 - z).
+        cy = -gbuffer.relative_y[None]
+        cz = env.maximum_z + 0.01 - wz
+        c_len = jnp.sqrt(cy * cy + cz * cz + 1e-12)
+        hx = -d3x
+        hy = cy / c_len - (wy - lplane(lights.position[:, 1]))
+        hz = cz / c_len - d3z
+        h_len = jnp.sqrt(hx * hx + hy * hy + hz * hz + 1e-12)
+        sdot = _saturate((hx * nx + hy * ny + hz * nz) / h_len)
+        specularity = sdot ** jnp.maximum(lplane(spec[:, 3]), 1e-6)
+        out_rgb = out_rgb + jnp.einsum(
+            "lhw,lc->hwc", specularity * opacity, spec[:, :3],
+            preferred_element_type=jnp.float32,
         )
 
-    out_rgb = jnp.sum(rgb, axis=0)
     out_a = jnp.sum(opacity, axis=0)
     return jnp.concatenate([out_rgb, out_a[..., None]], axis=-1)

@@ -4,38 +4,48 @@ Ports of /root/reference/Illuminant/Shaders/UpdateParticleSystem.fx
 (PS_Update :9-38) and UpdateParticleSystemWithDistanceField.fx (PS_Update
 :29-147): friction/max-velocity, life decay, and for the collision variant
 up to MAX_STEP_COUNT=3 sphere-trace substeps with bounce / escape /
-redirect states, tetrahedral normal estimation, bounce-delay counter in
-velocity.w, and the collision life penalty.
+redirect states, normal estimation, bounce-delay counter in velocity.w,
+and the collision life penalty.
 
 Branch-heavy GPU code becomes branchless masked selects — every particle
 computes all outcomes and picks one, which is exactly how the VPU wants it.
+The math runs PLANAR (separate x/y/z component arrays): a (N, 3) minor dim
+pads to the 128-lane registers on TPU, so the whole step is expressed over
+(N,) planes and repacked into the (N, 4) state arrays once at the end.
 """
 
 from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..sdf.analytic import scene_normal, scene_sample
+from ..sdf.analytic import scene_normal_p, scene_sample_p
 from ..sdf.volume import SdfVolume
 from ..core.pytree import named_scope
 from .render_data import RenderDataUniforms, compute_render_data
-from .state import ParticleState, SystemUniforms, apply_friction_and_maximum
+from .state import ParticleState, SystemUniforms
 
 # UpdateParticleSystemWithDistanceField.fx:12-25.
 MAX_STEP_COUNT = 3
 BOUNCE_DELAY = 3.0
 NO_NORMAL_THRESHOLD = 0.33
-ESCAPE_MASK = jnp.asarray([1.0, 1.0, 0.0], jnp.float32)
 INITIAL_ESCAPE_SPEED = 0.33
 ESCAPE_SPEED_ACCELERATION = 1.1
 
 
-def _norm(v, eps=1e-12):
-    return jnp.sqrt(jnp.maximum(jnp.sum(v * v, axis=-1), eps))
+def _len3(x, y, z, eps=1e-12):
+    return jnp.sqrt(x * x + y * y + z * z + eps)
 
 
-def _unit(v, eps=1e-12):
-    return v / _norm(v, eps)[..., None]
+def _friction_max_p(vx, vy, vz, su: SystemUniforms):
+    """applyFrictionAndMaximum (UpdateCommon.fxh:20-35), planar — exact
+    mirror of state.apply_friction_and_maximum."""
+    l = _len3(vx, vy, vz, 1e-20)
+    max_v = su.maximum_velocity
+    clamped = jnp.minimum(l, max_v)
+    friction = clamped * su.friction
+    new_l = jnp.clip(clamped - friction * su.dt, 0.0, max_v)
+    m = jnp.where(l <= 0.001, 0.0, new_l / l)
+    return vx * m, vy * m, vz * m
 
 
 def integrate(state: ParticleState, su: SystemUniforms,
@@ -45,21 +55,26 @@ def integrate(state: ParticleState, su: SystemUniforms,
     vel = state.velocity
     dt = su.dt
 
-    velocity = apply_friction_and_maximum(vel[:, :3], su)
+    vx, vy, vz = _friction_max_p(vel[:, 0], vel[:, 1], vel[:, 2], su)
     new_life = pos[:, 3] - su.life_decay * dt
     alive = new_life > 0.0
 
-    new_pos = jnp.concatenate(
-        [pos[:, :3] + velocity * dt, new_life[:, None]], axis=-1
-    )
-    new_vel = jnp.concatenate([velocity, vel[:, 3:4]], axis=-1)
-
     was_alive = pos[:, 3] > 0.0
-    keep = (alive & was_alive)[:, None]
-    new_pos = jnp.where(keep, new_pos, jnp.where(was_alive[:, None], 0.0,
-                                                 pos))
-    new_vel = jnp.where(keep, new_vel, jnp.where(was_alive[:, None], 0.0,
-                                                 vel))
+    keep = alive & was_alive
+    kill = was_alive & ~keep
+
+    def sel(new, old):
+        return jnp.where(keep, new, jnp.where(was_alive, 0.0, old))
+
+    new_pos = jnp.stack(
+        [sel(pos[:, 0] + vx * dt, pos[:, 0]),
+         sel(pos[:, 1] + vy * dt, pos[:, 1]),
+         sel(pos[:, 2] + vz * dt, pos[:, 2]),
+         sel(new_life, pos[:, 3])], axis=-1)
+    new_vel = jnp.stack(
+        [sel(vx, vel[:, 0]), sel(vy, vel[:, 1]), sel(vz, vel[:, 2]),
+         sel(vel[:, 3], vel[:, 3])], axis=-1)
+    del kill
 
     index = jnp.arange(state.capacity, dtype=jnp.int32)
     render_color, render_data = compute_render_data(
@@ -94,27 +109,29 @@ def integrate_with_distance_field(
     bounce_mult = su.collision_settings[1]
     life_penalty = su.collision_settings[3]
 
-    old_xyz = pos[:, :3]
+    ox, oy, oz = pos[:, 0], pos[:, 1], pos[:, 2]
     new_life = pos[:, 3] - su.life_decay * dt
     was_alive = pos[:, 3] > 0.0
     alive = (new_life > 0.0) & was_alive
 
-    unit_vector = _unit(vel[:, :3])
-    velocity = apply_friction_and_maximum(vel[:, :3], su)
-    scaled_velocity = velocity * dt
+    v0x, v0y, v0z, v0w = vel[:, 0], vel[:, 1], vel[:, 2], vel[:, 3]
+    v0len = _len3(v0x, v0y, v0z)
+    ux, uy, uz = v0x / v0len, v0y / v0len, v0z / v0len
+    vx, vy, vz = _friction_max_p(v0x, v0y, v0z, su)
+    scaled_len = _len3(vx, vy, vz) * dt
 
     # fx:63-70.
-    initial_distance = scene_sample(volume, old_xyz)
-    above_field = old_xyz[:, 2] > maximum_z
+    initial_distance = scene_sample_p(volume, ox, oy, oz)
+    above_field = oz > maximum_z
     initial_distance = jnp.where(above_field, 1e9, initial_distance)
     was_colliding = initial_distance < collision_distance
-    travel = jnp.maximum(
-        0.0, jnp.minimum(initial_distance, _norm(scaled_velocity))
-    )
+    travel = jnp.maximum(0.0, jnp.minimum(initial_distance, scaled_len))
 
     collided = jnp.zeros_like(was_colliding)
     escaping = jnp.zeros_like(was_colliding)
-    collision_pos = jnp.zeros_like(old_xyz)
+    cpx = jnp.zeros_like(ox)
+    cpy = jnp.zeros_like(ox)
+    cpz = jnp.zeros_like(ox)
     # Active substep mask (fx:66-71): wasColliding -> 1 step; zero travel
     # -> 0 steps.
     steps_left = jnp.where(
@@ -123,21 +140,25 @@ def integrate_with_distance_field(
 
     for _ in range(MAX_STEP_COUNT):  # fx:72-90, statically unrolled
         active = steps_left > 0
-        test_pos = old_xyz + travel[:, None] * unit_vector
-        step_distance = scene_sample(volume, test_pos)
+        tx = ox + travel * ux
+        ty = oy + travel * uy
+        tz = oz + travel * uz
+        step_distance = scene_sample_p(volume, tx, ty, tz)
         step_distance = jnp.where(above_field, 1e9, step_distance)
         hit = step_distance < collision_distance
 
-        collided = jnp.where(active & hit, True, collided)
-        collision_pos = jnp.where(
-            (active & hit)[:, None], test_pos, collision_pos
-        )
+        newly = active & hit
+        collided = jnp.where(newly, True, collided)
+        cpx = jnp.where(newly, tx, cpx)
+        cpy = jnp.where(newly, ty, cpy)
+        cpz = jnp.where(newly, tz, cpz)
         escaping = jnp.where(active, step_distance > initial_distance,
                              escaping)
 
         backtrack = active & collided & ~escaping
-        collision_pos = jnp.where(backtrack[:, None], test_pos,
-                                  collision_pos)
+        cpx = jnp.where(backtrack, tx, cpx)
+        cpy = jnp.where(backtrack, ty, cpy)
+        cpz = jnp.where(backtrack, tz, cpz)
         offset = jnp.clip(step_distance + collision_distance, 0.05, 16.0)
         travel = jnp.where(backtrack, jnp.maximum(0.0, travel - offset),
                            travel)
@@ -148,88 +169,95 @@ def integrate_with_distance_field(
         )
 
     # fx:92-139: resolve collision outcomes.
-    bounce = vel[:, 3] <= 0.0
+    bounce = v0w <= 0.0
     redirect = was_colliding & ~escaping
     needs_normal = collided & (bounce | redirect)
-    normal = jnp.where(
-        needs_normal[:, None], scene_normal(volume, collision_pos), 0.0
-    )
+    nnx, nny, nnz = scene_normal_p(volume, cpx, cpy, cpz)
+    nx = jnp.where(needs_normal, nnx, 0.0)
+    ny = jnp.where(needs_normal, nny, 0.0)
+    nz = jnp.where(needs_normal, nnz, 0.0)
     escape_speed = jnp.minimum(su.maximum_velocity, escape_velocity)
 
-    # Redirect: flee along the (xy-masked) normal (fx:103-116).
-    r_normal = normal * ESCAPE_MASK
-    r_len = _norm(r_normal)
+    # Redirect: flee along the (xy-masked) normal (fx:103-116) — the
+    # escape mask zeroes z (ESCAPE_MASK in the shader).
+    r_len = _len3(nx, ny, jnp.zeros_like(nx))
     # Position-hash fallback direction to escape volume centers (fx:105-110)
     # — keyed on the slot index here instead of pixel xy.
     slot = jnp.arange(pos.shape[0], dtype=jnp.float32)
     hash_angle = (slot % 67.0) / 67.0 * 6.2831853 + (slot % 13.0) / 13.0
-    fallback = jnp.stack(
-        [jnp.sin(hash_angle), jnp.cos(hash_angle),
-         jnp.zeros_like(hash_angle)], axis=-1,
-    )
-    r_dir = jnp.where(
-        (r_len < NO_NORMAL_THRESHOLD)[:, None], fallback, r_normal
-    )
-    r_vel3 = _unit(r_dir) * (escape_speed * INITIAL_ESCAPE_SPEED)
-    r_pos = old_xyz + r_vel3 * dt
+    fbx = jnp.sin(hash_angle)
+    fby = jnp.cos(hash_angle)
+    no_norm = r_len < NO_NORMAL_THRESHOLD
+    rdx = jnp.where(no_norm, fbx, nx)
+    rdy = jnp.where(no_norm, fby, ny)
+    rd_len = _len3(rdx, rdy, jnp.zeros_like(rdx))
+    r_speed = escape_speed * INITIAL_ESCAPE_SPEED
+    r_vx = rdx / rd_len * r_speed
+    r_vy = rdy / rd_len * r_speed
+    r_vz = jnp.zeros_like(r_vx)
+    r_px = ox + r_vx * dt
+    r_py = oy + r_vy * dt
+    r_pz = oz + r_vz * dt
 
     # Bounce: reflect (fx:117-128).
-    ndotu = jnp.sum(normal * unit_vector, axis=-1, keepdims=True)
-    bounce_vec = -(2.0 * ndotu * (normal - unit_vector))
-    b_len = _norm(bounce_vec)
-    bounce_dir = jnp.where(
-        (b_len < NO_NORMAL_THRESHOLD)[:, None], -unit_vector,
-        _unit(bounce_vec),
-    )
-    b_speed = jnp.minimum(
-        su.maximum_velocity, _norm(velocity) * bounce_mult
-    )
-    b_vel3 = bounce_dir * b_speed[:, None]
-    b_pos = collision_pos
+    ndotu = nx * ux + ny * uy + nz * uz
+    bvx = -(2.0 * ndotu * (nx - ux))
+    bvy = -(2.0 * ndotu * (ny - uy))
+    bvz = -(2.0 * ndotu * (nz - uz))
+    b_len = _len3(bvx, bvy, bvz)
+    short = b_len < NO_NORMAL_THRESHOLD
+    bdx = jnp.where(short, -ux, bvx / b_len)
+    bdy = jnp.where(short, -uy, bvy / b_len)
+    bdz = jnp.where(short, -uz, bvz / b_len)
+    b_speed = jnp.minimum(su.maximum_velocity, _len3(vx, vy, vz) *
+                          bounce_mult)
+    b_vx, b_vy, b_vz = bdx * b_speed, bdy * b_speed, bdz * b_speed
 
     # Escaping while colliding: accelerate out (fx:129-135).
-    cur_speed = _norm(vel[:, :3])
-    e_speed = jnp.maximum(cur_speed * ESCAPE_SPEED_ACCELERATION,
-                          escape_speed)
-    e_vel3 = unit_vector * e_speed[:, None]
-    e_pos = old_xyz + travel[:, None] * unit_vector
+    e_speed = jnp.maximum(v0len * ESCAPE_SPEED_ACCELERATION, escape_speed)
+    e_vx, e_vy, e_vz = ux * e_speed, uy * e_speed, uz * e_speed
 
     # No collision (fx:136-139).
-    n_vel3 = velocity
-    n_pos = old_xyz + travel[:, None] * unit_vector
-    n_w = jnp.maximum(vel[:, 3] - 1.0, 0.0)
+    n_px = ox + travel * ux
+    n_py = oy + travel * uy
+    n_pz = oz + travel * uz
+    n_w = jnp.maximum(v0w - 1.0, 0.0)
 
-    sel_redirect = (collided & redirect)[:, None]
-    sel_bounce = (collided & ~redirect & bounce)[:, None]
-    sel_escape = (collided & ~redirect & ~bounce)[:, None]
+    sel_redirect = collided & redirect
+    sel_bounce = collided & ~redirect & bounce
+    sel_escape = collided & ~redirect & ~bounce
 
-    out_vel3 = jnp.where(
-        sel_redirect, r_vel3,
-        jnp.where(sel_bounce, b_vel3, jnp.where(sel_escape, e_vel3, n_vel3)),
-    )
-    out_pos3 = jnp.where(
-        sel_redirect, r_pos,
-        jnp.where(sel_bounce, b_pos, jnp.where(sel_escape, e_pos, n_pos)),
-    )
+    def pick(r, b, e, n):
+        return jnp.where(
+            sel_redirect, r,
+            jnp.where(sel_bounce, b, jnp.where(sel_escape, e, n)),
+        )
+
+    out_vx = pick(r_vx, b_vx, e_vx, vx)
+    out_vy = pick(r_vy, b_vy, e_vy, vy)
+    out_vz = pick(r_vz, b_vz, e_vz, vz)
+    out_px = pick(r_px, cpx, n_px, n_px)
+    out_py = pick(r_py, cpy, n_py, n_py)
+    out_pz = pick(r_pz, cpz, n_pz, n_pz)
     out_w = jnp.where(
         collided & (redirect | bounce), BOUNCE_DELAY,
-        jnp.where(collided, vel[:, 3], n_w),
+        jnp.where(collided, v0w, n_w),
     )
     new_life = jnp.where(collided & ~redirect & bounce,
                          new_life - life_penalty, new_life)
 
     alive = alive & (new_life > 0.0)
-    keep = alive[:, None]
-    new_pos = jnp.where(
-        keep,
-        jnp.concatenate([out_pos3, new_life[:, None]], axis=-1),
-        jnp.where(was_alive[:, None], 0.0, pos),
-    )
-    new_vel = jnp.where(
-        keep,
-        jnp.concatenate([out_vel3, out_w[:, None]], axis=-1),
-        jnp.where(was_alive[:, None], 0.0, vel),
-    )
+    keep = alive
+
+    def sel(new, old):
+        return jnp.where(keep, new, jnp.where(was_alive, 0.0, old))
+
+    new_pos = jnp.stack(
+        [sel(out_px, pos[:, 0]), sel(out_py, pos[:, 1]),
+         sel(out_pz, pos[:, 2]), sel(new_life, pos[:, 3])], axis=-1)
+    new_vel = jnp.stack(
+        [sel(out_vx, vel[:, 0]), sel(out_vy, vel[:, 1]),
+         sel(out_vz, vel[:, 2]), sel(out_w, vel[:, 3])], axis=-1)
 
     index = jnp.arange(state.capacity, dtype=jnp.int32)
     render_color, render_data = compute_render_data(

@@ -66,7 +66,6 @@ def spawn(
     """Write up to spawn_max new particles at the ring cursor."""
     n = state.capacity
     rel = jnp.arange(spawn_max, dtype=jnp.int32)
-    idx = jnp.mod(state.write_cursor + rel, n)
     mask = rel < count
 
     k1, k2, k3 = jax.random.split(key, 3)
@@ -148,13 +147,29 @@ def spawn(
 
     mask = mask & (new_attributes[:, 3] >= u.attribute_discard_threshold)
 
-    # Masked rows scatter to an out-of-bounds index and are dropped — a
-    # read-modify-write would resurrect stale values when the ring index
-    # range wraps the capacity (duplicate indices).
-    safe_idx = jnp.where(mask, idx, n)
-    position = state.position.at[safe_idx].set(new_position, mode="drop")
-    velocity = state.velocity.at[safe_idx].set(new_velocity, mode="drop")
-    color = state.color.at[safe_idx].set(new_attributes, mode="drop")
+    # The ring window [cursor, cursor+spawn_max) is contiguous modulo the
+    # capacity, so the write is a roll + static-window read-modify-write —
+    # a scatter here costs ~44 ns/row on v5e (serial index processing)
+    # while two rolls are plain dense copies. Masked rows (count gate or
+    # attribute discard, SpawnerCommon.fxh:185-188) keep their old values.
+    if spawn_max <= n:
+        def window_write(arr, new_rows):
+            rolled = jnp.roll(arr, -state.write_cursor, axis=0)
+            win = jnp.where(mask[:, None], new_rows, rolled[:spawn_max])
+            rolled = rolled.at[:spawn_max].set(win)
+            return jnp.roll(rolled, state.write_cursor, axis=0)
+    else:
+        # spawn_max exceeds the ring: the window self-overlaps, so fall
+        # back to a (cheap at this size) scatter with drop semantics.
+        idx = jnp.mod(state.write_cursor + rel, n)
+        safe_idx = jnp.where(mask, idx, n)
+
+        def window_write(arr, new_rows):
+            return arr.at[safe_idx].set(new_rows, mode="drop")
+
+    position = window_write(state.position, new_position)
+    velocity = window_write(state.velocity, new_velocity)
+    color = window_write(state.color, new_attributes)
 
     return state.replace(
         position=position,

@@ -57,13 +57,73 @@ class AnalyticScene:
     group_types: Tuple[int, ...] = static_field(default=())
     group_rotated: Tuple[bool, ...] = static_field(default=())
     maximum_distance: float = static_field(default=128.0)
+    # Live obstruction count per group (excluding pad slots). Empty tuple
+    # means "all slots" (back-compat).
+    group_counts: Tuple[int, ...] = static_field(default=())
+
+    # Above this many total obstructions the per-obstruction python unroll
+    # stops paying (graph size) and the vectorized group path takes over.
+    _UNROLL_LIMIT = 64
+
+    def _counts(self):
+        if self.group_counts:
+            return self.group_counts
+        return tuple(int(c.shape[0]) for c in self.centers)
 
     def distance(self, position):
         """Scene distance at (..., 3) points -> (...,). Min over all
         obstructions (== the reference's MAX blend over encoded distances,
         fxh:264-270) and extruded height-volume polygons."""
-        d = jnp.full(position.shape[:-1], self.maximum_distance,
-                     dtype=jnp.float32)
+        return self.distance_p(
+            position[..., 0], position[..., 1], position[..., 2]
+        )
+
+    def distance_p(self, x, y, z):
+        """Planar scene distance: x/y/z broadcastable component arrays ->
+        distance of their broadcast shape. The TPU fast path: unrolls over
+        the (few) obstructions so XLA fuses the whole scene into ONE
+        elementwise pass with no (..., n, 3) lane-padded intermediates."""
+        counts = self._counts()
+        if sum(counts) > self._UNROLL_LIMIT:
+            return self._distance_vectorized(x, y, z)
+        shape = jnp.broadcast_shapes(jnp.shape(x), jnp.shape(y),
+                                     jnp.shape(z))
+        d = jnp.full(shape, self.maximum_distance, dtype=jnp.float32)
+        for gi, type_id in enumerate(self.group_types):
+            centers = self.centers[gi]  # (n, 3)
+            sizes = self.sizes[gi]
+            fn = sp.PLANAR_EVALUATORS[type_id]
+            for i in range(counts[gi]):
+                px = x - centers[i, 0]
+                py = y - centers[i, 1]
+                pz = z - centers[i, 2]
+                if self.group_rotated[gi]:
+                    q = self.rotations[gi]
+                    px, py, pz = sp.rotate_by_quaternion_p(
+                        px, py, pz, q[i, 0], q[i, 1], q[i, 2], q[i, 3]
+                    )
+                d = jnp.minimum(
+                    d, fn(px, py, pz, sizes[i, 0], sizes[i, 1], sizes[i, 2])
+                )
+        if self.polygons is not None:
+            from .height_volume import extruded_polygon_distance
+
+            pos = jnp.stack(
+                [jnp.broadcast_to(x, shape), jnp.broadcast_to(y, shape),
+                 jnp.broadcast_to(z, shape)], axis=-1)
+            d = jnp.minimum(
+                d, extruded_polygon_distance(pos, self.polygons)
+            )
+        return d
+
+    def _distance_vectorized(self, x, y, z):
+        """Group-batched path for large obstruction counts."""
+        shape = jnp.broadcast_shapes(jnp.shape(x), jnp.shape(y),
+                                     jnp.shape(z))
+        position = jnp.stack(
+            [jnp.broadcast_to(x, shape), jnp.broadcast_to(y, shape),
+             jnp.broadcast_to(z, shape)], axis=-1)
+        d = jnp.full(shape, self.maximum_distance, dtype=jnp.float32)
         for gi, type_id in enumerate(self.group_types):
             centers = self.centers[gi]  # (n, 3)
             sizes = self.sizes[gi]
@@ -80,17 +140,28 @@ class AnalyticScene:
             )
         return d
 
+    def normal_p(self, x, y, z):
+        """Planar field gradient via reverse-mode AD -> (nx, ny, nz)."""
+        import jax
+
+        d, vjp = jax.vjp(self.distance_p, x, y, z)
+        gx, gy, gz = vjp(jnp.ones_like(d))
+        norm = jnp.sqrt(gx * gx + gy * gy + gz * gz)
+        safe = jnp.maximum(norm, 1e-9)
+        ok = norm > 1e-9
+        return (jnp.where(ok, gx / safe, 0.0),
+                jnp.where(ok, gy / safe, 0.0),
+                jnp.where(ok, gz / safe, 0.0))
+
     def estimate_normal(self, position):
         """Exact field gradient via reverse-mode AD (~2 distance evals
         instead of the 4-tap tetrahedral stencil the texture path needs —
         the analytic field is differentiable, so VisualizeCommon.fxh's
         finite differences are unnecessary)."""
-        import jax
-
-        d, vjp = jax.vjp(self.distance, position)
-        (grad,) = vjp(jnp.ones_like(d))
-        norm = jnp.sqrt(jnp.sum(grad * grad, axis=-1, keepdims=True))
-        return jnp.where(norm > 1e-9, grad / jnp.maximum(norm, 1e-9), 0.0)
+        nx, ny, nz = self.normal_p(
+            position[..., 0], position[..., 1], position[..., 2]
+        )
+        return jnp.stack([nx, ny, nz], axis=-1)
 
 
 _NORMAL_WEIGHTS = jnp.asarray(
@@ -119,7 +190,7 @@ def pack_scene(obstructions: List, maximum_distance: float = 128.0,
         by_type.setdefault(o.type, []).append(o)
 
     centers, sizes, rotations = [], [], []
-    group_types, group_rotated = [], []
+    group_types, group_rotated, group_counts = [], [], []
     for type_id in sorted(by_type):
         group = by_type[type_id]
         n = len(group)
@@ -136,6 +207,7 @@ def pack_scene(obstructions: List, maximum_distance: float = 128.0,
             rotated = rotated or not _is_identity_rotation(o.rotation)
         group_types.append(type_id)
         group_rotated.append(rotated)
+        group_counts.append(n)
         centers.append(jnp.asarray(c))
         sizes.append(jnp.asarray(s))
         rotations.append(jnp.asarray(r))
@@ -156,6 +228,7 @@ def pack_scene(obstructions: List, maximum_distance: float = 128.0,
         group_types=tuple(group_types),
         group_rotated=tuple(group_rotated),
         maximum_distance=maximum_distance,
+        group_counts=tuple(group_counts),
     )
 
 
@@ -176,3 +249,25 @@ def scene_normal(field, position):
     from .sampling import estimate_normal
 
     return estimate_normal(field, position)
+
+
+def scene_sample_p(field, x, y, z):
+    """Planar scene query: component arrays in, distance out. Dispatches
+    to the unrolled analytic fast path; other field kinds stack."""
+    if isinstance(field, AnalyticScene):
+        return field.distance_p(x, y, z)
+    shape = jnp.broadcast_shapes(jnp.shape(x), jnp.shape(y), jnp.shape(z))
+    pos = jnp.stack([jnp.broadcast_to(x, shape), jnp.broadcast_to(y, shape),
+                     jnp.broadcast_to(z, shape)], axis=-1)
+    return scene_sample(field, pos)
+
+
+def scene_normal_p(field, x, y, z):
+    """Planar normal query -> (nx, ny, nz)."""
+    if isinstance(field, AnalyticScene):
+        return field.normal_p(x, y, z)
+    shape = jnp.broadcast_shapes(jnp.shape(x), jnp.shape(y), jnp.shape(z))
+    pos = jnp.stack([jnp.broadcast_to(x, shape), jnp.broadcast_to(y, shape),
+                     jnp.broadcast_to(z, shape)], axis=-1)
+    n = scene_normal(field, pos)
+    return n[..., 0], n[..., 1], n[..., 2]
