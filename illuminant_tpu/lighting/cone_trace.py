@@ -9,9 +9,11 @@ TPU design: the per-pixel data-dependent `while` becomes a whole-tensor
 `lax.while_loop` with an active mask — every live element advances together
 and the loop exits when ALL elements are done (shadowed, reached the light,
 or out of steps). Shadow rays from adjacent pixels are coherent, so the
-max-live-step count stays near the per-pixel average in practice. The
-Pallas kernel variant (pallas_trace.py) tiles pixels and pins SDF slabs in
-VMEM; this jnp version is the reference implementation and the fallback.
+max-live-step count stays near the per-pixel average in practice. This is
+the exact-semantics oracle; the production path is the gather-free scan
+reformulation in scan_shadows.py. (A Pallas tile-march variant is still
+TODO: the current Mosaic toolchain rejects the dynamic gathers it needs —
+see PERF.md "axon quirks".)
 
 Constants (ConeTrace.fxh:1-29):
 """

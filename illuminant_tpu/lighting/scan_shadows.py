@@ -63,7 +63,15 @@ def occlusion_image(scene: AnalyticScene, height: int, width: int, trace_z,
     return scene.distance_p(xs[None, :], ys[:, None], trace_z)
 
 
-def _bidirectional_scan(occ, light_x, light_y, light_radius, unroll=32):
+def _default_unroll() -> int:
+    """Scan unroll: 32 amortizes per-step overhead on TPU, but makes the
+    XLA *CPU* compile pathologically slow (minutes for a 256-column scan —
+    the round-1 test suite was un-runnable because of it). CPU tests are
+    about semantics, not throughput, so don't unroll there."""
+    return 32 if jax.default_backend() != "cpu" else 1
+
+
+def _bidirectional_scan(occ, light_x, light_y, light_radius, unroll=None):
     """Both half-plane passes in ONE lax.scan (the reverse pass runs on the
     flipped image as a batch row — halves the sequential op count; unroll
     amortizes per-step overhead). occ: (H, W); light_x/y/radius: (L,).
@@ -131,7 +139,8 @@ def _bidirectional_scan(occ, light_x, light_y, light_radius, unroll=32):
         jnp.zeros((2, L, H), jnp.float32),
     )
     _, (pre_d, pre_k, pre_n) = jax.lax.scan(
-        step, init, (cols, occ_both), unroll=unroll
+        step, init, (cols, occ_both),
+        unroll=_default_unroll() if unroll is None else unroll,
     )
     # (W, 2, L, H) -> (2, L, H, W).
     pre_d = jnp.moveaxis(pre_d, 0, 3)

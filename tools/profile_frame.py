@@ -21,7 +21,7 @@ _CACHE_DIR = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-ITERS = 50
+ITERS = 300
 H, W = 1080, 1920
 CAP = 1 << 20
 
