@@ -1,0 +1,408 @@
+"""Tiled particle rasterizer — the TPU-native RasterizeParticleSystem.
+
+Re-expresses the reference's instanced-quad rasterization
+(/root/reference/Illuminant/Shaders/RasterizeParticleSystem.fx:62-237 —
+VS reads state textures per instance, computes the sprite quad with Z
+formula / sprite-sheet frame / rotation; PS applies texture x color,
+circular rounding `computeCircularAlpha` fx:145-156, stipple fx:101-110,
+dithered opacity fx:158-175) for hardware with no ROPs.
+
+Measured design space (v5e, tools/microbench_raster*.py):
+  - XLA scatter-add: 9.3 ms / 1M particles — unusable.
+  - ONE multi-operand `lax.sort` by tile id: ~2.5 ms / 1M.
+  - searchsorted tile starts: ~0.9 ms; dense per-tile bin slicing
+    (vmapped dynamic_slice): ~1.7-3.4 ms.
+  - bf16 one-hot matmul splat of 2M bin slots over 32x32 tiles: 0.25 ms.
+
+So the pipeline is: bin by screen tile (sort) -> slice fixed-capacity
+per-tile bins -> evaluate separable coverage profiles per slot -> splat
+every tile as TWO one-hot bilinear matmuls on the MXU -> overlap-add the
+tile windows (apron handles footprints crossing tile edges).
+
+Coverage profiles are SEPARABLE row x column factors:
+  - KERNEL_POINT: bilinear 2-tap (subpixel point splat) — exact.
+  - KERNEL_QUAD: the reference's non-rounded quad — axis-separable
+    box-filtered box coverage, exact per-axis antialiasing.
+  - KERNEL_GAUSS: normalized Gaussian glow (sigma = radius/2).
+  - KERNEL_ROUND: separable approximation of computeCircularAlpha
+    (product of two smooth 1D edge profiles — a rounded square whose
+    max deviation from the exact disc is at the diagonals; the exact
+    disc path is raster/particles.py:rasterize_additive, kept as the
+    oracle, and sprite tables below recover the disc to rank-R).
+Textured sprites (sprite sheets, rotation) factor through rank-R SVD
+profile tables — see sprites.py.
+
+Blending:
+  - additive: order-invariant accumulate (what every benchmark config
+    and most Lumined scenes use).
+  - alpha ('over'): per-tile ordered compositing via lax.scan over bin
+    slots. The sort is stable, so slot order == state order == the
+    reference's draw order (ParticleSystem.cs:876-909 draws slots in
+    index order).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..core.pytree import pytree_dataclass, static_field
+
+KERNEL_POINT = "point"
+KERNEL_QUAD = "quad"
+KERNEL_GAUSS = "gauss"
+KERNEL_ROUND = "round"
+
+BLEND_ADDITIVE = "additive"
+BLEND_ALPHA = "alpha"
+
+
+@dataclasses.dataclass(frozen=True)
+class TiledRasterConfig:
+    """Static rasterizer parameters (recompile on change)."""
+
+    height: int
+    width: int
+    tile: int = 32
+    # Per-tile bin capacity. Particles beyond it in one tile are dropped
+    # (the returned diagnostics count them); raise for clustered scenes.
+    bin_capacity: int = 1024
+    # Apron in pixels: how far a footprint may reach past its tile.
+    # Window = tile + 2 * apron; radii are clamped to apron + 0.5.
+    apron: int = 4
+    kernel: str = KERNEL_GAUSS
+    blend: str = BLEND_ADDITIVE
+    # Quantize colors to rgba8 x scale through the sort (halves sort +
+    # bin traffic; additive sums of hundreds of particles per tile wash
+    # the quantization out). f32 mode keeps two bf16-pair operands.
+    rgba8_colors: bool = True
+    color_scale: float = 4.0  # rgba8 full-scale in HDR units
+    z_to_y: float = 0.0
+    stipple_offset: float = 0.0
+
+    @property
+    def grid(self) -> Tuple[int, int]:
+        gy = -(-self.height // self.tile)
+        gx = -(-self.width // self.tile)
+        return gy, gx
+
+    @property
+    def window(self) -> int:
+        return self.tile + 2 * self.apron
+
+
+XY_SUBPIXEL = 16.0  # fixed-point position precision through the sort
+_XY_BIAS = 2048
+
+
+def quantize_xy(x, y):
+    """The position quantization the packed payload applies (1/16 px,
+    round-to-nearest). Exposed so oracles can match it exactly."""
+    q = 1.0 / XY_SUBPIXEL
+    return jnp.round(x * XY_SUBPIXEL) * q, jnp.round(y * XY_SUBPIXEL) * q
+
+
+def _pack_xy(x, y):
+    """Pack screen coords as 2x16-bit fixed point (4 fractional bits).
+    Range: [-128, +3967] px around the viewport (off-screen culled)."""
+    xi = jnp.clip(jnp.round(x * XY_SUBPIXEL).astype(jnp.int32) + _XY_BIAS,
+                  0, 65535)
+    yi = jnp.clip(jnp.round(y * XY_SUBPIXEL).astype(jnp.int32) + _XY_BIAS,
+                  0, 65535)
+    return (xi << 16) | yi
+
+
+def _unpack_xy(packed):
+    xi = (packed >> 16) & 0xFFFF
+    yi = packed & 0xFFFF
+    return ((xi - _XY_BIAS).astype(jnp.float32) / XY_SUBPIXEL,
+            (yi - _XY_BIAS).astype(jnp.float32) / XY_SUBPIXEL)
+
+
+def _pack_rgba8(color, scale):
+    c = jnp.clip(color / scale * 255.0 + 0.5, 0.0, 255.0).astype(jnp.int32)
+    return c[:, 0] | (c[:, 1] << 8) | (c[:, 2] << 16) | (c[:, 3] << 24)
+
+
+def _unpack_rgba8(packed, scale):
+    r = (packed >> 0) & 0xFF
+    g = (packed >> 8) & 0xFF
+    b = (packed >> 16) & 0xFF
+    a = (packed >> 24) & 0xFF
+    c = jnp.stack([r, g, b, a], axis=-1).astype(jnp.float32)
+    return c * (scale / 255.0)
+
+
+def _pack_bf16_pair(a, b):
+    pair = jnp.stack([a.astype(jnp.bfloat16), b.astype(jnp.bfloat16)],
+                     axis=-1)
+    return lax.bitcast_convert_type(pair, jnp.int32)
+
+
+def _unpack_bf16_pair(packed):
+    pair = lax.bitcast_convert_type(packed, jnp.bfloat16)
+    return (pair[..., 0].astype(jnp.float32),
+            pair[..., 1].astype(jnp.float32))
+
+
+def _profile(kernel: str, d, radius):
+    """1-D coverage factor at signed distance d from the center.
+
+    Separable row/column profiles; the 2-D footprint is their product.
+    """
+    if kernel == KERNEL_POINT:
+        return jnp.clip(1.0 - jnp.abs(d), 0.0, 1.0)
+    if kernel == KERNEL_QUAD:
+        # Box-filtered box: pixel-center coverage of a width-2r box,
+        # the exact separable form of the reference quad's edge.
+        return jnp.clip(radius - jnp.abs(d) + 0.5, 0.0, 1.0)
+    if kernel == KERNEL_GAUSS:
+        # sigma = r/2; normalized so total energy ~ quad of equal radius.
+        sigma = jnp.maximum(radius * 0.5, 0.3)
+        return jnp.exp(-0.5 * (d / sigma) ** 2)
+    if kernel == KERNEL_ROUND:
+        # Smooth edge whose product approximates the circular alpha
+        # 1 - saturate(dist - radius + 0.5) (fx:145-156). The sqrt makes
+        # the product of the two axis factors equal the exact value on
+        # the axes; corners are slightly over-covered.
+        t = jnp.clip(radius - jnp.abs(d) + 0.5, 0.0, 1.0)
+        edge = jnp.clip(jnp.abs(d) / jnp.maximum(radius, 0.5), 0.0, 1.0)
+        return t * jnp.sqrt(jnp.maximum(1.0 - edge * edge * 0.5, 0.0))
+    raise ValueError(f"unknown kernel {kernel!r}")
+
+
+def bin_particles(cfg: TiledRasterConfig, x, y, color, size, live):
+    """Sort by tile, slice per-tile bins.
+
+    Returns (bins dict, valid (NT, K) mask, dropped () int32).
+    """
+    gy, gx = cfg.grid
+    nt = gy * gx
+    n = x.shape[0]
+    k = cfg.bin_capacity
+
+    txi = jnp.clip((x / cfg.tile).astype(jnp.int32), 0, gx - 1)
+    tyi = jnp.clip((y / cfg.tile).astype(jnp.int32), 0, gy - 1)
+    onscreen = (
+        (x > -cfg.apron) & (x < cfg.width + cfg.apron)
+        & (y > -cfg.apron) & (y < cfg.height + cfg.apron)
+    )
+    key = jnp.where(live & onscreen, tyi * gx + txi, nt)
+
+    ops = [_pack_xy(x, y)]
+    if cfg.rgba8_colors:
+        ops.append(_pack_rgba8(color, cfg.color_scale))
+    else:
+        ops.append(_pack_bf16_pair(color[:, 0], color[:, 1]))
+        ops.append(_pack_bf16_pair(color[:, 2], color[:, 3]))
+    ops.append(_pack_bf16_pair(size, jnp.zeros_like(size)))
+
+    sorted_all = lax.sort((key, *ops), num_keys=1)
+    skey = sorted_all[0]
+    payload = jnp.stack(sorted_all[1:], axis=-1)  # (N, P)
+
+    starts = jnp.searchsorted(
+        skey, jnp.arange(nt + 1, dtype=jnp.int32)
+    ).astype(jnp.int32)
+    counts = starts[1:] - starts[:-1]  # (NT,)
+    dropped = jnp.sum(jnp.maximum(counts - k, 0))
+
+    if n < k:  # fewer particles than bin capacity: pad (invalid) rows
+        payload = jnp.pad(payload, ((0, k - n), (0, 0)))
+    base = jnp.minimum(starts[:-1], jnp.int32(max(n - k, 0)))
+
+    def get(s):
+        return lax.dynamic_slice(payload, (s, jnp.int32(0)),
+                                 (k, payload.shape[1]))
+
+    bins = jax.vmap(get)(base)  # (NT, K, P)
+    slot = jnp.arange(k, dtype=jnp.int32)[None, :]
+    # Slots index from the CLAMPED base; valid ones are those whose
+    # absolute position falls inside [starts[t], starts[t]+count).
+    pos = base[:, None] + slot
+    valid = (pos >= starts[:-1][:, None]) & (
+        pos < (starts[:-1] + jnp.minimum(counts, k))[:, None]
+    )
+
+    bx, by = _unpack_xy(bins[:, :, 0])
+    if cfg.rgba8_colors:
+        bc = _unpack_rgba8(bins[:, :, 1], cfg.color_scale)
+        size_idx = 2
+    else:
+        c0, c1 = _unpack_bf16_pair(bins[:, :, 1])
+        c2, c3 = _unpack_bf16_pair(bins[:, :, 2])
+        bc = jnp.stack([c0, c1, c2, c3], axis=-1)
+        size_idx = 3
+    bsize, _ = _unpack_bf16_pair(bins[:, :, size_idx])
+    return dict(x=bx, y=by, color=bc, size=bsize, valid=valid,
+                dropped=dropped)
+
+
+def _tile_origins(cfg: TiledRasterConfig):
+    gy, gx = cfg.grid
+    ids = jnp.arange(gy * gx, dtype=jnp.int32)
+    ox = (ids % gx * cfg.tile).astype(jnp.float32)
+    oy = (ids // gx * cfg.tile).astype(jnp.float32)
+    return ox, oy
+
+
+def _coverage_factors(cfg: TiledRasterConfig, bins):
+    """Per-slot separable coverage factors over the tile window.
+
+    Returns wy (NT, WIN, K) and wx (NT, K, WIN), f32 (cast later).
+    """
+    win = cfg.window
+    ox, oy = _tile_origins(cfg)
+    px = bins["x"] - ox[:, None] + cfg.apron  # window-local
+    py = bins["y"] - oy[:, None] + cfg.apron
+    radius = jnp.clip(bins["size"] * 0.5, 0.5, cfg.apron + 0.5)
+
+    ry = jnp.arange(win, dtype=jnp.float32)[None, :, None] + 0.5
+    rx = jnp.arange(win, dtype=jnp.float32)[None, None, :] + 0.5
+    wy = _profile(cfg.kernel, ry - py[:, None, :], radius[:, None, :])
+    wx = _profile(cfg.kernel, rx - px[:, :, None], radius[:, :, None])
+    return wy, wx
+
+
+def _overlap_add(cfg: TiledRasterConfig, tiles):
+    """(NT, WIN, WIN*4) tile windows -> (H, W, 4) via chunked dense adds.
+
+    Window of tile (ty, tx) covers absolute pixels
+    [ty*T - A, ty*T + T + A) x [tx*T - A, tx*T + T + A); in apron-padded
+    coordinates (+A) its origin is (ty*T, tx*T) — windows sit on a
+    stride-T grid. Split each window into <= ceil(WIN/T)^2 chunks of at
+    most T rows/cols: chunk (cy, cx) of every tile lands at a disjoint
+    stride-T position, so each chunk set is ONE dense shifted add.
+    """
+    gy, gx = cfg.grid
+    t, a, win = cfg.tile, cfg.apron, cfg.window
+    tiles = tiles.reshape(gy, gx, win, win, 4)
+    nc = -(-win // t)
+    canvas = jnp.zeros(((gy + nc) * t, (gx + nc) * t, 4), jnp.float32)
+    for cy in range(nc):
+        rows = min(t, win - cy * t)
+        for cx in range(nc):
+            cols = min(t, win - cx * t)
+            piece = tiles[:, :, cy * t:cy * t + rows,
+                          cx * t:cx * t + cols, :]
+            piece = jnp.pad(
+                piece,
+                ((0, 0), (0, 0), (0, t - rows), (0, t - cols), (0, 0)),
+            )
+            block = piece.transpose(0, 2, 1, 3, 4).reshape(
+                gy * t, gx * t, 4)
+            canvas = canvas.at[
+                cy * t:cy * t + gy * t, cx * t:cx * t + gx * t, :
+            ].add(block)
+    return canvas[a:a + cfg.height, a:a + cfg.width, :]
+
+
+def rasterize_tiled(
+    cfg: TiledRasterConfig,
+    x, y, color, size, live,
+    stipple_factor: float = 1.0,
+):
+    """Additive tiled rasterization.
+
+    x, y: (N,) screen positions (z_to_y already applied by the caller or
+    via cfg.z_to_y upstream). color: (N, 4) premultiplied HDR. size: (N,)
+    quad edge in pixels. live: (N,) bool.
+
+    Returns (image (H, W, 4) f32, diagnostics dict).
+    """
+    if stipple_factor < 1.0:
+        # StippleReject (fx:101-110): deterministic per-slot fraction.
+        n = x.shape[0]
+        slotf = jnp.arange(n, dtype=jnp.float32)
+        keep = jnp.mod(
+            slotf * 0.6180339887 + cfg.stipple_offset, 1.0
+        ) < stipple_factor
+        live = live & keep
+
+    bins = bin_particles(cfg, x, y, color, size, live)
+    wy, wx = _coverage_factors(cfg, bins)
+
+    valid = bins["valid"]
+    pc = bins["color"] * valid[:, :, None]
+    nt = wy.shape[0]
+    k = cfg.bin_capacity
+    win = cfg.window
+
+    rhs = (wx[:, :, :, None] * pc[:, :, None, :]).reshape(
+        nt, k, win * 4).astype(jnp.bfloat16)
+    tiles = jnp.einsum(
+        "twk,tkv->twv", wy.astype(jnp.bfloat16), rhs,
+        preferred_element_type=jnp.float32,
+    )
+    img = _overlap_add(cfg, tiles)
+    return img, dict(dropped=bins["dropped"])
+
+
+def rasterize_tiled_alpha(
+    cfg: TiledRasterConfig,
+    x, y, color, size, live,
+    background=None,
+    dither: bool = False,
+    opacity=None,
+):
+    """Ordered 'over' compositing path.
+
+    Composites bin slots in slot order per tile via lax.scan (the sort is
+    stable, so order == state index order == reference draw order).
+    `color` must be premultiplied; alpha channel = coverage opacity.
+    `dither`: dithered-opacity discard (fx:158-175) with a 4x4 Bayer
+    threshold per pixel instead of partial opacity.
+
+    O(K) sequential per tile — use for the (typically much smaller)
+    alpha-blended systems; additive systems take rasterize_tiled.
+    """
+    bins = bin_particles(cfg, x, y, color, size, live)
+    wy, wx = _coverage_factors(cfg, bins)
+    valid = bins["valid"]
+    nt = wy.shape[0]
+    k = cfg.bin_capacity
+    win = cfg.window
+
+    bayer4 = jnp.asarray(
+        [[0, 8, 2, 10], [12, 4, 14, 6], [3, 11, 1, 9], [15, 7, 13, 5]],
+        jnp.float32,
+    ) / 16.0
+    ys = jnp.arange(win) % 4
+    xs = jnp.arange(win) % 4
+    bayer = bayer4[ys[:, None], xs[None, :]]  # (win, win)
+
+    color_b = bins["color"] * valid[:, :, None]  # (NT, K, 4) premult
+    src_a = jnp.maximum(color_b[:, :, 3], 1e-6)
+    straight_rgb = color_b[:, :, :3] / src_a[:, :, None]  # (NT, K, 3)
+
+    def over(img, j):
+        cov = wy[:, :, j][:, :, None] * wx[:, j, :][:, None, :]
+        a_eff = cov * color_b[:, j, 3][:, None, None]  # (NT, win, win)
+        if dither:
+            # Dithered opacity discard (fx:158-175): fragments become
+            # fully opaque where the effective alpha beats the Bayer
+            # threshold, discarded elsewhere.
+            a_eff = jnp.where(
+                (a_eff > bayer[None]) & (a_eff > 0.0), 1.0, 0.0
+            )
+        rgb = img[..., :3] * (1.0 - a_eff[..., None]) + \
+            straight_rgb[:, j][:, None, None, :] * a_eff[..., None]
+        acc_a = img[..., 3] * (1.0 - a_eff) + a_eff
+        return jnp.concatenate([rgb, acc_a[..., None]], axis=-1), None
+
+    init = jnp.zeros((nt, win, win, 4), jnp.float32)
+    tiles, _ = lax.scan(over, init, jnp.arange(k, dtype=jnp.int32))
+    img = _overlap_add(cfg, tiles.reshape(nt, win, win * 4))
+    if background is not None:
+        # img.rgb is premultiplied by the accumulated alpha; standard
+        # premultiplied 'over' onto the background.
+        acc_a = jnp.clip(img[..., 3:4], 0.0, 1.0)
+        img = jnp.concatenate(
+            [img[..., :3] + background[..., :3] * (1.0 - acc_a),
+             jnp.maximum(acc_a, background[..., 3:4])], axis=-1)
+    return img, dict(dropped=bins["dropped"])

@@ -1,0 +1,200 @@
+"""Tiled rasterizer vs brute-force numpy oracle."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from illuminant_tpu.raster.tiled import (
+    BLEND_ADDITIVE,
+    KERNEL_GAUSS,
+    KERNEL_POINT,
+    KERNEL_QUAD,
+    TiledRasterConfig,
+    rasterize_tiled,
+    rasterize_tiled_alpha,
+)
+
+
+def _profile_np(kernel, d, radius):
+    if kernel == KERNEL_POINT:
+        return np.clip(1.0 - np.abs(d), 0.0, 1.0)
+    if kernel == KERNEL_QUAD:
+        return np.clip(radius - np.abs(d) + 0.5, 0.0, 1.0)
+    if kernel == KERNEL_GAUSS:
+        sigma = max(radius * 0.5, 0.3)
+        return np.exp(-0.5 * (d / sigma) ** 2)
+    raise ValueError(kernel)
+
+
+def _oracle_additive(cfg, x, y, color, size, live):
+    img = np.zeros((cfg.height, cfg.width, 4), np.float64)
+    ys = np.arange(cfg.height) + 0.5
+    xs = np.arange(cfg.width) + 0.5
+    for i in range(len(x)):
+        if not live[i]:
+            continue
+        r = np.clip(size[i] * 0.5, 0.5, cfg.apron + 0.5)
+        wy = _profile_np(cfg.kernel, ys - y[i], r)
+        wx = _profile_np(cfg.kernel, xs - x[i], r)
+        img += (wy[:, None] * wx[None, :])[..., None] * color[i]
+    return img
+
+
+def _random_particles(n, h, w, seed=0, hdr=2.0):
+    rng = np.random.default_rng(seed)
+    # Positions pre-quantized to the rasterizer's 1/16-px payload grid so
+    # the oracle sees identical coordinates (quantize_xy contract).
+    x = np.round(rng.uniform(-2, w + 2, n) * 16.0).astype(np.float32) / 16
+    y = np.round(rng.uniform(-2, h + 2, n) * 16.0).astype(np.float32) / 16
+    color = rng.uniform(0.0, hdr, (n, 4)).astype(np.float32)
+    size = rng.uniform(1.0, 7.0, n).astype(np.float32)
+    live = rng.uniform(size=n) > 0.1
+    return x, y, color, size, live
+
+
+def test_additive_matches_oracle_quad():
+    h, w, n = 64, 96, 400
+    cfg = TiledRasterConfig(height=h, width=w, tile=32, bin_capacity=256,
+                            apron=4, kernel=KERNEL_QUAD,
+                            rgba8_colors=False)
+    x, y, color, size, live = _random_particles(n, h, w)
+    img, diag = rasterize_tiled(cfg, jnp.asarray(x), jnp.asarray(y),
+                                jnp.asarray(color), jnp.asarray(size),
+                                jnp.asarray(live))
+    assert int(diag["dropped"]) == 0
+    oracle = _oracle_additive(cfg, x, y, color, size, live)
+    img = np.asarray(img, np.float64)
+    # bf16 einsum + bf16 payload packing tolerance, relative to the
+    # local magnitude.
+    scale = np.maximum(np.abs(oracle), 0.25)
+    rel = np.abs(img - oracle) / scale
+    assert rel.max() < 0.08, rel.max()
+    # Total energy matches closely.
+    assert abs(img.sum() - oracle.sum()) / oracle.sum() < 0.01
+
+
+def test_additive_matches_oracle_gauss_rgba8():
+    h, w, n = 96, 64, 1500
+    cfg = TiledRasterConfig(height=h, width=w, tile=32, bin_capacity=1024,
+                            apron=4, kernel=KERNEL_GAUSS,
+                            rgba8_colors=True, color_scale=2.0)
+    x, y, color, size, live = _random_particles(n, h, w, seed=3)
+    img, diag = rasterize_tiled(cfg, jnp.asarray(x), jnp.asarray(y),
+                                jnp.asarray(color), jnp.asarray(size),
+                                jnp.asarray(live))
+    assert int(diag["dropped"]) == 0
+    oracle = _oracle_additive(cfg, x, y, color, size, live)
+    img = np.asarray(img, np.float64)
+    # rgba8 quantization: 2/255 per particle; ~dozens overlap per texel.
+    scale = np.maximum(np.abs(oracle), 0.5)
+    rel = np.abs(img - oracle) / scale
+    assert rel.max() < 0.12, rel.max()
+    assert abs(img.sum() - oracle.sum()) / oracle.sum() < 0.02
+
+
+def test_bin_overflow_counts_drops():
+    h = w = 32
+    n = 300
+    cfg = TiledRasterConfig(height=h, width=w, tile=32, bin_capacity=256,
+                            apron=2, kernel=KERNEL_POINT,
+                            rgba8_colors=False)
+    x = jnp.full((n,), 16.0)
+    y = jnp.full((n,), 16.0)
+    color = jnp.ones((n, 4))
+    size = jnp.ones((n,))
+    live = jnp.ones((n,), bool)
+    img, diag = rasterize_tiled(cfg, x, y, color, size, live)
+    assert int(diag["dropped"]) == n - 256
+    # The kept 256 still render.
+    assert float(img[16, 16, 0]) > 1.0
+
+
+def test_point_kernel_conserves_energy():
+    h, w, n = 48, 48, 200
+    cfg = TiledRasterConfig(height=h, width=w, tile=16, bin_capacity=128,
+                            apron=2, kernel=KERNEL_POINT,
+                            rgba8_colors=False)
+    rng = np.random.default_rng(7)
+    # Keep everything interior so nothing clips.
+    x = rng.uniform(4, w - 4, n).astype(np.float32)
+    y = rng.uniform(4, h - 4, n).astype(np.float32)
+    color = rng.uniform(0.2, 1.0, (n, 4)).astype(np.float32)
+    size = np.ones(n, np.float32)
+    img, _ = rasterize_tiled(cfg, jnp.asarray(x), jnp.asarray(y),
+                             jnp.asarray(color), jnp.asarray(size),
+                             jnp.ones((n,), bool))
+    # Bilinear point splat deposits exactly its color in total.
+    np.testing.assert_allclose(
+        np.asarray(img).sum(axis=(0, 1)), color.sum(axis=0), rtol=0.02
+    )
+
+
+def test_stipple_fraction():
+    h, w, n = 32, 32, 1000
+    cfg = TiledRasterConfig(height=h, width=w, tile=32, bin_capacity=1024,
+                            apron=2, kernel=KERNEL_POINT,
+                            rgba8_colors=False)
+    x = jnp.full((n,), 16.0)
+    y = jnp.full((n,), 16.0)
+    color = jnp.ones((n, 4))
+    size = jnp.ones((n,))
+    live = jnp.ones((n,), bool)
+    full, _ = rasterize_tiled(cfg, x, y, color, size, live)
+    half, _ = rasterize_tiled(cfg, x, y, color, size, live,
+                              stipple_factor=0.5)
+    ratio = float(half.sum() / full.sum())
+    assert 0.45 < ratio < 0.55, ratio
+
+
+def test_alpha_ordering_last_on_top():
+    h = w = 32
+    cfg = TiledRasterConfig(height=h, width=w, tile=32, bin_capacity=16,
+                            apron=4, kernel=KERNEL_QUAD,
+                            rgba8_colors=False, blend="alpha")
+    # Two fully-opaque overlapping quads; slot 1 drawn after slot 0.
+    x = jnp.asarray([16.0, 16.0])
+    y = jnp.asarray([16.0, 16.0])
+    color = jnp.asarray([[1.0, 0.0, 0.0, 1.0], [0.0, 1.0, 0.0, 1.0]])
+    size = jnp.asarray([8.0, 8.0])
+    live = jnp.ones((2,), bool)
+    img, _ = rasterize_tiled_alpha(cfg, x, y, color, size, live)
+    img = np.asarray(img)
+    assert img[16, 16, 1] > 0.9 and img[16, 16, 0] < 0.1
+
+
+def test_alpha_over_background():
+    h = w = 32
+    cfg = TiledRasterConfig(height=h, width=w, tile=32, bin_capacity=16,
+                            apron=4, kernel=KERNEL_QUAD,
+                            rgba8_colors=False, blend="alpha")
+    x = jnp.asarray([16.0])
+    y = jnp.asarray([16.0])
+    color = jnp.asarray([[0.5, 0.0, 0.0, 0.5]])  # premultiplied, a=0.5
+    size = jnp.asarray([6.0])
+    bg = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0, 1.0]), (h, w, 4))
+    img, _ = rasterize_tiled_alpha(cfg, x, y, color, size,
+                                   jnp.ones((1,), bool), background=bg)
+    img = np.asarray(img)
+    # Center: 50% red over blue.
+    np.testing.assert_allclose(img[16, 16, :3], [0.5, 0.0, 0.5],
+                               atol=0.05)
+    # Far corner: untouched background.
+    np.testing.assert_allclose(img[2, 2, :3], [0.0, 0.0, 1.0], atol=1e-5)
+
+
+def test_dithered_opacity_is_binary():
+    h = w = 32
+    cfg = TiledRasterConfig(height=h, width=w, tile=32, bin_capacity=16,
+                            apron=4, kernel=KERNEL_QUAD,
+                            rgba8_colors=False, blend="alpha")
+    x = jnp.asarray([16.0])
+    y = jnp.asarray([16.0])
+    color = jnp.asarray([[0.5, 0.5, 0.5, 0.5]])
+    size = jnp.asarray([12.0])
+    img, _ = rasterize_tiled_alpha(cfg, x, y, color, size,
+                                   jnp.ones((1,), bool), dither=True)
+    a = np.asarray(img[..., 3])
+    # size 12 clamps to radius apron+0.5 = 4.5 -> full coverage |d| < 4.
+    inside = a[13:20, 13:20]
+    # Dithering makes alpha binary with ~50% duty inside the quad core.
+    assert set(np.round(np.unique(inside), 5)) <= {0.0, 1.0}
+    assert 0.3 < inside.mean() < 0.7
