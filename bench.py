@@ -1,13 +1,15 @@
 """Benchmark harness.
 
-Measures the BASELINE.md north-star workload on the local accelerator:
-1080p 8-light SDF-shadowed light resolve fused with a 1M-particle
-(gravity + SDF collision + spawn) step — one jitted frame.
+Measures the FULL BASELINE.md config-5 workload on the local accelerator:
+1080p 8-light SDF-shadowed light resolve with dynamic occluders, a
+1M-particle step (bezier-animated spawner, gravity, SDF collision),
+full-resolution tiled particle rasterization, HDR luminance histogram
+auto-exposure, and Uncharted2 tonemap resolve to uint8 — one jitted frame.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 value = frames (steps) per second of the fused frame; vs_baseline is
 against the 60 steps/s target (BASELINE.json north_star). Extra context
-fields (Mpix/s, live particles) ride along.
+fields (Mpix/s, live particles, raster drops) ride along.
 
 Usage: python bench.py [--small] [--frames N]
 """
@@ -34,7 +36,7 @@ except Exception:
 
 def main():
     small = "--small" in sys.argv
-    frames = 50
+    frames = 400
     if "--frames" in sys.argv:
         frames = int(sys.argv[sys.argv.index("--frames") + 1])
 
@@ -62,39 +64,41 @@ def _run_config(height, width, capacity, frames):
     from illuminant_tpu.scenes import build_flagship
 
     scene = build_flagship(height=height, width=width, capacity=capacity)
-    system = scene.system
-    state = system.state
+    state = scene.system.state
     key = jax.random.key(0)
     env_u = scene.environment.uniforms()
+    avg_lum = jnp.asarray(0.5, jnp.float32)
 
     spawn_count = jnp.asarray(scene.spawner.spawn_max, jnp.int32)
-    chunk = 50  # frames per dispatch — amortizes host-tunnel latency
+    chunk = 200  # frames per dispatch — amortizes host-tunnel latency
 
-    def run(state, i0, n):
+    def run(state, avg_lum, i0, n):
         return scene.frame_loop(
-            state, key, scene.volume, scene.gbuffer, scene.sphere_lights,
-            env_u, spawn_count, jnp.asarray(i0, jnp.int32), n,
+            state, avg_lum, key, scene.volume, scene.gbuffer, env_u,
+            scene.sphere_lights, spawn_count, jnp.asarray(i0, jnp.int32),
+            n,
         )
 
     # Warm up: compile + prime the particle population.
     # NOTE: block_until_ready does not actually synchronize on the axon
     # backend — a small host transfer is the only reliable fence.
     def fence(x):
-        return float(jnp.max(x[::257, 0]))
+        return float(jnp.max(x[::257, 0].astype(jnp.float32)))
 
-    lightmap, state = run(state, 0, chunk)
-    fence(lightmap)
+    img, state, avg_lum, drops = run(state, avg_lum, 0, chunk)
+    fence(img)
     fence(state.position)  # also compiles the state-fence op
-    lightmap, state = run(state, chunk, chunk)
-    fence(lightmap)
+    img, state, avg_lum, drops = run(state, avg_lum, chunk, chunk)
+    fence(img)
 
     done = 2 * chunk
     frames = max(frames, chunk)
     n_chunks = frames // chunk
     t0 = time.perf_counter()
     for c in range(n_chunks):
-        lightmap, state = run(state, done + c * chunk, chunk)
-    fence(lightmap)
+        img, state, avg_lum, drops = run(state, avg_lum,
+                                         done + c * chunk, chunk)
+    fence(img)
     fence(state.position)
     dt = time.perf_counter() - t0
     frames = n_chunks * chunk
@@ -106,12 +110,15 @@ def _run_config(height, width, capacity, frames):
     result = {
         "metric": "1080p light-resolve Mpix/s; 1M-particle steps/sec",
         "value": round(steps_per_sec, 3),
-        "unit": "fused frames/sec (8-light SDF resolve + particle step)",
+        "unit": "fused frames/sec (full config-5: 8-light SDF resolve + "
+                "dynamic occluders + 1M-particle step + tiled raster + "
+                "HDR histogram tonemap)",
         "vs_baseline": round(steps_per_sec / 60.0, 4),
         "mpix_per_sec": round(mpix_per_sec, 1),
         "resolution": f"{width}x{height}",
         "particle_capacity": capacity,
         "live_particles": live,
+        "raster_dropped_max": int(drops),
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))

@@ -23,10 +23,13 @@ class QualitySettings:
     max_cone_radius: float = static_field(default=24.0)
     cone_growth_factor: float = static_field(default=1.0)
     occlusion_to_opacity_power: float = static_field(default=1.0)
-    # TPU fast-path knob: scan-shadow resolution relative to the lightmap
-    # (cone-softened shadows are band-limited; 0.5 is visually free).
-    # The render-scale analog of the reference's accuracy levers.
-    shadow_scale: float = static_field(default=1.0)
+    # TPU fast-path knob: scan-shadow resolution relative to the lightmap.
+    # Library default 0.5: cone-softened shadows are band-limited, so the
+    # visibility field is computed at half resolution and bilinearly
+    # upsampled — the same accuracy lever as the reference's RenderScale /
+    # histogram accuracyFactor family. Every scene (demo, bench, tests)
+    # uses this default; set 1.0 for pixel-exact shadow edges.
+    shadow_scale: float = static_field(default=0.5)
     # 3D refinement samples per (light, pixel) on the scan path: 0 = pure
     # flatland scan (fastest), 1 = blocker exit point, 2 = exit + arg-min
     # (default; restores the reference's 3D shadow behavior).

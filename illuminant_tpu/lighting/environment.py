@@ -185,7 +185,14 @@ def pack_sphere_lights(lights: List[SphereLightSource],
 
 @dataclasses.dataclass
 class LightObstruction:
-    """Host-side SDF obstruction (LightObstruction.cs:10-148)."""
+    """Host-side SDF obstruction (LightObstruction.cs:10-148).
+
+    Mutating geometry (center/size/rotation/type) clears `is_valid`, and
+    flipping `is_dynamic` sets `has_dynamicity_changed` — the renderer's
+    auto-invalidation consumes these exactly like the reference's setters
+    (LightObstruction.cs:22-120) feeding AutoInvalidateDistanceField
+    (LightingRenderer.cs:1977-2015).
+    """
 
     type: int = sdf_primitives.TYPE_BOX
     center: tuple = (0.0, 0.0, 0.0)
@@ -193,17 +200,33 @@ class LightObstruction:
     rotation: tuple = (0.0, 0.0, 0.0, 1.0)
     is_dynamic: bool = False
 
-    @staticmethod
-    def box(center, size):
-        return LightObstruction(sdf_primitives.TYPE_BOX, center, size)
+    def __setattr__(self, name, value):
+        if name in ("center", "size", "rotation", "type") and \
+                "center" in self.__dict__:
+            object.__setattr__(self, "is_valid", False)
+        if name == "is_dynamic" and "is_dynamic" in self.__dict__ and \
+                self.__dict__["is_dynamic"] != value:
+            object.__setattr__(self, "has_dynamicity_changed", True)
+        object.__setattr__(self, name, value)
+
+    def __post_init__(self):
+        object.__setattr__(self, "is_valid", False)  # new -> needs raster
+        object.__setattr__(self, "has_dynamicity_changed", False)
 
     @staticmethod
-    def ellipsoid(center, size):
-        return LightObstruction(sdf_primitives.TYPE_ELLIPSOID, center, size)
+    def box(center, size, is_dynamic=False):
+        return LightObstruction(sdf_primitives.TYPE_BOX, center, size,
+                                is_dynamic=is_dynamic)
 
     @staticmethod
-    def cylinder(center, size):
-        return LightObstruction(sdf_primitives.TYPE_CYLINDER, center, size)
+    def ellipsoid(center, size, is_dynamic=False):
+        return LightObstruction(sdf_primitives.TYPE_ELLIPSOID, center, size,
+                                is_dynamic=is_dynamic)
+
+    @staticmethod
+    def cylinder(center, size, is_dynamic=False):
+        return LightObstruction(sdf_primitives.TYPE_CYLINDER, center, size,
+                                is_dynamic=is_dynamic)
 
 
 @dataclasses.dataclass

@@ -113,21 +113,80 @@ class LightingRenderer:
         self.light_capacity = light_capacity
         self.obstruction_capacity = obstruction_capacity
         self.sdf_config = sdf_config
+        # Static/dynamic field partition (DynamicDistanceField,
+        # SDF/DistanceField.cs:248-321): the static partition holds
+        # non-dynamic obstructions and is not re-rasterized when dynamic
+        # ones move. `self.volume` is the combined (minimum) field.
         self.volume: Optional[SdfVolume] = (
             SdfVolume.empty(sdf_config) if sdf_config else None
         )
-        # All slices start invalid (DistanceField.cs:13-16).
-        self._invalid_slices = (
-            list(range(sdf_config.slice_count)) if sdf_config else []
+        self._volume_static: Optional[SdfVolume] = (
+            SdfVolume.empty(sdf_config) if sdf_config else None
         )
+        self._volume_dynamic: Optional[SdfVolume] = (
+            SdfVolume.empty(sdf_config) if sdf_config else None
+        )
+        # All slices start invalid (DistanceField.cs:13-16).
+        all_slices = list(range(sdf_config.slice_count)) if sdf_config else []
+        self._invalid_static = list(all_slices)
+        self._invalid_dynamic = list(all_slices)
+        self._obstruction_snapshot = ()
         self.gbuffer: Optional[gbuf.GBuffer] = None
 
     # -- field generation (UpdateFields, LightingRenderer.cs:1949) --------
 
-    def invalidate(self):
-        """Full invalidation (DistanceField.Invalidate)."""
+    @property
+    def _invalid_slices(self):
+        """Back-compat view: union of both partitions' invalid slices."""
+        return sorted(set(self._invalid_static) | set(self._invalid_dynamic))
+
+    def invalidate(self, static: bool = True):
+        """Full invalidation (DistanceField.Invalidate; the `static` flag
+        mirrors DynamicDistanceField.Invalidate(false) = dynamic only)."""
         if self.sdf_config:
-            self._invalid_slices = list(range(self.sdf_config.slice_count))
+            all_slices = list(range(self.sdf_config.slice_count))
+            self._invalid_dynamic = list(all_slices)
+            if static:
+                self._invalid_static = list(all_slices)
+
+    def auto_invalidate(self):
+        """AutoInvalidateDistanceField (LightingRenderer.cs:1977-2015):
+        consume obstruction dirty flags. A mutated dynamic obstruction
+        invalidates only the dynamic partition; a mutated static one (or a
+        dynamicity flip, or list add/remove) invalidates both."""
+        if self.sdf_config is None:
+            return
+        snapshot = (
+            tuple(id(o) for o in self.environment.obstructions
+                  if not o.is_dynamic),
+            tuple(id(o) for o in self.environment.obstructions
+                  if o.is_dynamic),
+        )
+        invalidated_static = invalidated_dynamic = False
+        if snapshot != self._obstruction_snapshot:
+            # Added/removed obstructions: IsInvalid(Dynamic) collection
+            # flags (LightingEnvironment.cs:51-133).
+            static_changed = snapshot[0] != self._obstruction_snapshot[0] \
+                if self._obstruction_snapshot else True
+            self._obstruction_snapshot = snapshot
+            self.invalidate(static=static_changed)
+            invalidated_dynamic = True
+            invalidated_static = static_changed
+        for o in self.environment.obstructions:
+            if getattr(o, "has_dynamicity_changed", False):
+                object.__setattr__(o, "has_dynamicity_changed", False)
+                if not invalidated_static:
+                    self.invalidate(static=True)
+                    invalidated_static = invalidated_dynamic = True
+            if not getattr(o, "is_valid", True):
+                object.__setattr__(o, "is_valid", True)
+                if o.is_dynamic:
+                    if not invalidated_dynamic:
+                        self.invalidate(static=False)
+                        invalidated_dynamic = True
+                elif not invalidated_static:
+                    self.invalidate(static=True)
+                    invalidated_static = invalidated_dynamic = True
 
     def update_fields(self, budget: Optional[int] = None):
         env_u = self.environment.uniforms()
@@ -161,37 +220,66 @@ class LightingRenderer:
         if self.sdf_config is None:
             return
 
+        self.auto_invalidate()
         budget = budget or self.config.maximum_field_updates_per_frame
+        has_dynamic = any(
+            o.is_dynamic for o in self.environment.obstructions
+        )
+        if has_dynamic:
+            self._volume_static, self._invalid_static = \
+                self._regenerate_partition(
+                    self._volume_static, self._invalid_static, budget,
+                    dynamic=False)
+            self._volume_dynamic, self._invalid_dynamic = \
+                self._regenerate_partition(
+                    self._volume_dynamic, self._invalid_dynamic, budget,
+                    dynamic=True)
+            self.volume = vol.combine_static_dynamic(
+                self._volume_static, self._volume_dynamic
+            )
+        else:
+            self._volume_static, self._invalid_static = \
+                self._regenerate_partition(
+                    self._volume_static, self._invalid_static, budget,
+                    dynamic=None)
+            self._invalid_dynamic = []
+            self.volume = self._volume_static
+
+    def _regenerate_partition(self, volume, invalid, budget, dynamic):
+        """Budgeted slab regeneration of one partition
+        (RenderDistanceFieldPartition, LightingRenderer.DistanceField.cs:
+        415-462). `dynamic=None` = single-field mode (all obstructions)."""
         # The reference regenerates 3 virtual slices per physical update
-        # (PackedSliceCount, LightingRenderer.cs:313); we use the same
-        # granularity so budgets mean the same thing.
+        # (PackedSliceCount, LightingRenderer.cs:313); same granularity so
+        # budgets mean the same thing.
         slices_per_update = 3
+        if not invalid:
+            return volume, invalid
         obstructions = self.environment.pack_obstructions(
-            capacity=self.obstruction_capacity
+            capacity=self.obstruction_capacity, dynamic=dynamic
         )
         for _ in range(budget):
-            if not self._invalid_slices:
+            if not invalid:
                 break
-            start = self._invalid_slices[0]
+            start = invalid[0]
             count = min(
                 slices_per_update, self.sdf_config.slice_count - start
             )
             slab = _generate_slab_jit(
                 self.sdf_config, obstructions, start, count
             )
-            self.volume = _update_slices_jit(self.volume, start, slab)
+            volume = _update_slices_jit(volume, start, slab)
             done = set(range(start, start + count))
-            self._invalid_slices = [
-                s for s in self._invalid_slices if s not in done
-            ]
-            valid_z = 0.0
-            for s in range(self.sdf_config.slice_count):
-                if s in self._invalid_slices:
-                    break
-                valid_z = (s + 1) * self.sdf_config.slice_z_size
-            self.volume = self.volume.replace(
-                max_valid_z=jnp.asarray(valid_z, jnp.float32)
-            )
+            invalid = [s for s in invalid if s not in done]
+        valid_z = 0.0
+        for s in range(self.sdf_config.slice_count):
+            if s in invalid:
+                break
+            valid_z = (s + 1) * self.sdf_config.slice_z_size
+        volume = volume.replace(
+            max_valid_z=jnp.asarray(valid_z, jnp.float32)
+        )
+        return volume, invalid
 
     # -- lighting ---------------------------------------------------------
 

@@ -227,11 +227,14 @@ class Parameter:
 
     @staticmethod
     def from_json(obj: Any) -> "Parameter":
-        if not isinstance(obj, dict) or "ValueType" not in obj:
+        if not isinstance(obj, dict) or not (
+            "ValueType" in obj or "Name" in obj or "Bezier" in obj
+            or "Expression" in obj or "Constant" in obj
+        ):
             # Raw value form (JSON.cs:158-161).
             arr = value_to_array(obj)
             return Parameter(constant=arr, width=arr.shape[0])
-        vt = str(obj["ValueType"]).split(",")[0].strip()
+        vt = str(obj.get("ValueType", "System.Single")).split(",")[0].strip()
         width = Parameter._WIDTHS.get(vt, 1)
         if "Expression" in obj:
             e = obj["Expression"]

@@ -1,17 +1,36 @@
 """Benchmark / flagship scene builders.
 
-The "flagship" scene is the BASELINE.md config-5 shape: multi-light SDF
-lighting at a given resolution plus a large particle system with gravity +
-SDF collision, all advanced by ONE jitted frame function (lightmap render +
-particle tick fused into a single XLA program).
+The flagship scene is the FULL BASELINE.md config-5 workload ("full
+Lumined scene"), all advanced by ONE jitted frame function:
+
+  * 8 sphere lights, cone-traced soft shadows (scan path at the library
+    default quality: shadow_scale 0.5, scan_refine_samples 2);
+  * DYNAMIC SDF occluders — two of the four obstructions move every
+    frame. The analytic field (sdf/analytic.py) re-evaluates exactly each
+    frame, which subsumes the reference's budgeted slice re-rasterization
+    (LightingRenderer.DistanceField.cs) with zero staleness;
+  * a 1M-particle system: bezier-path-animated spawner, gravity, SDF
+    collision against the MOVING occluders;
+  * BEZIER-ANIMATED parameters (Bezier.fxh semantics): light radius
+    pulse, spawner emission point path, per-particle size/color-from-life
+    ramps;
+  * full-resolution tiled particle rasterization (raster/tiled.py);
+  * HDR luminance histogram (utils/histogram.py, 64 log buckets, on a
+    2x-subsampled scene like the reference's mip-level accuracyFactor,
+    LightingRenderer.HDR.cs:154-167) driving auto-exposure from the
+    PREVIOUS frame (the reference reads the previous frame's luminance
+    ring buffer, HDR.cs:21-55);
+  * Uncharted2 tonemap resolve (Resolve.fx:124-133) to a uint8 frame.
 """
 
 from __future__ import annotations
 
 import dataclasses
+import math
 from functools import partial
 from typing import Optional
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -24,7 +43,8 @@ from .lighting.environment import (
     pack_sphere_lights,
 )
 from .lighting.sphere import accumulate_sphere_lights
-from .ops import sdf_primitives as sp
+from .ops import tonemap as tm
+from .ops.bezier import constant_bezier, evaluate_bezier, pack_bezier
 from .particles.formula import FORMULA_SPHERICAL, Formula1, Formula3, Formula4
 from .particles.integrate import integrate_with_distance_field
 from .particles.render_data import RenderDataUniforms
@@ -32,7 +52,9 @@ from .particles.spawner import Spawner, spawn as spawn_fn
 from .particles.state import ParticleState
 from .particles.system import ParticleSystem, ParticleSystemConfig
 from .particles import transforms as tx
+from .raster.tiled import TiledRasterConfig, rasterize_tiled
 from .sdf import analytic, volume as vol
+from .utils.histogram import bucket_boundaries, compute_histogram, percentile
 
 
 @dataclasses.dataclass
@@ -44,7 +66,8 @@ class FlagshipScene:
     gbuffer: object
     sphere_lights: object
     system: ParticleSystem
-    frame: object  # jitted (state, key, ...) -> (lightmap, state)
+    raster_config: TiledRasterConfig
+    frame: object  # jitted (state, aux, key, ...) -> (img, state, aux)
     frame_loop: object  # jitted n-frames-per-dispatch variant
     spawner: Spawner
 
@@ -57,14 +80,12 @@ def build_flagship(
     spawn_max: int = 16384,
     sdf_resolution_scale: float = 0.25,
     quality: Optional[QualitySettings] = None,
+    bin_capacity: int = 1024,
 ) -> FlagshipScene:
-    """Multi-light + occluders + big particle system, one fused frame."""
+    """The full config-5 frame: see module docstring."""
     env = LightingEnvironment(
         ground_z=0.0, maximum_z=128.0, ambient=(0.03, 0.03, 0.04, 1.0)
     )
-    # Lights on a ring.
-    import math
-
     cx, cy = width * 0.5, height * 0.5
     ring = min(width, height) * 0.38
     colors = [
@@ -83,26 +104,21 @@ def build_flagship(
                 color=colors[i % len(colors)],
             )
         )
-    # Occluders.
+    # Occluders. Two are DYNAMIC (device-side animation below).
     env.obstructions += [
         LightObstruction.box((cx, cy, 24.0), (22.0, 22.0, 24.0)),
         LightObstruction.ellipsoid((cx - ring * 0.5, cy, 20.0),
-                                   (28.0, 16.0, 20.0)),
+                                   (28.0, 16.0, 20.0), is_dynamic=True),
         LightObstruction.cylinder((cx, cy - ring * 0.5, 26.0),
-                                  (12.0, 12.0, 26.0)),
+                                  (12.0, 12.0, 26.0), is_dynamic=True),
         LightObstruction.box((cx + ring * 0.45, cy + ring * 0.3, 16.0),
                              (30.0, 10.0, 16.0)),
     ]
 
     config = RendererConfig(
         width=width, height=height,
-        # Flagship quality: half-res shadows, no 3D refinement — this
-        # scene's obstructions are tall relative to the trace plane, so
-        # the flatland scan is already accurate for it (the library
-        # default is scan_refine_samples=2; each sample costs ~2.5 ms at
-        # 1080p x 8 lights — see PERF.md).
-        quality=quality or QualitySettings(shadow_scale=0.5,
-                                           scan_refine_samples=0),
+        # Library-default quality: shadow_scale 0.5, scan_refine_samples 2.
+        quality=quality or QualitySettings(),
     )
     sdf_config = vol.SdfVolumeConfig(
         virtual_width=width,
@@ -111,8 +127,8 @@ def build_flagship(
         slice_count=16,
         resolution_scale=sdf_resolution_scale,
     )
-    # The analytic scene is the TPU-native field (sdf/analytic.py) — no
-    # voxel gathers anywhere in the frame.
+    # The analytic scene is the TPU-native field (sdf/analytic.py): exact
+    # per-frame dynamics, no voxel staleness, no gathers.
     volume = analytic.pack_scene(env.obstructions)
     env_u = env.uniforms()
     gbuffer = gbuf.flat_ground(height, width, env_u)
@@ -121,7 +137,39 @@ def build_flagship(
         capacity=max(n_lights, 1),
     )
 
-    # Particle system: spawner + gravity + SDF collision.
+    # Dynamic-occluder animation amplitudes per analytic group, aligned
+    # with pack_scene's type-sorted group order. The ellipsoid orbits a
+    # small circle; the cylinder sweeps in x.
+    anim_amp = []
+    anim_freq = []
+    for gi, type_id in enumerate(volume.group_types):
+        n = volume.centers[gi].shape[0]
+        amp = np.zeros((n, 3), np.float32)
+        freq = np.zeros((n,), np.float32)
+        for j, o in enumerate(
+            [o for o in env.obstructions if o.type == type_id][:n]
+        ):
+            if o.is_dynamic:
+                amp[j] = (60.0, 40.0, 0.0)
+                freq[j] = 0.9 + 0.3 * gi
+        anim_amp.append(jnp.asarray(amp))
+        anim_freq.append(jnp.asarray(freq))
+    anim_amp = tuple(anim_amp)
+    anim_freq = tuple(anim_freq)
+
+    def animate_volume(volume_, t):
+        """Move dynamic occluders (the analytic equivalent of the dynamic
+        partition re-rasterizing every frame)."""
+        new_centers = tuple(
+            c + a * jnp.stack(
+                [jnp.sin(f * t), jnp.cos(f * t), jnp.zeros_like(f)],
+                axis=-1,
+            )
+            for c, a, f in zip(volume_.centers, anim_amp, anim_freq)
+        )
+        return volume_.replace(centers=new_centers)
+
+    # Particle system: bezier-animated spawner + gravity + SDF collision.
     p_config = ParticleSystemConfig(
         capacity=capacity,
         updates_per_second=0.0,
@@ -146,22 +194,60 @@ def build_flagship(
         spawn_max=spawn_max,
     )
     grav = tx.Gravity(attractors=[
-        tx.Attractor(position=(cx, cy, 20.0), radius=float(max(width,
-                                                               height)),
+        tx.Attractor(position=(cx, cy, 20.0),
+                     radius=float(max(width, height)),
                      strength=150.0, falloff_type=tx.FALLOFF_LINEAR),
     ], maximum_acceleration=3000.0)
-    system = ParticleSystem(p_config, [spawner, grav], volume=volume)
+    # Per-particle bezier ramps (ParticleSystemConfiguration.SizeFromLife /
+    # ColorFromLife, ParticleConfiguration.cs:187-210): size shrinks and
+    # color fades as life runs out.
+    render_data = RenderDataUniforms(
+        color_from_life=pack_bezier(
+            [(0.3, 0.3, 0.6, 0.0), (1.0, 1.0, 1.0, 1.0),
+             (1.0, 1.0, 1.0, 1.0)],
+            min_value=0.0, max_value=4.0,
+        ),
+        color_from_velocity=constant_bezier([1.0, 1.0, 1.0, 1.0]),
+        size_from_life=pack_bezier([[1.0], [2.5], [3.0]],
+                                   min_value=0.0, max_value=4.0),
+        size_from_velocity=constant_bezier([1.0]),
+        rotation_from_life_and_index=jnp.zeros((2,), jnp.float32),
+        velocity_rotation=jnp.asarray(0.0, jnp.float32),
+    )
+    system = ParticleSystem(p_config, [spawner, grav], volume=volume,
+                            render_data=render_data)
 
     su = system.system_uniforms(1.0 / 60.0)
     rd = system.render_data
     grav_u = grav.uniforms(0.0)
     spawn_u = spawner.uniforms(0.0)
 
-    def _frame_body(i, state, key, volume_, gbuffer_, lights_, env_u_,
-                    spawn_count):
-        # Animate light positions (orbit around the scene center) — the
-        # realistic dynamic workload, and it keeps the lighting inside any
-        # multi-frame loop (nothing is loop-invariant).
+    # Bezier-animated scene parameters (Parameter<T>-over-Bezier,
+    # Modeling layer): light radius pulse + spawner emission path.
+    light_radius_bezier = pack_bezier([[10.0], [16.0], [11.0], [10.0]],
+                                      min_value=0.0, max_value=2.0)
+    spawn_path_bezier = pack_bezier(
+        [(cx - ring * 0.5, cy, 30.0), (cx, cy - ring * 0.4, 34.0),
+         (cx + ring * 0.5, cy, 30.0), (cx, cy + ring * 0.4, 26.0)],
+        min_value=0.0, max_value=6.0,
+    )
+
+    raster_config = TiledRasterConfig(
+        height=height, width=width, tile=32, bin_capacity=bin_capacity,
+        apron=4, kernel="gauss", rgba8_colors=True, color_scale=4.0,
+    )
+    hist_bounds = jnp.asarray(bucket_boundaries(max_value=64.0))
+
+    dt = 1.0 / 60.0
+
+    def _frame_body(i, state, avg_lum, key, volume_, gbuffer_, lights_,
+                    env_u_, spawn_count):
+        t = i.astype(jnp.float32) * dt
+
+        # -- dynamic occluders (device-side) --
+        vol_t = animate_volume(volume_, t)
+
+        # -- bezier-animated light parameters + orbit --
         ang = i.astype(jnp.float32) * 0.01
         ca, sa = jnp.cos(ang), jnp.sin(ang)
         center = jnp.asarray([cx, cy, 0.0], jnp.float32)
@@ -172,50 +258,86 @@ def build_flagship(
              rel[:, 2]],
             axis=-1,
         )
-        lights_i = lights_.replace(position=center + rot)
+        radius_t = evaluate_bezier(
+            light_radius_bezier, jnp.mod(t, 2.0)
+        )[0]
+        props = lights_.properties.at[:, 0].set(radius_t)
+        lights_i = lights_.replace(position=center + rot, properties=props)
 
+        # -- lighting --
         lightmap = jnp.broadcast_to(
             env_u_.ambient, (gbuffer_.z.shape[0], gbuffer_.z.shape[1], 4)
         ).astype(jnp.float32)
         lightmap = lightmap + accumulate_sphere_lights(
-            volume_, gbuffer_, lights_i, env_u_, config.quality,
+            vol_t, gbuffer_, lights_i, env_u_, config.quality,
             with_specular=False, shadow_mode="scan", with_ao=False,
         )
+
+        # -- particles: bezier-path spawner, gravity, SDF collision --
+        spawn_pos = evaluate_bezier(spawn_path_bezier, jnp.mod(t, 6.0))
+        pc = spawn_u.position_constants.at[:, :3].set(spawn_pos[None, :])
+        spawn_u_t = spawn_u.replace(position_constants=pc)
         k = jax.random.fold_in(key, i)
-        state = spawn_fn(state, spawn_u, spawn_count, k,
+        state = spawn_fn(state, spawn_u_t, spawn_count, k,
                          spawner.spawn_max)
         pos, vel = tx.apply_gravity(state.position, state.velocity, grav_u,
                                     su)
         state = state.replace(position=pos, velocity=vel)
-        state = integrate_with_distance_field(state, su, rd, volume_)
-        return lightmap, state
+        state = integrate_with_distance_field(state, su, rd, vol_t)
+
+        # -- particle rasterization (full-res, tiled) --
+        particle_img, diag = rasterize_tiled(
+            raster_config,
+            state.position[:, 0],
+            state.position[:, 1],
+            state.render_color,
+            state.render_data[:, 0],
+            state.live_mask(),
+        )
+        scene_hdr = lightmap + particle_img
+
+        # -- HDR histogram (2x-subsampled, like the reference's mip-level
+        # accuracy factor) -> auto-exposure for the NEXT frame --
+        hist = compute_histogram(scene_hdr[::2, ::2], hist_bounds)
+        p95 = percentile(hist, 95.0)
+        new_avg = avg_lum * 0.95 + p95 * 0.05  # temporal smoothing
+
+        # -- tonemap resolve (Uncharted2 + sRGB-ish gamma) to uint8 --
+        exposure = 1.1 / jnp.maximum(avg_lum, 0.05)
+        mapped = tm.uncharted2_tonemap(scene_hdr[..., :3] * exposure)
+        white = tm.uncharted2_tonemap(jnp.float32(4.0))
+        rgb = jnp.clip(mapped / white, 0.0, 1.0) ** (1.0 / 2.2)
+        img = (rgb * 255.0 + 0.5).astype(jnp.uint8)
+
+        return img, state, new_avg, diag["dropped"]
 
     @partial(jax.jit, donate_argnums=(0,))
-    def frame(state: ParticleState, key, volume_, gbuffer_, lights_,
-              env_u_, spawn_count):
-        return _frame_body(jnp.asarray(0, jnp.int32), state, key, volume_,
-                           gbuffer_, lights_, env_u_, spawn_count)
+    def frame(state: ParticleState, avg_lum, key, volume_, gbuffer_,
+              lights_, env_u_, spawn_count):
+        return _frame_body(jnp.asarray(0, jnp.int32), state, avg_lum, key,
+                           volume_, gbuffer_, lights_, env_u_, spawn_count)
 
     @partial(jax.jit, donate_argnums=(0,), static_argnames=("n_frames",))
-    def frame_loop(state: ParticleState, key, volume_, gbuffer_, lights_,
-                   env_u_, spawn_count, i0, n_frames: int):
+    def frame_loop(state: ParticleState, avg_lum, key, volume_, gbuffer_,
+                   env_u_, lights_, spawn_count, i0, n_frames: int):
         """n_frames full frames in ONE dispatch — amortizes host-tunnel
         latency so benchmarks measure device throughput."""
         h, w = gbuffer_.z.shape
 
         def body(j, carry):
-            state, _ = carry
-            lightmap, state = _frame_body(
-                i0 + j, state, key, volume_, gbuffer_, lights_, env_u_,
-                spawn_count,
+            state, avg_lum, _, drops = carry
+            img, state, avg_lum, dropped = _frame_body(
+                i0 + j, state, avg_lum, key, volume_, gbuffer_, lights_,
+                env_u_, spawn_count,
             )
-            return state, lightmap
+            return state, avg_lum, img, jnp.maximum(drops, dropped)
 
-        state, lightmap = jax.lax.fori_loop(
+        state, avg_lum, img, drops = jax.lax.fori_loop(
             0, n_frames, body,
-            (state, jnp.zeros((h, w, 4), jnp.float32)),
+            (state, avg_lum, jnp.zeros((h, w, 3), jnp.uint8),
+             jnp.asarray(0, jnp.int32)),
         )
-        return lightmap, state
+        return img, state, avg_lum, drops
 
     return FlagshipScene(
         config=config,
@@ -225,6 +347,7 @@ def build_flagship(
         gbuffer=gbuffer,
         sphere_lights=sphere_lights,
         system=system,
+        raster_config=raster_config,
         frame=frame,
         frame_loop=frame_loop,
         spawner=spawner,
