@@ -81,6 +81,52 @@ def pack_probes(probes: List[LightProbe],
     )
 
 
+@pytree_dataclass
+class ProbePoints:
+    """Duck-typed G-buffer over arbitrary world points — the probe
+    variants of the line/volumetric/projector cores come from evaluating
+    the SAME accumulate functions over this (P, 1) 'pixel grid' (the
+    reference's *LightProbe.fx techniques reuse the light cores with the
+    probe buffer standing in for the G-buffer; here that sharing is
+    structural)."""
+
+    position: jnp.ndarray  # (P, 3)
+    normal: jnp.ndarray  # (P, 1, 3)
+    enable_shadows: jnp.ndarray  # (P, 1)
+    fullbright: jnp.ndarray  # (P, 1)
+
+    @property
+    def shape(self):
+        return (self.position.shape[0], 1)
+
+    @property
+    def render_scale(self):
+        return 1.0
+
+    @property
+    def relative_y(self):
+        return jnp.zeros((self.position.shape[0], 1), jnp.float32)
+
+    @property
+    def z(self):
+        return self.position[:, 2][:, None]
+
+    def world_position(self):
+        return self.position[:, None, :]
+
+
+def probe_points(probes: LightProbes) -> ProbePoints:
+    normal = jnp.where(
+        probes.normal[:, 3:4] > 0.5, probes.normal[:, :3], 0.0
+    )
+    return ProbePoints(
+        position=probes.position,
+        normal=normal[:, None, :],
+        enable_shadows=probes.enable_shadows[:, None],
+        fullbright=jnp.zeros((probes.capacity, 1), jnp.float32),
+    )
+
+
 def evaluate_probes(
     volume,
     probes: LightProbes,
@@ -88,6 +134,9 @@ def evaluate_probes(
     quality: QualitySettings,
     sphere_lights: Optional[SphereLights] = None,
     directional_lights: Optional[DirectionalLights] = None,
+    line_lights=None,
+    volumetric_lights=None,
+    projector_lights=None,
 ) -> jnp.ndarray:
     """-> (P, 4) HDR light values (UpdateLightProbes,
     LightProbes.cs:49-86): ambient + every light family accumulated with
@@ -164,5 +213,27 @@ def evaluate_probes(
             [jnp.sum(rgb, axis=0), jnp.sum(opacity, axis=0)[..., None]],
             axis=-1,
         )
+
+    if (line_lights is not None or volumetric_lights is not None
+            or projector_lights is not None):
+        pts = probe_points(probes)
+        if line_lights is not None:
+            from .line import accumulate_line_lights
+
+            value = value + accumulate_line_lights(
+                volume, pts, line_lights, env, quality
+            )[:, 0, :]
+        if volumetric_lights is not None:
+            from .volumetric import accumulate_volumetric_lights
+
+            value = value + accumulate_volumetric_lights(
+                volume, pts, volumetric_lights, env, quality
+            )[:, 0, :]
+        if projector_lights is not None:
+            from .projector import accumulate_projector_lights
+
+            value = value + accumulate_projector_lights(
+                volume, pts, projector_lights, env, quality
+            )[:, 0, :]
 
     return value * probes.active[:, None]

@@ -213,33 +213,9 @@ class EngineModel:
 
 
 def save_as_code(model: "EngineModel", writer=None) -> str:
-    """SaveAsCode (Model.cs:122-132, Model.Codegen.cs): emit executable
-    source that reconstructs the model's systems at runtime — here a
-    Python module using the illuminant_tpu API instead of a C# class.
-    Returns the source (and writes it to `writer` if given)."""
-    lines = [
-        '"""Machine-generated from %r — edit the scene, not this file."""'
-        % (model.filename or "<memory>"),
-        "",
-        "from illuminant_tpu.models.model import EngineModel",
-        "",
-        "MODEL_JSON = r'''",
-        model.dumps(),
-        "'''",
-        "",
-        "",
-        "def load():",
-        "    return EngineModel.loads(MODEL_JSON)",
-        "",
-        "",
-        "def build(volume=None, capacity=None, overrides=None):",
-        "    from illuminant_tpu.models.view import EngineView",
-        "",
-        "    return EngineView(load(), volume=volume, capacity=capacity,",
-        "                      overrides=overrides)",
-        "",
-    ]
-    src = "\n".join(lines)
-    if writer is not None:
-        writer.write(src)
-    return src
+    """SaveAsCode (Model.cs:122-132, Model.Codegen.cs): emit a module of
+    explicit constructor calls rebuilding the model's systems with no JSON
+    or reflection at load time — see models/codegen.py."""
+    from .codegen import save_as_code as _impl
+
+    return _impl(model, writer=writer)

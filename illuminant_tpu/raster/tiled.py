@@ -84,6 +84,10 @@ class TiledRasterConfig:
     color_scale: float = 4.0  # rgba8 full-scale in HDR units
     z_to_y: float = 0.0
     stipple_offset: float = 0.0
+    # Output channel count: 4 = premultiplied RGBA; 3 = RGB only (the
+    # flagship's additive HDR composite never reads particle alpha, and
+    # dropping it cuts the splat's dominant rhs materialization by 25%).
+    channels: int = 4
 
     @property
     def grid(self) -> Tuple[int, int]:
@@ -212,22 +216,35 @@ def bin_particles(cfg: TiledRasterConfig, x, y, color, size, live):
     counts = starts[1:] - starts[:-1]  # (NT,)
     dropped = jnp.sum(jnp.maximum(counts - k, 0))
 
-    if n < k:  # fewer particles than bin capacity: pad (invalid) rows
-        payload = jnp.pad(payload, ((0, k - n), (0, 0)))
-    base = jnp.minimum(starts[:-1], jnp.int32(max(n - k, 0)))
+    # Quad-row bin gather: the XLA TPU gather is ROW-COUNT-bound (rows of
+    # 2 and 3 int32 cost the same, tools/microbench_raster3.py M4), so
+    # pack FOUR sorted slots per gathered row and realign per tile. This
+    # quarters the dominant binning cost. The payload is padded by a full
+    # window so base_row = starts // 4 never clamps and the in-row offset
+    # is always 0..3.
+    p = payload.shape[1]
+    rows_needed = k // 4 + 1
+    n_rows = -(-n // 4) + rows_needed
+    payload = jnp.pad(payload, ((0, n_rows * 4 - n), (0, 0)))
+    packed = payload.reshape(n_rows, 4 * p)
 
-    def get(s):
-        return lax.dynamic_slice(payload, (s, jnp.int32(0)),
-                                 (k, payload.shape[1]))
+    base_row = starts[:-1] // 4
 
-    bins = jax.vmap(get)(base)  # (NT, K, P)
+    def get(r):
+        return lax.dynamic_slice(packed, (r, jnp.int32(0)),
+                                 (rows_needed, 4 * p))
+
+    quad = jax.vmap(get)(base_row)  # (NT, rows_needed, 4P)
+    slots = quad.reshape(nt, rows_needed * 4, p)
+    # Realign: tile t's first particle sits at offset starts[t] % 4.
+    off = starts[:-1] - base_row * 4  # in [0, 4)
+    aligned = slots[:, 0:k, :]
+    for o in (1, 2, 3):
+        aligned = jnp.where((off == o)[:, None, None],
+                            slots[:, o:o + k, :], aligned)
+    bins = aligned  # (NT, K, P): slot j == sorted[starts[t] + j]
     slot = jnp.arange(k, dtype=jnp.int32)[None, :]
-    # Slots index from the CLAMPED base; valid ones are those whose
-    # absolute position falls inside [starts[t], starts[t]+count).
-    pos = base[:, None] + slot
-    valid = (pos >= starts[:-1][:, None]) & (
-        pos < (starts[:-1] + jnp.minimum(counts, k))[:, None]
-    )
+    valid = slot < jnp.minimum(counts, k)[:, None]
 
     bx, by = _unpack_xy(bins[:, :, 0])
     if cfg.rgba8_colors:
@@ -254,7 +271,10 @@ def _tile_origins(cfg: TiledRasterConfig):
 def _coverage_factors(cfg: TiledRasterConfig, bins):
     """Per-slot separable coverage factors over the tile window.
 
-    Returns wy (NT, WIN, K) and wx (NT, K, WIN), f32 (cast later).
+    Returns wy (NT, WIN, K) and wx (NT, K, WIN) in bf16 — these are the
+    big materializations (NT*WIN*K elements each); the profile math runs
+    f32 elementwise and narrows on store, which halves the splat's HBM
+    traffic at no visible cost (coverage is an 8-bit-ish quantity).
     """
     win = cfg.window
     ox, oy = _tile_origins(cfg)
@@ -266,11 +286,11 @@ def _coverage_factors(cfg: TiledRasterConfig, bins):
     rx = jnp.arange(win, dtype=jnp.float32)[None, None, :] + 0.5
     wy = _profile(cfg.kernel, ry - py[:, None, :], radius[:, None, :])
     wx = _profile(cfg.kernel, rx - px[:, :, None], radius[:, :, None])
-    return wy, wx
+    return wy.astype(jnp.bfloat16), wx.astype(jnp.bfloat16)
 
 
 def _overlap_add(cfg: TiledRasterConfig, tiles):
-    """(NT, WIN, WIN*4) tile windows -> (H, W, 4) via chunked dense adds.
+    """(NT, WIN, WIN*C) tile windows -> (H, W, C) via chunked dense adds.
 
     Window of tile (ty, tx) covers absolute pixels
     [ty*T - A, ty*T + T + A) x [tx*T - A, tx*T + T + A); in apron-padded
@@ -281,9 +301,10 @@ def _overlap_add(cfg: TiledRasterConfig, tiles):
     """
     gy, gx = cfg.grid
     t, a, win = cfg.tile, cfg.apron, cfg.window
-    tiles = tiles.reshape(gy, gx, win, win, 4)
+    ch = tiles.shape[-1] // win
+    tiles = tiles.reshape(gy, gx, win, win, ch)
     nc = -(-win // t)
-    canvas = jnp.zeros(((gy + nc) * t, (gx + nc) * t, 4), jnp.float32)
+    canvas = jnp.zeros(((gy + nc) * t, (gx + nc) * t, ch), jnp.float32)
     for cy in range(nc):
         rows = min(t, win - cy * t)
         for cx in range(nc):
@@ -295,7 +316,7 @@ def _overlap_add(cfg: TiledRasterConfig, tiles):
                 ((0, 0), (0, 0), (0, t - rows), (0, t - cols), (0, 0)),
             )
             block = piece.transpose(0, 2, 1, 3, 4).reshape(
-                gy * t, gx * t, 4)
+                gy * t, gx * t, ch)
             canvas = canvas.at[
                 cy * t:cy * t + gy * t, cx * t:cx * t + gx * t, :
             ].add(block)
@@ -328,15 +349,16 @@ def rasterize_tiled(
     wy, wx = _coverage_factors(cfg, bins)
 
     valid = bins["valid"]
-    pc = bins["color"] * valid[:, :, None]
+    ch = cfg.channels
+    pc = bins["color"][:, :, :ch] * valid[:, :, None]
     nt = wy.shape[0]
     k = cfg.bin_capacity
     win = cfg.window
 
-    rhs = (wx[:, :, :, None] * pc[:, :, None, :]).reshape(
-        nt, k, win * 4).astype(jnp.bfloat16)
+    rhs = (wx[:, :, :, None] * pc[:, :, None, :].astype(jnp.bfloat16)
+           ).reshape(nt, k, win * ch)
     tiles = jnp.einsum(
-        "twk,tkv->twv", wy.astype(jnp.bfloat16), rhs,
+        "twk,tkv->twv", wy, rhs,
         preferred_element_type=jnp.float32,
     )
     img = _overlap_add(cfg, tiles)

@@ -15,11 +15,10 @@ Lumined scene"), all advanced by ONE jitted frame function:
     pulse, spawner emission point path, per-particle size/color-from-life
     ramps;
   * full-resolution tiled particle rasterization (raster/tiled.py);
-  * HDR luminance histogram (utils/histogram.py, 64 log buckets, on a
-    2x-subsampled scene like the reference's mip-level accuracyFactor,
-    LightingRenderer.HDR.cs:154-167) driving auto-exposure from the
-    PREVIOUS frame (the reference reads the previous frame's luminance
-    ring buffer, HDR.cs:21-55);
+  * HDR luminance histogram (utils/histogram.py, 64 log buckets, full
+    resolution) driving auto-exposure from the PREVIOUS frame (the
+    reference reads the previous frame's luminance ring buffer,
+    LightingRenderer.HDR.cs:21-55);
   * Uncharted2 tonemap resolve (Resolve.fx:124-133) to a uint8 frame.
 """
 
@@ -128,8 +127,11 @@ def build_flagship(
         resolution_scale=sdf_resolution_scale,
     )
     # The analytic scene is the TPU-native field (sdf/analytic.py): exact
-    # per-frame dynamics, no voxel staleness, no gathers.
-    volume = analytic.pack_scene(env.obstructions)
+    # per-frame dynamics, no voxel staleness, no gathers. Tight group
+    # packing (round=1): the scene is fixed, so jit-cache padding buys
+    # nothing and every eval slot costs real flops in 4 distance passes
+    # per frame (integrator) + the occlusion image + refine samples.
+    volume = analytic.pack_scene(env.obstructions, group_capacity_round=1)
     env_u = env.uniforms()
     gbuffer = gbuf.flat_ground(height, width, env_u)
     sphere_lights = pack_sphere_lights(
@@ -179,24 +181,43 @@ def build_flagship(
         collision_distance=1.0,
         bounce_velocity_multiplier=0.7,
     )
+    # Tangential orbit spawn — the reference's own recipe: shared
+    # position/velocity randomness (AlignVelocityAndPosition,
+    # SpawnerCommon.fxh:114-117) makes the velocity RADIAL, and a 90-deg
+    # velocity post-matrix (Parameter<DynamicMatrix> VelocityPostMatrix)
+    # turns it TANGENTIAL, so particles orbit the attractor instead of
+    # collapsing into it (keeps raster tile occupancy honest and even).
+    rot90 = np.asarray(
+        [[0.0, 1.0, 0.0, 0.0], [-1.0, 0.0, 0.0, 0.0],
+         [0.0, 0.0, 1.0, 0.0], [0.0, 0.0, 0.0, 1.0]], np.float32)
     spawner = Spawner(
         min_rate=float(capacity) * 0.2,  # refill ~20%/s
         max_rate=float(capacity) * 0.2,
-        life=Formula1(constant=4.0, random_scale=1.0, offset=-0.5),
+        life=Formula1(constant=2.5, random_scale=1.0, offset=-0.5),
         position=Formula3(constant=(cx, cy, 30.0),
                           offset=(ring * 0.8, ring * 0.8, 8.0),
                           random_scale=(40.0, 40.0, 4.0),
                           type=FORMULA_SPHERICAL),
-        velocity=Formula3(random_scale=(90.0, 90.0, 10.0),
+        velocity=Formula3(offset=(170.0, 170.0, 0.0),
+                          random_scale=(50.0, 50.0, 10.0),
                           type=FORMULA_SPHERICAL),
+        align_velocity_and_position=True,
+        velocity_post_matrix=rot90,
         color=Formula4(constant=(0.4, 0.5, 0.9, 0.5),
                        random_scale=(0.4, 0.3, 0.1, 0.3)),
         spawn_max=spawn_max,
     )
+    # Attractor + central repulsor: the pair forms a stable annulus —
+    # particles orbit between the repulsor's push and the attractor's
+    # pull, spreading density across the screen instead of piling into
+    # the core (keeps per-tile raster occupancy bounded). Both are plain
+    # reference Gravity attractors (negative strength = repulsion).
     grav = tx.Gravity(attractors=[
         tx.Attractor(position=(cx, cy, 20.0),
                      radius=float(max(width, height)),
-                     strength=150.0, falloff_type=tx.FALLOFF_LINEAR),
+                     strength=100.0, falloff_type=tx.FALLOFF_LINEAR),
+        tx.Attractor(position=(cx, cy, 20.0), radius=420.0,
+                     strength=-260.0, falloff_type=tx.FALLOFF_LINEAR),
     ], maximum_acceleration=3000.0)
     # Per-particle bezier ramps (ParticleSystemConfiguration.SizeFromLife /
     # ColorFromLife, ParticleConfiguration.cs:187-210): size shrinks and
@@ -235,6 +256,7 @@ def build_flagship(
     raster_config = TiledRasterConfig(
         height=height, width=width, tile=32, bin_capacity=bin_capacity,
         apron=4, kernel="gauss", rgba8_colors=True, color_scale=4.0,
+        channels=3,
     )
     hist_bounds = jnp.asarray(bucket_boundaries(max_value=64.0))
 
@@ -294,17 +316,19 @@ def build_flagship(
             state.render_data[:, 0],
             state.live_mask(),
         )
-        scene_hdr = lightmap + particle_img
+        scene_hdr = lightmap[..., :3] + particle_img
 
-        # -- HDR histogram (2x-subsampled, like the reference's mip-level
-        # accuracy factor) -> auto-exposure for the NEXT frame --
-        hist = compute_histogram(scene_hdr[::2, ::2], hist_bounds)
+        # -- HDR histogram -> auto-exposure for the NEXT frame --
+        # Full-res: a strided [::2, ::2] subsample costs MORE than the
+        # histogram itself on TPU (lane-dim stride = sublane shuffles);
+        # the direct-index one-hot reduce is cheap at 2M pixels.
+        hist = compute_histogram(scene_hdr, hist_bounds)
         p95 = percentile(hist, 95.0)
         new_avg = avg_lum * 0.95 + p95 * 0.05  # temporal smoothing
 
         # -- tonemap resolve (Uncharted2 + sRGB-ish gamma) to uint8 --
         exposure = 1.1 / jnp.maximum(avg_lum, 0.05)
-        mapped = tm.uncharted2_tonemap(scene_hdr[..., :3] * exposure)
+        mapped = tm.uncharted2_tonemap(scene_hdr * exposure)
         white = tm.uncharted2_tonemap(jnp.float32(4.0))
         rgb = jnp.clip(mapped / white, 0.0, 1.0) ** (1.0 / 2.2)
         img = (rgb * 255.0 + 0.5).astype(jnp.uint8)

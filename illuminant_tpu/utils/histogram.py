@@ -40,12 +40,18 @@ def bucket_boundaries(max_value: float = 64.0, power: float = 2.0,
     )
 
 
-def compute_histogram(lightmap, boundaries, ignore_zeroes: bool = False):
+def compute_histogram(lightmap, boundaries, ignore_zeroes: bool = False,
+                      power: float = 2.0, max_value: float = 64.0):
     """(H, W, 4) HDR lightmap -> HistogramResult.
 
     Bucket pick matches Histogram.cs PickBucketForValue: first bucket takes
     values below its max, last bucket takes everything >= the second-last
-    boundary. Implemented as a comparison matrix + sum (no gathers).
+    boundary. The boundaries are log-spaced (bucket_boundaries), so the
+    bucket index is computed directly as
+        idx = ceil(log_power(1 + lum) * B / log_power(1 + max)) - 1
+    (the exact inverse of the boundary formula — no comparison matrix),
+    then counted with ONE bf16 one-hot reduction on the MXU. `power` /
+    `max_value` must match the values used to build `boundaries`.
     """
     lum = luminance(lightmap[..., :3]).reshape(-1)
     boundaries = jnp.asarray(boundaries)
@@ -55,14 +61,18 @@ def compute_histogram(lightmap, boundaries, ignore_zeroes: bool = False):
     if ignore_zeroes:
         valid = lum > 0.0
 
-    # Bucket index = number of boundaries the value is >= (clamped).
-    ge = lum[:, None] >= boundaries[None, :-1]  # (N, B-1)
-    idx = jnp.sum(ge.astype(jnp.int32), axis=1)
+    max_log = float(np.log(1.0 + max_value) / np.log(power))
+    scale = b / (max_log * float(np.log(power)))
+    # bucket i covers [boundary[i-1], boundary[i]) with
+    # boundary[i] = power^(max_log*(i+1)/B) - 1, so
+    # idx = floor(log_power(1 + lum) * B / max_log), clamped.
+    u = jnp.log1p(jnp.maximum(lum, 0.0)) * scale
+    idx = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, b - 1)
     one_hot = (
-        idx[:, None]
-        == jnp.arange(b, dtype=jnp.int32)[None, :]
+        idx[:, None] == jnp.arange(b, dtype=jnp.int32)[None, :]
     ) & valid[:, None]
-    counts = jnp.sum(one_hot.astype(jnp.int32), axis=0)
+    counts = jnp.sum(one_hot.astype(jnp.bfloat16), axis=0,
+                     dtype=jnp.float32).astype(jnp.int32)
 
     n = jnp.sum(valid.astype(jnp.int32))
     big = jnp.float32(3.4e38)

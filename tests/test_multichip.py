@@ -1,0 +1,94 @@
+"""Multi-device sharding: the sharded frame equals the unsharded frame.
+
+SURVEY.md §4: multi-device tests run on the virtual 8-CPU mesh
+(conftest.py sets xla_force_host_platform_device_count=8). The full
+flagship frame step is jitted over a jax.sharding.Mesh with the pixel
+grid row-sharded and the particle capacity sharded; outputs must match
+the single-device run exactly (the math is identical — only layout and
+collectives differ).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from illuminant_tpu.parallel import mesh as pmesh
+
+
+@pytest.fixture(scope="module")
+def scene():
+    from illuminant_tpu.scenes import build_flagship
+
+    return build_flagship(height=64, width=128, capacity=1 << 12,
+                          spawn_max=256, n_lights=4, bin_capacity=128)
+
+
+def _run(scene, state, sharded: bool, n_frames: int = 3):
+    env_u = scene.environment.uniforms()
+    key = jax.random.key(7)
+    avg = jnp.asarray(0.5, jnp.float32)
+    volume, gbuffer, lights = scene.volume, scene.gbuffer, \
+        scene.sphere_lights
+    spawn_count = jnp.asarray(128, jnp.int32)
+
+    if sharded:
+        mesh = pmesh.make_mesh(8)
+        gbuffer = pmesh.shard_gbuffer(gbuffer, mesh)
+        state = pmesh.shard_particles(state, mesh)
+        volume = pmesh.replicate(volume, mesh)
+        lights = pmesh.replicate(lights, mesh)
+        env_u = pmesh.replicate(env_u, mesh)
+        key = jax.device_put(key, pmesh.replicated(mesh))
+        avg = jax.device_put(avg, pmesh.replicated(mesh))
+        spawn_count = jax.device_put(spawn_count, pmesh.replicated(mesh))
+
+    imgs = []
+    for i in range(n_frames):
+        img, state, avg, drops = scene.frame(
+            state, avg, jax.random.fold_in(key, i), volume, gbuffer,
+            lights, env_u, spawn_count,
+        )
+        imgs.append(np.asarray(img))
+    return imgs, state, float(avg)
+
+
+def test_eight_device_mesh_available():
+    assert jax.device_count() >= 8
+
+
+def test_sharded_frame_matches_unsharded(scene):
+    # frame() donates the state buffers — give each run its own copy.
+    fresh = lambda: jax.tree.map(jnp.copy, scene.system.state)  # noqa: E731
+    imgs_a, state_a, avg_a = _run(scene, fresh(), sharded=False)
+    imgs_b, state_b, avg_b = _run(scene, fresh(), sharded=True)
+
+    # The frame output must actually be distributed.
+    for a, b in zip(imgs_a, imgs_b):
+        # uint8 output: allow off-by-one from reassociated float sums.
+        diff = np.abs(a.astype(np.int32) - b.astype(np.int32))
+        assert diff.max() <= 1, diff.max()
+    np.testing.assert_allclose(
+        np.asarray(state_a.position), np.asarray(state_b.position),
+        rtol=1e-5, atol=1e-4,
+    )
+    assert abs(avg_a - avg_b) < 1e-4
+
+
+def test_sharded_output_is_distributed(scene):
+    mesh = pmesh.make_mesh(8)
+    env_u = pmesh.replicate(scene.environment.uniforms(), mesh)
+    gbuffer = pmesh.shard_gbuffer(scene.gbuffer, mesh)
+    state = pmesh.shard_particles(scene.system.state, mesh)
+    volume = pmesh.replicate(scene.volume, mesh)
+    lights = pmesh.replicate(scene.sphere_lights, mesh)
+    img, state2, avg, drops = scene.frame(
+        state, jax.device_put(jnp.float32(0.5), pmesh.replicated(mesh)),
+        jax.device_put(jax.random.key(0), pmesh.replicated(mesh)),
+        volume, gbuffer, lights, env_u,
+        jax.device_put(jnp.asarray(128, jnp.int32),
+                       pmesh.replicated(mesh)),
+    )
+    img.block_until_ready()
+    assert len(img.sharding.device_set) == 8, img.sharding
+    assert len(state2.position.sharding.device_set) == 8

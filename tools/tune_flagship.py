@@ -1,0 +1,123 @@
+"""Tune the flagship scene: tile-occupancy distribution + stage costs.
+
+Runs the primed flagship state and reports per-tile particle occupancy
+(max / p99.9 / drops at various K) so the scene's motion design keeps the
+rasterizer honest (zero drops), plus stage timings of the NEW full frame.
+
+Usage: python tools/tune_flagship.py [occupancy] [stages]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+_CACHE_DIR = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+H, W, CAP = 1080, 1920, 1 << 20
+
+
+def fence(x):
+    x = x.reshape(-1)
+    return float(jnp.max(x[:: max(1, int(x.shape[0]) // 997 * 2 + 1)]
+                         ).astype(jnp.float32))
+
+
+def main():
+    what = set(sys.argv[1:]) or {"occupancy"}
+    from illuminant_tpu.scenes import build_flagship
+
+    scene = build_flagship(height=H, width=W, capacity=CAP)
+    env_u = scene.environment.uniforms()
+    key = jax.random.key(0)
+    spawn_count = jnp.asarray(scene.spawner.spawn_max, jnp.int32)
+    state = scene.system.state
+    avg = jnp.asarray(0.5, jnp.float32)
+
+    # Prime 400 frames.
+    img, state, avg, drops = scene.frame_loop(
+        state, avg, key, scene.volume, scene.gbuffer, env_u,
+        scene.sphere_lights, spawn_count, jnp.asarray(0, jnp.int32), 400)
+    fence(img)
+
+    if "occupancy" in what:
+        pos = np.asarray(state.position)
+        live = pos[:, 3] > 0
+        x = np.clip(pos[live, 0], 0, W - 1)
+        y = np.clip(pos[live, 1], 0, H - 1)
+        tile = (y // 32).astype(np.int64) * 60 + (x // 32).astype(np.int64)
+        counts = np.bincount(tile, minlength=34 * 60)
+        cs = np.sort(counts)
+        print(f"live={live.sum()} tiles_max={cs[-1]} "
+              f"p99.9={cs[int(0.999 * len(cs))]} "
+              f"p99={cs[int(0.99 * len(cs))]} mean={counts.mean():.0f}")
+        for k in (512, 1024, 2048, 4096):
+            print(f"  drops@K={k}: {np.maximum(counts - k, 0).sum()}")
+
+    if "stages" in what:
+        ITERS = 100
+        from functools import partial
+
+        def timed_loop(name, body):
+            @jax.jit
+            def run(c):
+                return jax.lax.fori_loop(0, ITERS, body, c)
+
+            c = run((state, jnp.zeros((H, W, 4), jnp.float32)))
+            fence(c[1])
+            t0 = time.perf_counter()
+            c = run(c)
+            fence(c[1])
+            dt = (time.perf_counter() - t0) / ITERS
+            print(f"{name:42s} {dt * 1e3:8.3f} ms")
+
+        from illuminant_tpu.raster.tiled import rasterize_tiled
+        from illuminant_tpu.utils.histogram import (
+            bucket_boundaries, compute_histogram, percentile)
+        from illuminant_tpu.ops import tonemap as tm
+
+        rc = scene.raster_config
+
+        def raster_body(i, c):
+            st, acc = c
+            # Carry-dependent input defeats XLA loop-invariant hoisting.
+            eps = acc[0, 0, 0] * 1e-30
+            img, diag = rasterize_tiled(
+                rc, st.position[:, 0] + eps, st.position[:, 1],
+                st.render_color, st.render_data[:, 0], st.live_mask())
+            return (st, acc + img * 1e-20)
+
+        timed_loop("tiled raster 1M @1080p K=%d" % rc.bin_capacity,
+                   raster_body)
+
+        bounds = jnp.asarray(bucket_boundaries(max_value=64.0))
+
+        def hist_body(i, c):
+            st, acc = c
+            h = compute_histogram(acc[::2, ::2], bounds)
+            p = percentile(h, 95.0)
+            return (st, acc + p * 1e-20)
+
+        timed_loop("histogram 2x-subsampled + percentile", hist_body)
+
+        def tone_body(i, c):
+            st, acc = c
+            mapped = tm.uncharted2_tonemap(acc[..., :3])
+            img = (jnp.clip(mapped, 0.0, 1.0) ** (1 / 2.2) * 255.0
+                   ).astype(jnp.uint8)
+            return (st, acc + img.astype(jnp.float32).mean() * 1e-20)
+
+        timed_loop("tonemap u8 resolve", tone_body)
+
+
+if __name__ == "__main__":
+    main()
