@@ -151,3 +151,120 @@ def evaluate_bezier(bezier: ClampedBezier, value):
     value = jnp.asarray(value, dtype=jnp.float32)
     count, t = t_for_scaled_bezier(bezier.range_and_count, value)
     return evaluate_at_t(bezier.points, count, t)
+
+
+# --- BezierM over DynamicMatrix (Bezier.cs:379-424) ------------------------
+
+
+@pytree_dataclass
+class DynamicMatrix:
+    """Squared.Render DynamicMatrix: either an explicit 4x4 matrix or a
+    generated one from (angle degrees, scale, translation) — a 2D rotation
+    about +z. `is_dynamic` selects the generated form."""
+
+    matrix: jnp.ndarray  # (4, 4) row-vector convention
+    angle: jnp.ndarray  # () degrees
+    scale: jnp.ndarray  # ()
+    translation: jnp.ndarray  # (3,)
+    is_dynamic: jnp.ndarray  # () f32 flag
+
+    @staticmethod
+    def from_components(angle=0.0, scale=1.0, translation=(0.0, 0.0, 0.0)):
+        return DynamicMatrix(
+            matrix=jnp.eye(4, dtype=jnp.float32),
+            angle=jnp.asarray(angle, jnp.float32),
+            scale=jnp.asarray(scale, jnp.float32),
+            translation=jnp.asarray(translation, jnp.float32),
+            is_dynamic=jnp.asarray(1.0, jnp.float32),
+        )
+
+    @staticmethod
+    def from_matrix(matrix):
+        return DynamicMatrix(
+            matrix=jnp.asarray(matrix, jnp.float32),
+            angle=jnp.asarray(0.0, jnp.float32),
+            scale=jnp.asarray(1.0, jnp.float32),
+            translation=jnp.zeros((3,), jnp.float32),
+            is_dynamic=jnp.asarray(0.0, jnp.float32),
+        )
+
+    def regenerate(self):
+        """DynamicMatrix.Regenerate: rotation(angle) * scale + translation
+        (row-vector convention; identity when not dynamic)."""
+        rad = self.angle * (jnp.pi / 180.0)
+        c = jnp.cos(rad) * self.scale
+        s = jnp.sin(rad) * self.scale
+        tx, ty, tz = (self.translation[0], self.translation[1],
+                      self.translation[2])
+        z = jnp.zeros(())
+        one = jnp.ones(())
+        gen = jnp.stack([
+            jnp.stack([c, s, z, z]),
+            jnp.stack([-s, c, z, z]),
+            jnp.stack([z, z, self.scale, z]),
+            jnp.stack([tx, ty, tz, one]),
+        ])
+        return jnp.where(self.is_dynamic > 0.5, gen, self.matrix)
+
+
+@pytree_dataclass
+class BezierM:
+    """Bezier over DynamicMatrix (Bezier.cs:379-424). Holds the packed
+    time header plus the four control DynamicMatrix values."""
+
+    range_and_count: jnp.ndarray  # (4,) like ClampedBezier
+    a: DynamicMatrix
+    b: DynamicMatrix
+    c: DynamicMatrix
+    d: DynamicMatrix
+
+
+def pack_bezier_matrix(points, min_value=0.0, max_value=1.0,
+                       mode=MODE_LINEAR) -> BezierM:
+    pts = list(points)
+    if not 1 <= len(pts) <= 4:
+        raise ValueError("BezierM supports 1-4 control matrices")
+    while len(pts) < 4:
+        pts.append(pts[-1])
+    header = pack_bezier(
+        [[0.0]] * min(len(points), 4), min_value, max_value, mode
+    ).range_and_count
+    header = header.at[2].set(float(len(points)))
+    return BezierM(range_and_count=header, a=pts[0], b=pts[1], c=pts[2],
+                   d=pts[3])
+
+
+def evaluate_bezier_matrix(bm: BezierM, value) -> jnp.ndarray:
+    """Bezier.cs:379-424: fully-dynamic control points interpolate
+    (angle, scale) and translation through the bezier then regenerate;
+    otherwise the four matrix rows interpolate component-wise. -> (4, 4)."""
+    count, t = t_for_scaled_bezier(bm.range_and_count, jnp.asarray(value))
+
+    fully_dynamic = (
+        (bm.a.is_dynamic > 0.5) & (bm.b.is_dynamic > 0.5)
+        & (bm.c.is_dynamic > 0.5) & (bm.d.is_dynamic > 0.5)
+    )
+
+    # Dynamic path: bezier over (angle, scale) + translation.
+    ang_scale = jnp.stack([
+        jnp.stack([m.angle, m.scale]) for m in (bm.a, bm.b, bm.c, bm.d)
+    ])  # (4, 2)
+    p = evaluate_at_t(ang_scale, count, t)
+    trans = jnp.stack([
+        jnp.concatenate([m.translation, jnp.ones((1,), jnp.float32)])
+        for m in (bm.a, bm.b, bm.c, bm.d)
+    ])  # (4, 4)
+    tr = evaluate_at_t(trans, count, t)
+    dyn = DynamicMatrix.from_components(
+        angle=p[..., 0], scale=p[..., 1], translation=tr[..., :3]
+    ).regenerate()
+
+    # Matrix path: per-row component-wise bezier.
+    rows = []
+    for r in range(4):
+        ctrl = jnp.stack([m.regenerate()[r] for m in
+                          (bm.a, bm.b, bm.c, bm.d)])  # (4, 4)
+        rows.append(evaluate_at_t(ctrl, count, t))
+    mat = jnp.stack(rows, axis=-2)
+
+    return jnp.where(fully_dynamic, dyn, mat)

@@ -97,3 +97,43 @@ def resolve(
 def to_uint8(image):
     """Quantize a resolved (H, W, C) f32 image to uint8 for display/IO."""
     return jnp.clip(jnp.round(image * 255.0), 0.0, 255.0).astype(jnp.uint8)
+
+
+def hdr_bitmap(
+    texture,
+    hdr: HDRConfig = HDRConfig(),
+    multiply_color=(1.0, 1.0, 1.0, 1.0),
+    add_color=(0.0, 0.0, 0.0, 0.0),
+    inverse_scale: float = 1.0,
+    average_luminance: float = 0.5,
+):
+    """HDRBitmap.fx: tonemap/gamma-compress an arbitrary HDR bitmap (not
+    the lightmap) with the standard multiply/add color combine.
+
+    GammaCompressedPixelShader / ToneMappedPixelShader (HDRBitmap.fx:8-42):
+    addColor premultiplies and applies scaled by result alpha; then the
+    HDR.fxh operator selected by hdr.mode.
+    """
+    mul = jnp.asarray(multiply_color, jnp.float32)
+    add = jnp.asarray(add_color, jnp.float32)
+    add = add.at[:3].mul(add[3]).at[3].set(0.0)
+
+    result = mul * (texture * inverse_scale)
+    result = result + add * result[..., 3:4]
+
+    if hdr.mode == HDR_MODE_TONEMAP:
+        pre = jnp.maximum(result[..., :3] + hdr.offset, 0.0) * hdr.exposure
+        mapped = tonemap.uncharted2_tonemap(pre) / jnp.maximum(
+            tonemap.uncharted2_tonemap(
+                jnp.asarray(hdr.white_point, jnp.float32)
+            ),
+            1e-6,
+        )
+        rgb = jnp.power(jnp.maximum(mapped, 1e-12), hdr.gamma)
+    else:
+        compressed = tonemap.gamma_compress(
+            result, hdr.offset, hdr.middle_gray, average_luminance,
+            hdr.maximum_luminance_sq,
+        )
+        rgb = compressed[..., :3]
+    return jnp.concatenate([rgb, result[..., 3:4]], axis=-1)

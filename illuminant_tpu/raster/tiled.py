@@ -88,6 +88,9 @@ class TiledRasterConfig:
     # flagship's additive HDR composite never reads particle alpha, and
     # dropping it cuts the splat's dominant rhs materialization by 25%).
     channels: int = 4
+    # Hierarchical overflow: the M hottest tiles get a second K-slot bin
+    # level (additive path only). 0 disables.
+    overflow_tiles: int = 128
 
     @property
     def grid(self) -> Tuple[int, int]:
@@ -228,24 +231,39 @@ def bin_particles(cfg: TiledRasterConfig, x, y, color, size, live):
     payload = jnp.pad(payload, ((0, n_rows * 4 - n), (0, 0)))
     packed = payload.reshape(n_rows, 4 * p)
 
-    base_row = starts[:-1] // 4
+    bins, valid = _quad_gather(packed, starts[:-1], counts, k, p)
+    unpacked = _unpack_bins(cfg, bins)
+    unpacked.update(valid=valid, dropped=dropped, packed=packed,
+                    starts=starts[:-1], counts=counts)
+    return unpacked
+
+
+def _quad_gather(packed, starts_sel, counts_sel, k, p):
+    """Gather K aligned slots per selected segment from the quad-row
+    payload. starts_sel/counts_sel: (M,) segment starts/counts (absolute
+    slot indices). Returns (bins (M, K, P), valid (M, K))."""
+    m = starts_sel.shape[0]
+    rows_needed = k // 4 + 1
+
+    base_row = starts_sel // 4
 
     def get(r):
         return lax.dynamic_slice(packed, (r, jnp.int32(0)),
-                                 (rows_needed, 4 * p))
+                                 (rows_needed, packed.shape[1]))
 
-    quad = jax.vmap(get)(base_row)  # (NT, rows_needed, 4P)
-    slots = quad.reshape(nt, rows_needed * 4, p)
-    # Realign: tile t's first particle sits at offset starts[t] % 4.
-    off = starts[:-1] - base_row * 4  # in [0, 4)
+    quad = jax.vmap(get)(base_row)  # (M, rows_needed, 4P)
+    slots = quad.reshape(m, rows_needed * 4, p)
+    off = starts_sel - base_row * 4  # in [0, 4)
     aligned = slots[:, 0:k, :]
     for o in (1, 2, 3):
         aligned = jnp.where((off == o)[:, None, None],
                             slots[:, o:o + k, :], aligned)
-    bins = aligned  # (NT, K, P): slot j == sorted[starts[t] + j]
     slot = jnp.arange(k, dtype=jnp.int32)[None, :]
-    valid = slot < jnp.minimum(counts, k)[:, None]
+    valid = slot < jnp.minimum(counts_sel, k)[:, None]
+    return aligned, valid
 
+
+def _unpack_bins(cfg: TiledRasterConfig, bins):
     bx, by = _unpack_xy(bins[:, :, 0])
     if cfg.rgba8_colors:
         bc = _unpack_rgba8(bins[:, :, 1], cfg.color_scale)
@@ -256,8 +274,7 @@ def bin_particles(cfg: TiledRasterConfig, x, y, color, size, live):
         bc = jnp.stack([c0, c1, c2, c3], axis=-1)
         size_idx = 3
     bsize, _ = _unpack_bf16_pair(bins[:, :, size_idx])
-    return dict(x=bx, y=by, color=bc, size=bsize, valid=valid,
-                dropped=dropped)
+    return dict(x=bx, y=by, color=bc, size=bsize)
 
 
 def _tile_origins(cfg: TiledRasterConfig):
@@ -268,16 +285,19 @@ def _tile_origins(cfg: TiledRasterConfig):
     return ox, oy
 
 
-def _coverage_factors(cfg: TiledRasterConfig, bins):
+def _coverage_factors(cfg: TiledRasterConfig, bins, ox=None, oy=None):
     """Per-slot separable coverage factors over the tile window.
 
     Returns wy (NT, WIN, K) and wx (NT, K, WIN) in bf16 — these are the
     big materializations (NT*WIN*K elements each); the profile math runs
     f32 elementwise and narrows on store, which halves the splat's HBM
     traffic at no visible cost (coverage is an 8-bit-ish quantity).
+    ox/oy override the tile origins (the overflow pass passes selected
+    tiles' origins).
     """
     win = cfg.window
-    ox, oy = _tile_origins(cfg)
+    if ox is None:
+        ox, oy = _tile_origins(cfg)
     px = bins["x"] - ox[:, None] + cfg.apron  # window-local
     py = bins["y"] - oy[:, None] + cfg.apron
     radius = jnp.clip(bins["size"] * 0.5, 0.5, cfg.apron + 0.5)
@@ -361,8 +381,45 @@ def rasterize_tiled(
         "twk,tkv->twv", wy, rhs,
         preferred_element_type=jnp.float32,
     )
+    dropped = bins["dropped"]
+
+    if cfg.overflow_tiles > 0:
+        # Hierarchical overflow: the M hottest tiles get a SECOND K-slot
+        # bin level (slots [K, 2K) of their sorted segments), splatted the
+        # same way and placed back with a one-hot matmul. Clustered scenes
+        # (attractor cores) stop dropping particles without doubling the
+        # whole gather/splat.
+        m = min(cfg.overflow_tiles, nt)
+        counts = bins["counts"]
+        overflow = jnp.maximum(counts - k, 0)
+        _, sel = lax.top_k(overflow, m)  # (M,) tile ids
+        sel_counts = jnp.maximum(counts[sel] - k, 0)
+        sel_starts = bins["starts"][sel] + k
+        bins2, valid2 = _quad_gather(bins["packed"], sel_starts,
+                                     sel_counts, k, 3 if cfg.rgba8_colors
+                                     else 4)
+        up2 = _unpack_bins(cfg, bins2)
+        ox, oy = _tile_origins(cfg)
+        wy2, wx2 = _coverage_factors(cfg, up2, ox[sel], oy[sel])
+        pc2 = up2["color"][:, :, :ch] * valid2[:, :, None]
+        rhs2 = (wx2[:, :, :, None] * pc2[:, :, None, :].astype(
+            jnp.bfloat16)).reshape(m, k, win * ch)
+        tiles2 = jnp.einsum(
+            "mwk,mkv->mwv", wy2, rhs2,
+            preferred_element_type=jnp.float32,
+        )
+        onehot = (
+            sel[:, None] == jnp.arange(nt, dtype=jnp.int32)[None, :]
+        ).astype(jnp.float32)
+        tiles = tiles + jnp.einsum(
+            "mt,mv->tv", onehot, tiles2.reshape(m, win * win * ch),
+            preferred_element_type=jnp.float32,
+        ).reshape(nt, win, win * ch)
+        handled = jnp.sum(jnp.minimum(overflow[sel], k))
+        dropped = jnp.sum(overflow) - handled
+
     img = _overlap_add(cfg, tiles)
-    return img, dict(dropped=bins["dropped"])
+    return img, dict(dropped=dropped)
 
 
 def rasterize_tiled_alpha(

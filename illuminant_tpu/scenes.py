@@ -176,7 +176,7 @@ def build_flagship(
         capacity=capacity,
         updates_per_second=0.0,
         life_decay_per_second=0.2,
-        friction=0.1,
+        friction=0.05,
         maximum_velocity=600.0,
         collision_distance=1.0,
         bounce_velocity_multiplier=0.7,
@@ -195,11 +195,11 @@ def build_flagship(
         max_rate=float(capacity) * 0.2,
         life=Formula1(constant=2.5, random_scale=1.0, offset=-0.5),
         position=Formula3(constant=(cx, cy, 30.0),
-                          offset=(ring * 0.8, ring * 0.8, 8.0),
-                          random_scale=(40.0, 40.0, 4.0),
+                          offset=(width * 0.36, height * 0.37, 8.0),
+                          random_scale=(width * 0.14, height * 0.13, 4.0),
                           type=FORMULA_SPHERICAL),
-        velocity=Formula3(offset=(170.0, 170.0, 0.0),
-                          random_scale=(50.0, 50.0, 10.0),
+        velocity=Formula3(offset=(150.0, 150.0, 0.0),
+                          random_scale=(40.0, 40.0, 10.0),
                           type=FORMULA_SPHERICAL),
         align_velocity_and_position=True,
         velocity_post_matrix=rot90,
@@ -215,9 +215,9 @@ def build_flagship(
     grav = tx.Gravity(attractors=[
         tx.Attractor(position=(cx, cy, 20.0),
                      radius=float(max(width, height)),
-                     strength=100.0, falloff_type=tx.FALLOFF_LINEAR),
-        tx.Attractor(position=(cx, cy, 20.0), radius=420.0,
-                     strength=-260.0, falloff_type=tx.FALLOFF_LINEAR),
+                     strength=32.0, falloff_type=tx.FALLOFF_LINEAR),
+        tx.Attractor(position=(cx, cy, 20.0), radius=float(height) * 0.38,
+                     strength=-110.0, falloff_type=tx.FALLOFF_LINEAR),
     ], maximum_acceleration=3000.0)
     # Per-particle bezier ramps (ParticleSystemConfiguration.SizeFromLife /
     # ColorFromLife, ParticleConfiguration.cs:187-210): size shrinks and

@@ -96,3 +96,109 @@ def visualize_distance_field(
         )
     alpha = jnp.ones((height, width, 1), jnp.float32)
     return jnp.concatenate([rgb, alpha], axis=-1)
+
+
+def draw_histogram(
+    result,
+    width: int = 256,
+    height: int = 96,
+    percentiles=(),
+    range_min=None,
+    range_max=None,
+    max_input_value: float = 64.0,
+    sample_count_power: float = 2.0,
+):
+    """HistogramVisualizer.Draw (Histogram.cs:250-345), host-side numpy.
+
+    Bars span each bucket's value range on a linear x axis; bar height is
+    the average of the linear and log-scaled counts (:281-287); value
+    colors ramp black->white->yellow->red by bucket luminance; percentile
+    and median markers are vertical lines; the tonemap range is a dim
+    band. Returns (height, width, 4) float RGBA.
+    """
+    import numpy as np
+
+    from .histogram import percentile as pct
+
+    counts = np.asarray(result.counts, np.float64)
+    bounds = np.asarray(result.boundaries, np.float64)
+    img = np.zeros((height, width, 4), np.float32)
+    img[:] = np.asarray([0.098, 0.098, 0.439, 0.75], np.float32)  # bg
+
+    value_colors = np.asarray(
+        [[0, 0, 0], [1, 1, 1], [1, 1, 0], [1, 0, 0]], np.float32
+    )
+    total = max(counts.sum(), 1.0)
+    log_max = np.log(total + 1.0) / np.log(sample_count_power)
+
+    if range_min is not None or range_max is not None:
+        lo = 0.0 if range_min is None else range_min
+        hi = max_input_value if range_max is None else range_max
+        x1 = int(np.clip(lo / max_input_value, 0, 1) * (width - 1))
+        x2 = int(np.clip(hi / max_input_value, 0, 1) * (width - 1))
+        img[:, x1:x2 + 1, :3] += 0.15
+
+    start = 0.0
+    for i, c in enumerate(counts):
+        end = bounds[i]
+        x1 = int(np.clip(start / max_input_value, 0, 1) * (width - 1))
+        x2 = max(x1 + 1, int(np.clip(end / max_input_value, 0, 1)
+                             * (width - 1)))
+        scaled = c / total
+        scaled_log = (np.log(c + 1.0) / np.log(sample_count_power)
+                      / max(log_max, 1e-9))
+        bar = (scaled + scaled_log) * 0.5
+        y1 = int(round((1.0 - bar) * (height - 1)))
+        value = (start + end) / 2.0
+        lo_i = int(np.clip(np.floor(value), 0, len(value_colors) - 1))
+        hi_i = min(lo_i + 1, len(value_colors) - 1)
+        t = float(np.clip(value - np.floor(value), 0, 1))
+        color = value_colors[lo_i] * (1 - t) + value_colors[hi_i] * t
+        img[y1:, x1:x2, :3] = color
+        img[y1:, x1:x2, 3] = 1.0
+        start = end
+
+    def vline(value, color):
+        x = int(np.clip(value / max_input_value, 0, 1) * (width - 1))
+        img[:, x, :3] = color
+        img[:, x, 3] = 1.0
+
+    for p in percentiles:
+        vline(float(pct(result, p)), np.asarray([1, 1, 1], np.float32))
+    vline(float(pct(result, 50.0)),
+          np.asarray([0.0, 1.0, 0.5], np.float32))  # median, SpringGreen
+
+    img[0, :, :] = [1, 1, 1, 1]
+    img[-1, :, :] = [1, 1, 1, 1]
+    img[:, 0, :] = [1, 1, 1, 1]
+    img[:, -1, :] = [1, 1, 1, 1]
+    return img
+
+
+def visualize_bezier(bezier, width: int = 256, height: int = 128,
+                     x_min: float = 0.0, x_max: float = 1.0):
+    """VisualizeBezier.fx equivalent: plot each channel's curve over
+    [x_min, x_max] -> (height, width, 4) float RGBA (channel colors
+    r/g/b/white)."""
+    import numpy as np
+
+    from ..ops.bezier import evaluate_bezier
+
+    xs = np.linspace(x_min, x_max, width, dtype=np.float32)
+    ys = np.asarray(evaluate_bezier(bezier, xs))  # (W, C)
+    lo = float(ys.min())
+    hi = float(ys.max())
+    span = max(hi - lo, 1e-6)
+    img = np.zeros((height, width, 4), np.float32)
+    img[..., 3] = 1.0
+    chan_colors = np.asarray(
+        [[1, 0.3, 0.3], [0.3, 1, 0.3], [0.4, 0.5, 1], [1, 1, 1]],
+        np.float32,
+    )
+    for c in range(ys.shape[1]):
+        yy = np.clip(
+            ((hi - ys[:, c]) / span * (height - 1)).astype(np.int64),
+            0, height - 1,
+        )
+        img[yy, np.arange(width), :3] = chan_colors[c % 4]
+    return img

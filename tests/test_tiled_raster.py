@@ -96,7 +96,7 @@ def test_bin_overflow_counts_drops():
     n = 300
     cfg = TiledRasterConfig(height=h, width=w, tile=32, bin_capacity=256,
                             apron=2, kernel=KERNEL_POINT,
-                            rgba8_colors=False)
+                            rgba8_colors=False, overflow_tiles=0)
     x = jnp.full((n,), 16.0)
     y = jnp.full((n,), 16.0)
     color = jnp.ones((n, 4))
@@ -106,6 +106,29 @@ def test_bin_overflow_counts_drops():
     assert int(diag["dropped"]) == n - 256
     # The kept 256 still render.
     assert float(img[16, 16, 0]) > 1.0
+
+
+def test_hierarchical_overflow_recovers_hot_tile():
+    h = w = 64
+    n = 600  # one hot tile at 2.3x bin capacity
+    cfg = TiledRasterConfig(height=h, width=w, tile=32, bin_capacity=256,
+                            apron=2, kernel=KERNEL_POINT,
+                            rgba8_colors=False, overflow_tiles=4)
+    x = jnp.concatenate([jnp.full((500,), 16.0), jnp.full((100,), 48.0)])
+    y = jnp.full((n,), 16.0)
+    color = jnp.ones((n, 4))
+    size = jnp.ones((n,))
+    live = jnp.ones((n,), bool)
+    img, diag = rasterize_tiled(cfg, x, y, color, size, live)
+    assert int(diag["dropped"]) == 0
+    img = np.asarray(img)
+    # Full energy: every particle deposits exactly its color.
+    np.testing.assert_allclose(img[..., 0].sum(), n, rtol=0.02)
+    # Bilinear point splat spreads each particle over a 2x2 block.
+    np.testing.assert_allclose(img[15:17, 15:17, 0].sum(), 500.0,
+                               rtol=0.02)
+    np.testing.assert_allclose(img[15:17, 47:49, 0].sum(), 100.0,
+                               rtol=0.02)
 
 
 def test_point_kernel_conserves_energy():
