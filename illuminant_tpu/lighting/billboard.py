@@ -28,6 +28,9 @@ from .gbuffer import GBuffer
 
 TYPE_MASK = 0
 TYPE_GBUFFER_DATA = 1
+# AutoGBufferBitmap.fx variants: infer g-data from an ordinary sprite.
+TYPE_AUTO = 2          # AutoGBufferBitmapPixelShader (:12-57)
+TYPE_NORMAL_BILLBOARD = 3  # NormalBillboardPixelShader (:59-101)
 
 
 @dataclasses.dataclass
@@ -44,6 +47,16 @@ class Billboard:
     static_lighting_only: bool = False
     enable_shadows: bool = True
     sort_key: float = 0.0
+    # AutoGBufferBitmap parameters (AutoGBufferBitmap.fx userData /
+    # ZFromDistance): normal_z < -900 disables directional occlusion.
+    normal_z: float = 0.0
+    z_to_y_ratio: float = 0.0
+    base_z: float = 0.0
+    fullbright: bool = False
+    normals_are_signed: bool = False
+    distance_texture: Optional[np.ndarray] = None  # (TH, TW) f32
+    # (min z offset, max z offset, distance scale)
+    z_from_distance: Tuple[float, float, float] = (0.0, 0.0, 0.0)
 
 
 def rasterize_billboards(gbuffer: GBuffer, billboards: List[Billboard],
@@ -60,6 +73,7 @@ def rasterize_billboards(gbuffer: GBuffer, billboards: List[Billboard],
     rel_y = gbuffer.relative_y
     z = gbuffer.z
     shadows = gbuffer.enable_shadows
+    fullbright = gbuffer.fullbright
 
     for b in sorted(billboards, key=lambda b: b.sort_key):
         x0, y0, x1, y1 = b.screen_bounds
@@ -107,13 +121,50 @@ def rasterize_billboards(gbuffer: GBuffer, billboards: List[Billboard],
             nl = jnp.sqrt(jnp.maximum(jnp.sum(n * n, axis=-1,
                                               keepdims=True), 1e-12))
             n = n / nl
-        else:
+        elif b.type == TYPE_GBUFFER_DATA:
             # GBufferData: texture channels carry (encoded normal.xy,
             # relativeY, z) scaled by DataScale (Billboard.cs:88-117).
             enc = texel[..., :2]
             n = decode_normal_spherical(enc)
             b_rel = texel[..., 2] * b.data_scale
             bz = texel[..., 3] * b.data_scale
+        elif b.type == TYPE_AUTO:
+            # AutoGBufferBitmap (:32-56): normal from the scalar normal_z,
+            # relativeY measured up from the sprite's bottom edge (the
+            # origin line), z = base + zToYRatio * relativeY (+ optional
+            # distance-texture offset).
+            nz = b.normal_z
+            if nz < -900.0:
+                n = jnp.zeros(gy.shape + (3,), jnp.float32)
+            else:
+                n0 = np.asarray(
+                    [0.0, 1.0 - abs(nz), nz], np.float32)
+                n0 = n0 / max(np.linalg.norm(n0), 1e-9)
+                n = jnp.broadcast_to(jnp.asarray(n0), gy.shape + (3,))
+            b_rel = (y1 - gy) * b.data_scale
+            bz = b.base_z + b.z_to_y_ratio * b_rel
+            if b.distance_texture is not None and                     abs(b.z_from_distance[2]) > 0.001:
+                dt = jnp.asarray(b.distance_texture, jnp.float32)
+                dh, dw = dt.shape[0], dt.shape[1]
+                di = jnp.clip((v * dh).astype(jnp.int32), 0, dh - 1)
+                dj = jnp.clip((u * dw).astype(jnp.int32), 0, dw - 1)
+                dist = dt[di, dj]
+                bz = bz + jnp.clip(
+                    b.z_from_distance[2] * dist,
+                    b.z_from_distance[0], b.z_from_distance[1],
+                )
+        else:
+            # NormalBillboard (:59-101): normal straight from the sprite
+            # rgb (signed or 0.5-biased); dead where alpha low or the
+            # normal vector ~zero.
+            rgb = texel[..., :3]
+            n = rgb if b.normals_are_signed else (rgb - 0.5) * 2.0
+            nl2 = jnp.sqrt(jnp.maximum(jnp.sum(n * n, axis=-1,
+                                               keepdims=True), 1e-12))
+            hit = hit & (nl2[..., 0] > 0.01)
+            n = n / nl2
+            b_rel = (y1 - gy) * b.data_scale
+            bz = b.base_z + b.z_to_y_ratio * b_rel
 
         hit3 = hit[..., None]
         normal = jnp.where(hit3, n, normal)
@@ -122,7 +173,12 @@ def rasterize_billboards(gbuffer: GBuffer, billboards: List[Billboard],
         shadows = jnp.where(
             hit, 1.0 if b.enable_shadows else 0.0, shadows
         )
+        fullbright = jnp.where(
+            hit, 1.0 if getattr(b, "fullbright", False) else 0.0,
+            fullbright,
+        )
 
     return gbuffer.replace(
-        normal=normal, relative_y=rel_y, z=z, enable_shadows=shadows
+        normal=normal, relative_y=rel_y, z=z, enable_shadows=shadows,
+        fullbright=fullbright,
     )

@@ -132,6 +132,12 @@ class LightingRenderer:
         self._invalid_dynamic = list(all_slices)
         self._obstruction_snapshot = ()
         self.gbuffer: Optional[gbuf.GBuffer] = None
+        # OnRenderGBuffer analog (LightingRenderer.GBuffer.cs:173-198):
+        # user callbacks invoked after the built-in G-buffer passes, each
+        # receiving the GBuffer and returning a (possibly modified) one —
+        # the functional form of the ImperativeRenderer draw hook (use
+        # e.g. billboard.rasterize_billboards with TYPE_AUTO sprites).
+        self.on_render_gbuffer = []
 
     # -- field generation (UpdateFields, LightingRenderer.cs:1949) --------
 
@@ -212,6 +218,8 @@ class LightingRenderer:
                 self.gbuffer = rasterize_billboards(
                     self.gbuffer, self.environment.billboards, env_u
                 )
+            for hook in self.on_render_gbuffer:
+                self.gbuffer = hook(self.gbuffer, env_u)
         else:
             self.gbuffer = gbuf.no_gbuffer(
                 h, w, env_u, self.config.render_scale
