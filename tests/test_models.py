@@ -216,9 +216,9 @@ def test_save_as_code_roundtrip(tmp_path):
     spec = importlib.util.spec_from_file_location("compiled_scene", path)
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    view = mod.build(capacity=512)
-    view.systems[0].system.tick(1.0 / 60.0)
-    assert view.live_count == 10  # 600/s / 60
+    systems = mod.build_systems(capacity=512)
+    systems[0].tick(1.0 / 60.0)
+    assert systems[0].live_count == 10  # 600/s / 60
 
 
 def test_deterministic_replay():

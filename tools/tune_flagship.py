@@ -94,7 +94,7 @@ def main():
             img, diag = rasterize_tiled(
                 rc, st.position[:, 0] + eps, st.position[:, 1],
                 st.render_color, st.render_data[:, 0], st.live_mask())
-            return (st, acc + img * 1e-20)
+            return (st, acc.at[..., :img.shape[-1]].add(img * 1e-20))
 
         timed_loop("tiled raster 1M @1080p K=%d" % rc.bin_capacity,
                    raster_body)
