@@ -212,11 +212,35 @@ def volumetric_trace(volume, start4, end4, world_xy, world_z, env,
         sd = shape_distance(pos, start4, end4, shape)
         ramp = _saturate(-sd / ramp_length) ** ramp_power
         if shadowed and volume is not None:
-            # One occlusion sample midway toward the shape origin
-            # (cheap stand-in for the inner march, fxh:358-392).
-            toward = start4[..., :3] - pos
-            mid = pos + 0.5 * toward
-            occ = _saturate(scene_sample(volume, mid) * 0.5)
+            # Inner occlusion march (fxh:358-392, projectFromOrigin):
+            # sphere-step from the shape origin toward the column sample;
+            # occlusion = saturate(lastSample * 0.5), zero on penetration
+            # (sample <= -0.1), step = max(|sample| * 0.99, minStepSize).
+            origin = start4[..., :3]
+            toward = pos - origin
+            md = _norm(toward)
+            along = toward / md[..., None]
+            inner_steps = max(quality.max_step_count // 4, 8)
+
+            def march(_, carry):
+                d, occ, done = carry
+                sp = origin + along * d[..., None]
+                s = scene_sample(volume, sp)
+                occ_new = jnp.where(done, occ, _saturate(s * 0.5))
+                blocked = (s <= -0.1) & ~done
+                occ_new = jnp.where(blocked, 0.0, occ_new)
+                d_new = d + jnp.maximum(
+                    jnp.abs(s) * 0.99, quality.min_step_size
+                )
+                done_new = done | blocked | (d_new >= md)
+                return (jnp.where(done, d, d_new), occ_new, done_new)
+
+            init = (
+                jnp.full(md.shape, 0.33, jnp.float32),  # dither*0.66 mean
+                jnp.ones(md.shape, jnp.float32),
+                jnp.zeros(md.shape, bool),
+            )
+            _, occ, _ = jax.lax.fori_loop(0, inner_steps, march, init)
         else:
             occ = 1.0
         valid = (z >= z2).astype(jnp.float32)

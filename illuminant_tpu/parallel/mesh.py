@@ -8,10 +8,13 @@ natural multi-chip decomposition (SURVEY.md §5.8) is:
     is embarrassingly parallel over pixels; every device holds the (small)
     SDF volume and light list replicated, so no collective is needed until
     the luminance histogram (a psum).
-  * particles: shard the capacity axis — spawn/transform/integrate are
-    element-wise over slots. Each device spawns into its own sub-ring
-    (cursor arithmetic is per-shard identical), and the SDF volume for
-    collisions is replicated.
+  * particles: shard the capacity axis — transforms/integration are
+    element-wise over slots, so XLA keeps them local. Spawn writes a
+    GLOBAL ring window at one cursor, which spans 1-2 shards per step;
+    XLA routes the window write to the owning devices (verified
+    numerically identical to the single-device step by
+    tests/test_multichip.py; per-shard sub-rings would avoid that
+    traffic entirely and are a possible future layout).
 
 XLA inserts any needed collectives from the sharding annotations; there is
 no hand-written communication here (ICI rides under psum/all_gather when

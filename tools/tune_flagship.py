@@ -121,3 +121,89 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def raster_stages():
+    """Sub-stage timings of rasterize_tiled on the primed flagship state."""
+    import time
+    from functools import partial
+    from illuminant_tpu.scenes import build_flagship
+    from illuminant_tpu.raster import tiled as T
+
+    scene = build_flagship(height=H, width=W, capacity=CAP)
+    env_u = scene.environment.uniforms()
+    key = jax.random.key(0)
+    sc = jnp.asarray(scene.spawner.spawn_max, jnp.int32)
+    state = scene.system.state
+    avg = jnp.asarray(0.5, jnp.float32)
+    img, state, avg, drops = scene.frame_loop(
+        state, avg, key, scene.volume, scene.gbuffer, env_u,
+        scene.sphere_lights, sc, jnp.asarray(0, jnp.int32), 300)
+    fence(img.astype(jnp.float32))
+    cfg = scene.raster_config
+    ITERS = 100
+
+    def timed_loop(name, body, init):
+        @jax.jit
+        def run(c):
+            return jax.lax.fori_loop(0, ITERS, body, c)
+
+        c = run(init)
+        fence(jax.tree_util.tree_leaves(c)[0].astype(jnp.float32))
+        t0 = time.perf_counter()
+        c = run(c)
+        fence(jax.tree_util.tree_leaves(c)[0].astype(jnp.float32))
+        print(f"{name:44s} {(time.perf_counter() - t0) / ITERS * 1e3:8.3f} ms")
+
+    x = state.position[:, 0]
+    y = state.position[:, 1]
+    color = state.render_color
+    size = state.render_data[:, 0]
+    live = state.live_mask()
+
+    def bin_body(i, c):
+        eps = c[0] * 1e-30
+        bins = T.bin_particles(cfg, x + eps, y, color, size, live)
+        return (c[0] + bins["x"][0, 0] * 1e-20,)
+
+    timed_loop("R-bin (pack+sort+starts+gather+unpack)", bin_body,
+               (jnp.zeros(()),))
+
+    bins = T.bin_particles(cfg, x, y, color, size, live)
+
+    def fact_body(i, c):
+        b2 = dict(bins)
+        b2["x"] = bins["x"] + c[0] * 1e-30
+        wy, wx = T._coverage_factors(cfg, b2)
+        return (c[0] + wy[0, 0, 0].astype(jnp.float32) * 1e-20
+                + wx[0, 0, 0].astype(jnp.float32) * 1e-20,)
+
+    timed_loop("R-factors (wy+wx bf16)", fact_body, (jnp.zeros(()),))
+
+    wy, wx = T._coverage_factors(cfg, bins)
+    ch = cfg.channels
+    nt = wy.shape[0]
+    k = cfg.bin_capacity
+    win = cfg.window
+    pc = (bins["color"][:, :, :ch] * bins["valid"][:, :, None])
+
+    def splat_body(i, c):
+        rhs = (wx[:, :, :, None] * (pc + c[0] * 1e-30)[:, :, None, :]
+               .astype(jnp.bfloat16)).reshape(nt, k, win * ch)
+        tiles = jnp.einsum("twk,tkv->twv", wy, rhs,
+                           preferred_element_type=jnp.float32)
+        return (c[0] + tiles[0, 0, 0] * 1e-20,)
+
+    timed_loop("R-splat (rhs + einsum)", splat_body, (jnp.zeros(()),))
+
+    tiles = jnp.zeros((nt, win, win * ch), jnp.float32)
+
+    def ov_body(i, c):
+        img = T._overlap_add(cfg, tiles + c[0] * 1e-30)
+        return (c[0] + img[0, 0, 0] * 1e-20,)
+
+    timed_loop("R-overlap-add", ov_body, (jnp.zeros(()),))
+
+
+if "raster_stages" in sys.argv:
+    raster_stages()
