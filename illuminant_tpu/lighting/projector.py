@@ -40,6 +40,10 @@ class ProjectorLights:
     origin: jnp.ndarray  # (L, 4) xyz + has_origin
     color: jnp.ndarray  # (L, 4) modulation color
     active: jnp.ndarray  # (L,)
+    mip_bias: jnp.ndarray  # (L,)
+    # Mip pyramid of `texture` (level 0 excluded), tuple of
+    # (L, TH/2^k, TW/2^k, 4) — static length.
+    mips: tuple = ()
 
     @property
     def capacity(self):
@@ -61,6 +65,9 @@ class ProjectorLightSource:
     cast_shadows: bool = False
     radius: float = 4.0
     ramp_length: float = 128.0
+    # tex2Dbias LOD offset (LightSource.cs projector MipBias): biases the
+    # derivative-computed mip level of the projected texture.
+    mip_bias: float = 0.0
     color: tuple = (1.0, 1.0, 1.0, 1.0)
     ambient_occlusion_radius: float = 0.0
     ambient_occlusion_opacity: float = 1.0
@@ -105,6 +112,17 @@ def pack_projector_lights(lights: List[ProjectorLightSource]
             origin[i] = [*l.origin, 1.0]
         color[i] = l.color
         active[i] = 1.0
+    # Mip pyramid (2x2 box) for tex2Dbias emulation.
+    mips = []
+    level = tex
+    while min(level.shape[1], level.shape[2]) >= 2:
+        level = 0.25 * (
+            level[:, 0::2, 0::2] + level[:, 1::2, 0::2]
+            + level[:, 0::2, 1::2] + level[:, 1::2, 1::2]
+        )
+        mips.append(jnp.asarray(level))
+        if len(mips) >= 5:
+            break
     return ProjectorLights(
         inverse_matrix=jnp.asarray(inv),
         texture=jnp.asarray(tex),
@@ -114,6 +132,10 @@ def pack_projector_lights(lights: List[ProjectorLightSource]
         origin=jnp.asarray(origin),
         color=jnp.asarray(color),
         active=jnp.asarray(active),
+        mip_bias=jnp.asarray(
+            ([getattr(l, "mip_bias", 0.0) for l in lights] or [0.0])
+            + [0.0] * (n - len(lights)), jnp.float32),
+        mips=tuple(mips),
     )
 
 
@@ -159,6 +181,40 @@ def _sample_texture_bilinear(tex, u, v, wrap):
     top = v00 + (v01 - v00) * fx
     bot = v10 + (v11 - v10) * fx
     return top + (bot - top) * fy
+
+
+def _sample_texture_mipped(lights, i, uv, wrap):
+    """tex2Dbias emulation (ProjectorLightCore mip bias): per-pixel LOD
+    from the projected-uv screen derivative (finite difference along the
+    pixel grid) + the light's MipBias, trilinear across a precomputed
+    2x2-box pyramid. Falls back to plain bilinear when no pyramid exists
+    or the uv field has no screen extent (probes)."""
+    base = lights.texture[i]
+    u = uv[..., 0]
+    v = uv[..., 1]
+    if not lights.mips or u.ndim < 2 or u.shape[-1] < 2:
+        return _sample_texture_bilinear(base, u, v, wrap)
+    th, tw = base.shape[0], base.shape[1]
+    dudx = (jnp.roll(u, -1, axis=-1) - u) * tw
+    dvdx = (jnp.roll(v, -1, axis=-1) - v) * th
+    dudy = (jnp.roll(u, -1, axis=-2) - u) * tw
+    dvdy = (jnp.roll(v, -1, axis=-2) - v) * th
+    foot = jnp.sqrt(jnp.maximum(
+        jnp.maximum(dudx * dudx + dvdx * dvdx,
+                    dudy * dudy + dvdy * dvdy), 1e-12))
+    n_levels = len(lights.mips)
+    lod = jnp.clip(
+        0.5 * jnp.log2(jnp.maximum(foot * foot, 1e-12))
+        + lights.mip_bias[i],
+        0.0, float(n_levels),
+    )
+    out = _sample_texture_bilinear(base, u, v, wrap) * jnp.clip(
+        1.0 - lod, 0.0, 1.0)[..., None]
+    for lvl in range(n_levels):
+        wgt = jnp.clip(1.0 - jnp.abs(lod - (lvl + 1)), 0.0, 1.0)
+        out = out + _sample_texture_bilinear(
+            lights.mips[lvl][i], u, v, wrap) * wgt[..., None]
+    return out
 
 
 def accumulate_projector_lights(
@@ -225,9 +281,8 @@ def accumulate_projector_lights(
             trace_enable, quality,
         )
 
-        tex_color = _sample_texture_bilinear(
-            lights.texture[i], uv_final[..., 0], uv_final[..., 1],
-            1.0 - clamp_mode,
+        tex_color = _sample_texture_mipped(
+            lights, i, uv_final, 1.0 - clamp_mode,
         )
         opacity = (
             distance_opacity * normal_opacity * constant_opacity * ao

@@ -143,15 +143,16 @@ def raster_stages():
     cfg = scene.raster_config
     ITERS = 100
 
-    def timed_loop(name, body, init):
+    def timed_loop(name, body, init, *args):
         @jax.jit
-        def run(c):
-            return jax.lax.fori_loop(0, ITERS, body, c)
+        def run(c, *a):
+            return jax.lax.fori_loop(0, ITERS,
+                                     lambda i, cc: body(i, cc, *a), c)
 
-        c = run(init)
+        c = run(init, *args)
         fence(jax.tree_util.tree_leaves(c)[0].astype(jnp.float32))
         t0 = time.perf_counter()
-        c = run(c)
+        c = run(c, *args)
         fence(jax.tree_util.tree_leaves(c)[0].astype(jnp.float32))
         print(f"{name:44s} {(time.perf_counter() - t0) / ITERS * 1e3:8.3f} ms")
 
@@ -161,24 +162,26 @@ def raster_stages():
     size = state.render_data[:, 0]
     live = state.live_mask()
 
-    def bin_body(i, c):
+    def bin_body(i, c, x, y, color, size, live):
         eps = c[0] * 1e-30
         bins = T.bin_particles(cfg, x + eps, y, color, size, live)
         return (c[0] + bins["x"][0, 0] * 1e-20,)
 
     timed_loop("R-bin (pack+sort+starts+gather+unpack)", bin_body,
-               (jnp.zeros(()),))
+               (jnp.zeros(()),), x, y, color, size, live)
 
     bins = T.bin_particles(cfg, x, y, color, size, live)
+    bins = {kk: jax.device_put(vv) for kk, vv in bins.items()}
 
-    def fact_body(i, c):
+    def fact_body(i, c, bins):
         b2 = dict(bins)
         b2["x"] = bins["x"] + c[0] * 1e-30
         wy, wx = T._coverage_factors(cfg, b2)
         return (c[0] + wy[0, 0, 0].astype(jnp.float32) * 1e-20
                 + wx[0, 0, 0].astype(jnp.float32) * 1e-20,)
 
-    timed_loop("R-factors (wy+wx bf16)", fact_body, (jnp.zeros(()),))
+    timed_loop("R-factors (wy+wx bf16)", fact_body, (jnp.zeros(()),),
+               bins)
 
     wy, wx = T._coverage_factors(cfg, bins)
     ch = cfg.channels
@@ -187,22 +190,23 @@ def raster_stages():
     win = cfg.window
     pc = (bins["color"][:, :, :ch] * bins["valid"][:, :, None])
 
-    def splat_body(i, c):
+    def splat_body(i, c, wy, wx, pc):
         rhs = (wx[:, :, :, None] * (pc + c[0] * 1e-30)[:, :, None, :]
                .astype(jnp.bfloat16)).reshape(nt, k, win * ch)
         tiles = jnp.einsum("twk,tkv->twv", wy, rhs,
                            preferred_element_type=jnp.float32)
         return (c[0] + tiles[0, 0, 0] * 1e-20,)
 
-    timed_loop("R-splat (rhs + einsum)", splat_body, (jnp.zeros(()),))
+    timed_loop("R-splat (rhs + einsum)", splat_body, (jnp.zeros(()),),
+               wy, wx, pc)
 
     tiles = jnp.zeros((nt, win, win * ch), jnp.float32)
 
-    def ov_body(i, c):
+    def ov_body(i, c, tiles):
         img = T._overlap_add(cfg, tiles + c[0] * 1e-30)
         return (c[0] + img[0, 0, 0] * 1e-20,)
 
-    timed_loop("R-overlap-add", ov_body, (jnp.zeros(()),))
+    timed_loop("R-overlap-add", ov_body, (jnp.zeros(()),), tiles)
 
 
 if "raster_stages" in sys.argv:
