@@ -1,0 +1,148 @@
+"""ParticleSystem.Render — the user-facing particle draw entry.
+
+Mirrors the reference's render path (ParticleSystem.cs:943-1039 material
+pick + RasterizeParticleSystem.fx) over the TPU rasterizers:
+
+  * ParticleAppearance (ParticleConfiguration.cs:42-109): texture +
+    sprite-sheet layout, AnimationRate, Row/ColumnFromVelocity, Rounded,
+    DitheredOpacity, RelativeSize, Bilinear (bilinear is implicit — the
+    separable profiles are antialiased by construction).
+  * No texture -> analytic kernels (quad, or rounded disc approximation).
+  * Texture -> SVD sprite tables (raster/sprites.py), built once per
+    appearance and cached on the object.
+  * additive_blend False -> the ordered alpha compositor (with optional
+    dithered opacity).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..particles.state import ParticleState
+from . import sprites as sprites_mod
+from .tiled import (
+    KERNEL_GAUSS,
+    KERNEL_QUAD,
+    KERNEL_ROUND,
+    TiledRasterConfig,
+    rasterize_tiled,
+    rasterize_tiled_alpha,
+)
+
+
+@dataclasses.dataclass
+class ParticleAppearance:
+    """ParticleAppearance (ParticleConfiguration.cs:42-109), TPU subset.
+
+    texture None -> untextured quads (Rounded picks the disc profile).
+    """
+
+    texture: Optional[np.ndarray] = None  # (TH, TW[, C])
+    columns: int = 1  # sprite sheet layout
+    rows: int = 1
+    animation_rate: Tuple[float, float] = (0.0, 0.0)
+    rounded: bool = False
+    glow: bool = False  # gaussian profile for untextured particles
+    dithered_opacity: bool = False
+    relative_size: bool = False  # size in texture-size units
+    row_from_velocity: bool = False
+    column_from_velocity: bool = False
+    size_min: float = 2.0
+    size_max: float = 12.0
+    angle_bins: int = 8
+    size_bins: int = 4
+    rank: int = 4
+
+    _table: object = dataclasses.field(default=None, repr=False)
+
+    def sprite_table(self):
+        if self.texture is None:
+            return None
+        if self._table is None:
+            object.__setattr__(
+                self, "_table",
+                sprites_mod.build_sprite_table(
+                    self.texture,
+                    frames_x=self.columns,
+                    frames_y=self.rows,
+                    angle_bins=self.angle_bins if self.angle_bins else 1,
+                    size_bins=self.size_bins,
+                    rank=self.rank,
+                    size_min=self.size_min,
+                    size_max=self.size_max,
+                ),
+            )
+        return self._table
+
+
+def render_particles(
+    state: ParticleState,
+    config: TiledRasterConfig,
+    appearance: Optional[ParticleAppearance] = None,
+    additive_blend: bool = True,
+    global_color=None,
+    stipple_factor: float = 1.0,
+    z_to_y: float = 0.0,
+    size_scale: float = 1.0,
+    background=None,
+):
+    """Render a particle system's live slots -> ((H, W, C) image, diag).
+
+    The TPU ParticleSystem.Render: reads the state SoA (position /
+    render_color / render_data), applies the appearance, and dispatches
+    to the additive tiled splat, the ordered alpha compositor, or the
+    sprite-table path.
+    """
+    x = state.position[:, 0]
+    y = state.position[:, 1] - state.position[:, 2] * z_to_y
+    color = state.render_color
+    if global_color is not None:
+        color = color * jnp.asarray(global_color, jnp.float32)
+    size = state.render_data[:, 0] * size_scale
+    live = state.live_mask()
+
+    app = appearance or ParticleAppearance()
+    table = app.sprite_table()
+
+    if table is not None:
+        if app.relative_size:
+            size = size * max(
+                np.asarray(app.texture).shape[0] // max(app.rows, 1), 1
+            )
+        rotation = state.render_data[:, 1]
+        frame = sprites_mod.animation_frame(
+            table,
+            state.position[:, 3],
+            state.velocity,
+            jnp.arange(state.capacity),
+            animation_rate=app.animation_rate,
+            row_from_velocity=app.row_from_velocity,
+            column_from_velocity=app.column_from_velocity,
+            frames_x=app.columns,
+        ).astype(jnp.float32)
+        return sprites_mod.rasterize_sprites(
+            config, table, x, y, color, size, live,
+            rotation=rotation, frame=frame,
+        )
+
+    kernel = (
+        KERNEL_GAUSS if app.glow
+        else (KERNEL_ROUND if app.rounded else KERNEL_QUAD)
+    )
+    if config.kernel != kernel:
+        config = dataclasses.replace(config, kernel=kernel)
+
+    if additive_blend:
+        return rasterize_tiled(
+            config, x, y, color, size, live,
+            stipple_factor=stipple_factor,
+        )
+    return rasterize_tiled_alpha(
+        config, x, y, color, size, live,
+        background=background,
+        dither=app.dithered_opacity,
+    )

@@ -211,7 +211,6 @@ def bin_particles(cfg: TiledRasterConfig, x, y, color, size, live):
 
     sorted_all = lax.sort((key, *ops), num_keys=1)
     skey = sorted_all[0]
-    payload = jnp.stack(sorted_all[1:], axis=-1)  # (N, P)
 
     starts = jnp.searchsorted(
         skey, jnp.arange(nt + 1, dtype=jnp.int32)
@@ -221,15 +220,21 @@ def bin_particles(cfg: TiledRasterConfig, x, y, color, size, live):
 
     # Quad-row bin gather: the XLA TPU gather is ROW-COUNT-bound (rows of
     # 2 and 3 int32 cost the same, tools/microbench_raster3.py M4), so
-    # pack FOUR sorted slots per gathered row and realign per tile. This
-    # quarters the dominant binning cost. The payload is padded by a full
-    # window so base_row = starts // 4 never clamps and the in-row offset
-    # is always 0..3.
-    p = payload.shape[1]
+    # pack FOUR sorted slots per gathered row and realign per tile — this
+    # quarters the dominant binning cost. Each operand keeps its own
+    # contiguous 4-slot blocks, concatenated side by side (a (N, P) stack
+    # would interleave a 3-wide minor dim — layout-hostile on TPU); the
+    # payload is padded by a full window so base_row = starts // 4 never
+    # clamps and the in-row offset is always 0..3.
+    p = len(ops)
     rows_needed = k // 4 + 1
     n_rows = -(-n // 4) + rows_needed
-    payload = jnp.pad(payload, ((0, n_rows * 4 - n), (0, 0)))
-    packed = payload.reshape(n_rows, 4 * p)
+    pad = n_rows * 4 - n
+    packed = jnp.concatenate(
+        [jnp.pad(op, (0, pad)).reshape(n_rows, 4)
+         for op in sorted_all[1:]],
+        axis=1,
+    )  # (n_rows, 4P): columns [4i, 4i+4) = operand i's slots
 
     bins, valid = _quad_gather(packed, starts[:-1], counts, k, p)
     unpacked = _unpack_bins(cfg, bins)
@@ -241,7 +246,8 @@ def bin_particles(cfg: TiledRasterConfig, x, y, color, size, live):
 def _quad_gather(packed, starts_sel, counts_sel, k, p):
     """Gather K aligned slots per selected segment from the quad-row
     payload. starts_sel/counts_sel: (M,) segment starts/counts (absolute
-    slot indices). Returns (bins (M, K, P), valid (M, K))."""
+    slot indices). Returns (bins: list of P (M, K) int32 operand arrays,
+    valid (M, K))."""
     m = starts_sel.shape[0]
     rows_needed = k // 4 + 1
 
@@ -252,28 +258,31 @@ def _quad_gather(packed, starts_sel, counts_sel, k, p):
                                  (rows_needed, packed.shape[1]))
 
     quad = jax.vmap(get)(base_row)  # (M, rows_needed, 4P)
-    slots = quad.reshape(m, rows_needed * 4, p)
     off = starts_sel - base_row * 4  # in [0, 4)
-    aligned = slots[:, 0:k, :]
-    for o in (1, 2, 3):
-        aligned = jnp.where((off == o)[:, None, None],
-                            slots[:, o:o + k, :], aligned)
+    bins = []
+    for i in range(p):
+        slots = quad[:, :, 4 * i:4 * i + 4].reshape(m, rows_needed * 4)
+        aligned = slots[:, 0:k]
+        for o in (1, 2, 3):
+            aligned = jnp.where((off == o)[:, None],
+                                slots[:, o:o + k], aligned)
+        bins.append(aligned)
     slot = jnp.arange(k, dtype=jnp.int32)[None, :]
     valid = slot < jnp.minimum(counts_sel, k)[:, None]
-    return aligned, valid
+    return bins, valid
 
 
 def _unpack_bins(cfg: TiledRasterConfig, bins):
-    bx, by = _unpack_xy(bins[:, :, 0])
+    bx, by = _unpack_xy(bins[0])
     if cfg.rgba8_colors:
-        bc = _unpack_rgba8(bins[:, :, 1], cfg.color_scale)
+        bc = _unpack_rgba8(bins[1], cfg.color_scale)
         size_idx = 2
     else:
-        c0, c1 = _unpack_bf16_pair(bins[:, :, 1])
-        c2, c3 = _unpack_bf16_pair(bins[:, :, 2])
+        c0, c1 = _unpack_bf16_pair(bins[1])
+        c2, c3 = _unpack_bf16_pair(bins[2])
         bc = jnp.stack([c0, c1, c2, c3], axis=-1)
         size_idx = 3
-    bsize, _ = _unpack_bf16_pair(bins[:, :, size_idx])
+    bsize, _ = _unpack_bf16_pair(bins[size_idx])
     return dict(x=bx, y=by, color=bc, size=bsize)
 
 
@@ -324,7 +333,7 @@ def _overlap_add(cfg: TiledRasterConfig, tiles):
     ch = tiles.shape[-1] // win
     tiles = tiles.reshape(gy, gx, win, win, ch)
     nc = -(-win // t)
-    canvas = jnp.zeros(((gy + nc) * t, (gx + nc) * t, ch), jnp.float32)
+    canvas = None
     for cy in range(nc):
         rows = min(t, win - cy * t)
         for cx in range(nc):
@@ -337,9 +346,17 @@ def _overlap_add(cfg: TiledRasterConfig, tiles):
             )
             block = piece.transpose(0, 2, 1, 3, 4).reshape(
                 gy * t, gx * t, ch)
-            canvas = canvas.at[
-                cy * t:cy * t + gy * t, cx * t:cx * t + gx * t, :
-            ].add(block)
+            if canvas is None:
+                # First (core) chunk fills the canvas directly — no
+                # read-modify-write of a zero canvas.
+                canvas = jnp.pad(
+                    block,
+                    ((0, nc * t), (0, nc * t), (0, 0)),
+                )
+            else:
+                canvas = canvas.at[
+                    cy * t:cy * t + gy * t, cx * t:cx * t + gx * t, :
+                ].add(block)
     return canvas[a:a + cfg.height, a:a + cfg.width, :]
 
 
