@@ -387,17 +387,26 @@ def rasterize_tiled(
 
     valid = bins["valid"]
     ch = cfg.channels
-    pc = bins["color"][:, :, :ch] * valid[:, :, None]
     nt = wy.shape[0]
     k = cfg.bin_capacity
     win = cfg.window
+    gy, gx = cfg.grid
 
-    rhs = (wx[:, :, :, None] * pc[:, :, None, :].astype(jnp.bfloat16)
-           ).reshape(nt, k, win * ch)
+    # Channel-MAJOR rhs (v = c*win + x) built from planar color channels,
+    # and an einsum emitting (gy, win, gx, v) directly — placement then
+    # needs only reshapes, no transposes, and no ch-wide minor dims
+    # anywhere (both were measured multi-ms relayout costs on TPU).
+    rhs = jnp.concatenate(
+        [wx * (bins["color"][:, :, c] * valid).astype(jnp.bfloat16)
+         [:, :, None] for c in range(ch)],
+        axis=-1,
+    )  # (NT, K, ch*win)
     tiles = jnp.einsum(
-        "twk,tkv->twv", wy, rhs,
+        "abwk,abkv->awbv",
+        wy.reshape(gy, gx, win, k),
+        rhs.reshape(gy, gx, k, ch * win),
         preferred_element_type=jnp.float32,
-    )
+    )  # (gy, win, gx, ch*win)
     dropped = bins["dropped"]
 
     if cfg.overflow_tiles > 0:
@@ -418,25 +427,61 @@ def rasterize_tiled(
         up2 = _unpack_bins(cfg, bins2)
         ox, oy = _tile_origins(cfg)
         wy2, wx2 = _coverage_factors(cfg, up2, ox[sel], oy[sel])
-        pc2 = up2["color"][:, :, :ch] * valid2[:, :, None]
-        rhs2 = (wx2[:, :, :, None] * pc2[:, :, None, :].astype(
-            jnp.bfloat16)).reshape(m, k, win * ch)
+        rhs2 = jnp.concatenate(
+            [wx2 * (up2["color"][:, :, c] * valid2).astype(jnp.bfloat16)
+             [:, :, None] for c in range(ch)],
+            axis=-1,
+        )
         tiles2 = jnp.einsum(
             "mwk,mkv->mwv", wy2, rhs2,
             preferred_element_type=jnp.float32,
-        )
+        )  # (M, win, ch*win)
         onehot = (
-            sel[:, None] == jnp.arange(nt, dtype=jnp.int32)[None, :]
+            sel[:, None, None]
+            == (jnp.arange(gy, dtype=jnp.int32)[None, :, None] * gx
+                + jnp.arange(gx, dtype=jnp.int32)[None, None, :])
         ).astype(jnp.float32)
         tiles = tiles + jnp.einsum(
-            "mt,mv->tv", onehot, tiles2.reshape(m, win * win * ch),
+            "mab,mwv->awbv", onehot, tiles2,
             preferred_element_type=jnp.float32,
-        ).reshape(nt, win, win * ch)
+        )
         handled = jnp.sum(jnp.minimum(overflow[sel], k))
         dropped = jnp.sum(overflow) - handled
 
-    img = _overlap_add(cfg, tiles)
+    img = _overlap_add_gxv(cfg, tiles)
     return img, dict(dropped=dropped)
+
+
+def _overlap_add_gxv(cfg: TiledRasterConfig, tiles):
+    """(gy, WIN, gx, CH*WIN) channel-major tile windows -> (H, W, CH).
+
+    Same stride-T overlap-add as _overlap_add, but the layout makes every
+    chunk placement a pure pad+reshape (no transposes)."""
+    gy, gx = cfg.grid
+    t, a, win = cfg.tile, cfg.apron, cfg.window
+    ch = tiles.shape[-1] // win
+    nc = -(-win // t)
+    planes = []
+    for c in range(ch):
+        canvas = None
+        for cy in range(nc):
+            rows = min(t, win - cy * t)
+            for cx in range(nc):
+                cols = min(t, win - cx * t)
+                piece = tiles[:, cy * t:cy * t + rows, :,
+                              c * win + cx * t:c * win + cx * t + cols]
+                piece = jnp.pad(
+                    piece, ((0, 0), (0, t - rows), (0, 0), (0, t - cols))
+                )
+                block = piece.reshape(gy * t, gx * t)
+                if canvas is None:
+                    canvas = jnp.pad(block, ((0, nc * t), (0, nc * t)))
+                else:
+                    canvas = canvas.at[
+                        cy * t:cy * t + gy * t, cx * t:cx * t + gx * t
+                    ].add(block)
+        planes.append(canvas[a:a + cfg.height, a:a + cfg.width])
+    return jnp.stack(planes, axis=-1)
 
 
 def rasterize_tiled_alpha(
