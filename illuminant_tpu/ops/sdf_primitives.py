@@ -301,3 +301,97 @@ PLANAR_EVALUATORS = {
     TYPE_SPHEROID: sd_spheroid_p,
     TYPE_OCTAGON: sd_octagon_p,
 }
+
+
+# --- Planar analytic normals (collision path) ------------------------------
+# The field gradient of each primitive in closed form — ~1 distance-eval
+# cost instead of reverse-mode AD's ~2x (plus its select-chain overhead).
+# Normals feed particle bounce/redirect (UpdateParticleSystemWithDistance-
+# Field.fx estimateNormal4) — orientation accuracy matters, magnitudes
+# are renormalized by the caller.
+
+
+def _nrm_safe(px, py, pz, fallback_z=1.0):
+    l = jnp.sqrt(px * px + py * py + pz * pz)
+    ok = l > 1e-9
+    inv = 1.0 / jnp.where(ok, l, 1.0)
+    return (jnp.where(ok, px * inv, 0.0),
+            jnp.where(ok, py * inv, 0.0),
+            jnp.where(ok, pz * inv, fallback_z))
+
+
+def nrm_box_p(px, py, pz, bx, by, bz):
+    qx = jnp.abs(px) - bx
+    qy = jnp.abs(py) - by
+    qz = jnp.abs(pz) - bz
+    outside = (qx > 0.0) | (qy > 0.0) | (qz > 0.0)
+    ox = jnp.sign(px) * jnp.maximum(qx, 0.0)
+    oy = jnp.sign(py) * jnp.maximum(qy, 0.0)
+    oz = jnp.sign(pz) * jnp.maximum(qz, 0.0)
+    # Inside: face of the LEAST interior penetration (max q).
+    mx = (qx >= qy) & (qx >= qz)
+    my = (~mx) & (qy >= qz)
+    ix = jnp.where(mx, jnp.sign(px), 0.0)
+    iy = jnp.where(my, jnp.sign(py), 0.0)
+    iz = jnp.where(~(mx | my), jnp.sign(pz), 0.0)
+    return _nrm_safe(jnp.where(outside, ox, ix),
+                     jnp.where(outside, oy, iy),
+                     jnp.where(outside, oz, iz))
+
+
+def nrm_ellipsoid_p(px, py, pz, rx, ry, rz):
+    return _nrm_safe(px / (rx * rx), py / (ry * ry), pz / (rz * rz))
+
+
+def nrm_cylinder_p(px, py, pz, sx, sy, sz):
+    r = jnp.sqrt(sx * sx + sy * sy)
+    h = sz
+    lxy = jnp.sqrt(px * px + py * py + 1e-12)
+    d_xy = lxy - r
+    d_z = jnp.abs(pz) - h
+    both_out = (d_xy > 0.0) & (d_z > 0.0)
+    radial = d_xy >= d_z
+    ox = px / lxy * jnp.maximum(d_xy, 0.0)
+    oy = py / lxy * jnp.maximum(d_xy, 0.0)
+    oz = jnp.sign(pz) * jnp.maximum(d_z, 0.0)
+    nx = jnp.where(both_out, ox, jnp.where(radial, px / lxy, 0.0))
+    ny = jnp.where(both_out, oy, jnp.where(radial, py / lxy, 0.0))
+    nz = jnp.where(both_out, oz, jnp.where(radial, 0.0, jnp.sign(pz)))
+    return _nrm_safe(nx, ny, nz)
+
+
+def nrm_spheroid_p(px, py, pz, sx, sy, sz):
+    # Elongated sphere: gradient points away from the inner core box
+    # (the elongation region); deep inside the core, +z.
+    m = jnp.minimum(sx, jnp.minimum(sy, sz))
+    ex, ey, ez = sx - m, sy - m, sz - m
+    dx = px - jnp.clip(px, -ex, ex)
+    dy = py - jnp.clip(py, -ey, ey)
+    dz = pz - jnp.clip(pz, -ez, ez)
+    return _nrm_safe(dx, dy, dz)
+
+
+def nrm_octagon_p(px, py, pz, sx, sy, sz):
+    """Tetrahedral finite difference (the rare shape keeps the reference's
+    estimateNormal4 form, VisualizeCommon.fxh)."""
+    h = 0.5
+    d1 = sd_octagon_p(px + h, py - h, pz - h, sx, sy, sz)
+    d2 = sd_octagon_p(px - h, py - h, pz + h, sx, sy, sz)
+    d3 = sd_octagon_p(px - h, py + h, pz - h, sx, sy, sz)
+    d4 = sd_octagon_p(px + h, py + h, pz + h, sx, sy, sz)
+    return _nrm_safe(d1 - d2 - d3 + d4, -d1 - d2 + d3 + d4,
+                     -d1 + d2 - d3 + d4)
+
+
+PLANAR_NORMALS = {
+    TYPE_ELLIPSOID: nrm_ellipsoid_p,
+    TYPE_BOX: nrm_box_p,
+    TYPE_CYLINDER: nrm_cylinder_p,
+    TYPE_SPHEROID: nrm_spheroid_p,
+    TYPE_OCTAGON: nrm_octagon_p,
+}
+
+
+def rotate_by_quaternion_inverse_p(px, py, pz, qx, qy, qz, qw):
+    """Rotate planar vectors by the conjugate quaternion (local -> world)."""
+    return rotate_by_quaternion_p(px, py, pz, -qx, -qy, -qz, qw)

@@ -172,7 +172,7 @@ def integrate_with_distance_field(
     bounce = v0w <= 0.0
     redirect = was_colliding & ~escaping
     needs_normal = collided & (bounce | redirect)
-    nnx, nny, nnz = scene_normal_p(volume, cpx, cpy, cpz)
+    nnx, nny, nnz = scene_normal_p(volume, cpx, cpy, cpz, fast=True)
     nx = jnp.where(needs_normal, nnx, 0.0)
     ny = jnp.where(needs_normal, nny, 0.0)
     nz = jnp.where(needs_normal, nnz, 0.0)

@@ -183,10 +183,14 @@ def _profile(kernel: str, d, radius):
     raise ValueError(f"unknown kernel {kernel!r}")
 
 
-def bin_particles(cfg: TiledRasterConfig, x, y, color, size, live):
+def bin_particles(cfg: TiledRasterConfig, x, y, color, size, live,
+                  aligned: bool = True):
     """Sort by tile, slice per-tile bins.
 
-    Returns (bins dict, valid (NT, K) mask, dropped () int32).
+    Returns a dict with per-slot arrays (x/y/color/size), the valid mask,
+    drop count, and the quad-row payload for overflow passes. With
+    aligned=False the slot axis is K+4 wide and unordered (see
+    _quad_gather) — only valid for order-invariant consumers.
     """
     gy, gx = cfg.grid
     nt = gy * gx
@@ -236,18 +240,24 @@ def bin_particles(cfg: TiledRasterConfig, x, y, color, size, live):
         axis=1,
     )  # (n_rows, 4P): columns [4i, 4i+4) = operand i's slots
 
-    bins, valid = _quad_gather(packed, starts[:-1], counts, k, p)
+    bins, valid = _quad_gather(packed, starts[:-1], counts, k, p,
+                               aligned=aligned)
     unpacked = _unpack_bins(cfg, bins)
     unpacked.update(valid=valid, dropped=dropped, packed=packed,
                     starts=starts[:-1], counts=counts)
     return unpacked
 
 
-def _quad_gather(packed, starts_sel, counts_sel, k, p):
-    """Gather K aligned slots per selected segment from the quad-row
-    payload. starts_sel/counts_sel: (M,) segment starts/counts (absolute
-    slot indices). Returns (bins: list of P (M, K) int32 operand arrays,
-    valid (M, K))."""
+def _quad_gather(packed, starts_sel, counts_sel, k, p, aligned=True):
+    """Gather K (+4 when unaligned) slots per selected segment from the
+    quad-row payload. starts_sel/counts_sel: (M,) segment starts/counts
+    (absolute slot indices). Returns (bins: list of P (M, S) int32
+    operand arrays, valid (M, S)).
+
+    aligned=True shifts slots so bin j == sorted[start + j] (the alpha
+    path needs draw order). aligned=False skips the 4-way realign selects
+    and instead masks by ABSOLUTE slot position — additive blending is
+    order-invariant, so the set is all that matters."""
     m = starts_sel.shape[0]
     rows_needed = k // 4 + 1
 
@@ -262,13 +272,23 @@ def _quad_gather(packed, starts_sel, counts_sel, k, p):
     bins = []
     for i in range(p):
         slots = quad[:, :, 4 * i:4 * i + 4].reshape(m, rows_needed * 4)
-        aligned = slots[:, 0:k]
-        for o in (1, 2, 3):
-            aligned = jnp.where((off == o)[:, None],
-                                slots[:, o:o + k], aligned)
-        bins.append(aligned)
-    slot = jnp.arange(k, dtype=jnp.int32)[None, :]
-    valid = slot < jnp.minimum(counts_sel, k)[:, None]
+        if aligned:
+            out = slots[:, 0:k]
+            for o in (1, 2, 3):
+                out = jnp.where((off == o)[:, None],
+                                slots[:, o:o + k], out)
+        else:
+            out = slots  # (M, K + 4) raw window
+        bins.append(out)
+    if aligned:
+        slot = jnp.arange(k, dtype=jnp.int32)[None, :]
+        valid = slot < jnp.minimum(counts_sel, k)[:, None]
+    else:
+        pos = base_row[:, None] * 4 + jnp.arange(
+            rows_needed * 4, dtype=jnp.int32)[None, :]
+        valid = (pos >= starts_sel[:, None]) & (
+            pos < (starts_sel + jnp.minimum(counts_sel, k))[:, None]
+        )
     return bins, valid
 
 
@@ -382,13 +402,13 @@ def rasterize_tiled(
         ) < stipple_factor
         live = live & keep
 
-    bins = bin_particles(cfg, x, y, color, size, live)
+    bins = bin_particles(cfg, x, y, color, size, live, aligned=False)
     wy, wx = _coverage_factors(cfg, bins)
 
     valid = bins["valid"]
     ch = cfg.channels
     nt = wy.shape[0]
-    k = cfg.bin_capacity
+    k = valid.shape[1]  # K + 4 in unaligned mode
     win = cfg.window
     gy, gx = cfg.grid
 
@@ -422,8 +442,9 @@ def rasterize_tiled(
         sel_counts = jnp.maximum(counts[sel] - k, 0)
         sel_starts = bins["starts"][sel] + k
         bins2, valid2 = _quad_gather(bins["packed"], sel_starts,
-                                     sel_counts, k, 3 if cfg.rgba8_colors
-                                     else 4)
+                                     sel_counts, cfg.bin_capacity,
+                                     3 if cfg.rgba8_colors else 4,
+                                     aligned=False)
         up2 = _unpack_bins(cfg, bins2)
         ox, oy = _tile_origins(cfg)
         wy2, wx2 = _coverage_factors(cfg, up2, ox[sel], oy[sel])

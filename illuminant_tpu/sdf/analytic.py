@@ -153,6 +153,47 @@ class AnalyticScene:
                 jnp.where(ok, gy / safe, 0.0),
                 jnp.where(ok, gz / safe, 0.0))
 
+    def normal_fast_p(self, x, y, z):
+        """Closed-form per-primitive normals selected by arg-min distance
+        — ~1 eval cost vs the AD gradient's ~2x (the collision hot path's
+        biggest line item). Polygon scenes fall back to AD."""
+        if self.polygons is not None:
+            return self.normal_p(x, y, z)
+        counts = self._counts()
+        shape = jnp.broadcast_shapes(jnp.shape(x), jnp.shape(y),
+                                     jnp.shape(z))
+        best = jnp.full(shape, self.maximum_distance, dtype=jnp.float32)
+        nx = jnp.zeros(shape, jnp.float32)
+        ny = jnp.zeros(shape, jnp.float32)
+        nz = jnp.zeros(shape, jnp.float32)
+        for gi, type_id in enumerate(self.group_types):
+            centers = self.centers[gi]
+            sizes = self.sizes[gi]
+            fn = sp.PLANAR_EVALUATORS[type_id]
+            nfn = sp.PLANAR_NORMALS[type_id]
+            for i in range(counts[gi]):
+                px = x - centers[i, 0]
+                py = y - centers[i, 1]
+                pz = z - centers[i, 2]
+                if self.group_rotated[gi]:
+                    q = self.rotations[gi]
+                    px, py, pz = sp.rotate_by_quaternion_p(
+                        px, py, pz, q[i, 0], q[i, 1], q[i, 2], q[i, 3]
+                    )
+                d = fn(px, py, pz, sizes[i, 0], sizes[i, 1], sizes[i, 2])
+                inx, iny, inz = nfn(px, py, pz, sizes[i, 0], sizes[i, 1],
+                                    sizes[i, 2])
+                if self.group_rotated[gi]:
+                    inx, iny, inz = sp.rotate_by_quaternion_inverse_p(
+                        inx, iny, inz, q[i, 0], q[i, 1], q[i, 2], q[i, 3]
+                    )
+                closer = d < best
+                nx = jnp.where(closer, inx, nx)
+                ny = jnp.where(closer, iny, ny)
+                nz = jnp.where(closer, inz, nz)
+                best = jnp.minimum(best, d)
+        return nx, ny, nz
+
     def estimate_normal(self, position):
         """Exact field gradient via reverse-mode AD (~2 distance evals
         instead of the 4-tap tetrahedral stencil the texture path needs —
@@ -262,10 +303,12 @@ def scene_sample_p(field, x, y, z):
     return scene_sample(field, pos)
 
 
-def scene_normal_p(field, x, y, z):
-    """Planar normal query -> (nx, ny, nz)."""
+def scene_normal_p(field, x, y, z, fast: bool = False):
+    """Planar normal query -> (nx, ny, nz). fast=True selects the
+    closed-form per-primitive normals (collision path)."""
     if isinstance(field, AnalyticScene):
-        return field.normal_p(x, y, z)
+        return field.normal_fast_p(x, y, z) if fast else \
+            field.normal_p(x, y, z)
     shape = jnp.broadcast_shapes(jnp.shape(x), jnp.shape(y), jnp.shape(z))
     pos = jnp.stack([jnp.broadcast_to(x, shape), jnp.broadcast_to(y, shape),
                      jnp.broadcast_to(z, shape)], axis=-1)

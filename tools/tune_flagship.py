@@ -170,43 +170,13 @@ def raster_stages():
     timed_loop("R-bin (pack+sort+starts+gather+unpack)", bin_body,
                (jnp.zeros(()),), x, y, color, size, live)
 
-    bins = T.bin_particles(cfg, x, y, color, size, live)
-    bins = {kk: jax.device_put(vv) for kk, vv in bins.items()}
-
-    def fact_body(i, c, bins):
-        b2 = dict(bins)
-        b2["x"] = bins["x"] + c[0] * 1e-30
-        wy, wx = T._coverage_factors(cfg, b2)
-        return (c[0] + wy[0, 0, 0].astype(jnp.float32) * 1e-20
-                + wx[0, 0, 0].astype(jnp.float32) * 1e-20,)
-
-    timed_loop("R-factors (wy+wx bf16)", fact_body, (jnp.zeros(()),),
-               bins)
-
-    wy, wx = T._coverage_factors(cfg, bins)
-    ch = cfg.channels
-    nt = wy.shape[0]
-    k = cfg.bin_capacity
-    win = cfg.window
-    pc = (bins["color"][:, :, :ch] * bins["valid"][:, :, None])
-
-    def splat_body(i, c, wy, wx, pc):
-        rhs = (wx[:, :, :, None] * (pc + c[0] * 1e-30)[:, :, None, :]
-               .astype(jnp.bfloat16)).reshape(nt, k, win * ch)
-        tiles = jnp.einsum("twk,tkv->twv", wy, rhs,
-                           preferred_element_type=jnp.float32)
-        return (c[0] + tiles[0, 0, 0] * 1e-20,)
-
-    timed_loop("R-splat (rhs + einsum)", splat_body, (jnp.zeros(()),),
-               wy, wx, pc)
-
-    tiles = jnp.zeros((nt, win, win * ch), jnp.float32)
-
-    def ov_body(i, c, tiles):
-        img = T._overlap_add(cfg, tiles + c[0] * 1e-30)
+    def whole_body(i, c, x, y, color, size, live):
+        eps = c[0] * 1e-30
+        img, diag = T.rasterize_tiled(cfg, x + eps, y, color, size, live)
         return (c[0] + img[0, 0, 0] * 1e-20,)
 
-    timed_loop("R-overlap-add", ov_body, (jnp.zeros(()),), tiles)
+    timed_loop("R-whole rasterize_tiled shipped", whole_body,
+               (jnp.zeros(()),), x, y, color, size, live)
 
 
 if "raster_stages" in sys.argv:
