@@ -31,9 +31,14 @@ class QualitySettings:
     # uses this default; set 1.0 for pixel-exact shadow edges.
     shadow_scale: float = static_field(default=0.5)
     # 3D refinement samples per (light, pixel) on the scan path: 0 = pure
-    # flatland scan (fastest), 1 = blocker exit point, 2 = exit + arg-min
-    # (default; restores the reference's 3D shadow behavior).
-    scan_refine_samples: int = static_field(default=2)
+    # flatland scan (fastest), >= 1 re-evaluates the analytic scene on the
+    # true 3D ray, restoring the reference's 3D shadow behavior (short
+    # obstructions don't shadow rays passing over them). Default 1:
+    # measured against the exact march over tall/short/mixed obstruction
+    # scenes, the second sample changes mean |error| by < 0.006 and
+    # usually by zero (tests/test_refine_quality.py) while costing
+    # ~1.7 ms/frame at 1080p x 8 lights.
+    scan_refine_samples: int = static_field(default=1)
 
 
 @pytree_dataclass

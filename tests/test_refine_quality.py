@@ -1,0 +1,65 @@
+"""Scan refinement default: refine=1 is march-equivalent to refine=2.
+
+The quantification behind QualitySettings.scan_refine_samples = 1: across
+tall / short / mixed obstruction scenes, the second refinement candidate
+changes the error vs the exact cone-trace march by < 0.006 mean absolute
+visibility (and is byte-identical on most scenes).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from illuminant_tpu.core.config import QualitySettings
+from illuminant_tpu.lighting import cone_trace as ct
+from illuminant_tpu.lighting.environment import LightObstruction
+from illuminant_tpu.lighting.scan_shadows import scan_visibility
+from illuminant_tpu.sdf.analytic import pack_scene
+
+H, W = 96, 144
+
+SCENES = {
+    "tall": [LightObstruction.box((70, 48, 16), (4, 30, 16)),
+             LightObstruction.cylinder((100, 70, 20), (8, 8, 20))],
+    "short": [LightObstruction.box((70, 48, 4), (4, 30, 4)),
+              LightObstruction.ellipsoid((100, 24, 6), (10, 8, 6))],
+    "mixed": [LightObstruction.box((60, 30, 18), (5, 14, 18)),
+              LightObstruction.box((80, 70, 5), (6, 16, 5))],
+}
+
+
+def _errors(obs):
+    scene = pack_scene(obs, group_capacity_round=1)
+    lights = jnp.asarray([[30.0, 48.0, 24.0], [120.0, 20.0, 60.0]],
+                         jnp.float32)
+    radii = jnp.asarray([6.0, 5.0])
+    ramps = jnp.asarray([200.0, 200.0])
+    ys, xs = np.meshgrid(np.arange(H) + 0.5, np.arange(W) + 0.5,
+                         indexing="ij")
+    shaded = np.stack([xs, ys, np.zeros_like(xs)], -1).astype(np.float32)
+    march = np.stack([
+        np.asarray(ct.cone_trace(scene, lights[i], radii[i], ramps[i],
+                                 jnp.asarray(shaded),
+                                 jnp.ones((H, W), bool),
+                                 QualitySettings()))
+        for i in range(2)
+    ])
+    out = {}
+    for r in (0, 1, 2):
+        q = QualitySettings(scan_refine_samples=r)
+        vis = np.asarray(scan_visibility(scene, H, W, lights, radii,
+                                         ramps, q,
+                                         pixel_z=jnp.zeros((H, W))))
+        out[r] = np.abs(vis - march).mean()
+    return out
+
+
+def test_refine_one_is_march_equivalent_to_two():
+    for name, obs in SCENES.items():
+        err = _errors(obs)
+        assert err[1] <= err[2] + 0.006, (name, err)
+        # Refinement exists for 3D correctness: on SHORT obstructions the
+        # flatland scan must be strictly worse than refined.
+        if name == "short":
+            assert err[0] > err[1] + 0.02, err
+        # And refined stays close to the exact march overall.
+        assert err[1] < 0.12, (name, err)
