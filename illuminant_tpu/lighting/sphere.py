@@ -289,7 +289,9 @@ def accumulate_sphere_lights(
                 render_scale=gbuffer.render_scale * ss,
                 pixel_z=pixel_z, pixel_offset_xy=off,
             )
-            vis = upsample2x_bilinear(vis)
+            # Upsample + consume in bf16: visibility is in [0,1] and the
+            # (L, H, W) full-res plane is the pass's biggest array.
+            vis = upsample2x_bilinear(vis.astype(jnp.bfloat16))
         elif ss != 1.0:
             sh, sw = max(int(h * ss), 8), max(int(w * ss), 8)
             pixel_z = jax.image.resize(lifted_z, (sh, sw), "linear")
@@ -356,9 +358,11 @@ def accumulate_sphere_lights(
         out_rgb = jnp.sum(rgb, axis=0)
     else:
         # sum_l color_l.rgb * color_l.a * opacity_l as ONE contraction
-        # over the light axis — no (L, H, W, 3) materialization.
+        # over the light axis — no (L, H, W, 3) materialization; bf16
+        # operands (opacity in [0,1]) halve the contraction's HBM read.
         out_rgb = jnp.einsum(
-            "lhw,lc->hwc", opacity, color[:, :3] * color[:, 3:4],
+            "lhw,lc->hwc", opacity.astype(jnp.bfloat16),
+            (color[:, :3] * color[:, 3:4]).astype(jnp.bfloat16),
             preferred_element_type=jnp.float32,
         )
 
@@ -381,5 +385,6 @@ def accumulate_sphere_lights(
             preferred_element_type=jnp.float32,
         )
 
-    out_a = jnp.sum(opacity, axis=0)
+    out_a = jnp.sum(opacity.astype(jnp.bfloat16), axis=0,
+                    dtype=jnp.float32)
     return jnp.concatenate([out_rgb, out_a[..., None]], axis=-1)
