@@ -79,7 +79,7 @@ def build_flagship(
     spawn_max: int = 16384,
     sdf_resolution_scale: float = 0.25,
     quality: Optional[QualitySettings] = None,
-    bin_capacity: int = 1024,
+    bin_capacity: int = 1020,
 ) -> FlagshipScene:
     """The full config-5 frame: see module docstring."""
     env = LightingEnvironment(
