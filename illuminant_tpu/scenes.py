@@ -4,7 +4,8 @@ The flagship scene is the FULL BASELINE.md config-5 workload ("full
 Lumined scene"), all advanced by ONE jitted frame function:
 
   * 8 sphere lights, cone-traced soft shadows (scan path at the library
-    default quality: shadow_scale 0.5, scan_refine_samples 2);
+    default quality: shadow_scale 0.5, scan_refine_samples 1 — measured
+    march-equivalent to 2, tests/test_refine_quality.py);
   * DYNAMIC SDF occluders — two of the four obstructions move every
     frame. The analytic field (sdf/analytic.py) re-evaluates exactly each
     frame, which subsumes the reference's budgeted slice re-rasterization
@@ -116,7 +117,7 @@ def build_flagship(
 
     config = RendererConfig(
         width=width, height=height,
-        # Library-default quality: shadow_scale 0.5, scan_refine_samples 2.
+        # Library-default quality: shadow_scale 0.5, scan_refine_samples 1.
         quality=quality or QualitySettings(),
     )
     sdf_config = vol.SdfVolumeConfig(
