@@ -70,7 +70,7 @@ def _run_config(height, width, capacity, frames):
     avg_lum = jnp.asarray(0.5, jnp.float32)
 
     spawn_count = jnp.asarray(scene.spawner.spawn_max, jnp.int32)
-    chunk = 200  # frames per dispatch — amortizes host-tunnel latency
+    chunk = 400  # frames per dispatch — amortizes host-tunnel latency
 
     def run(state, avg_lum, i0, n):
         return scene.frame_loop(

@@ -148,16 +148,21 @@ def spawn(
     mask = mask & (new_attributes[:, 3] >= u.attribute_discard_threshold)
 
     # The ring window [cursor, cursor+spawn_max) is contiguous modulo the
-    # capacity, so the write is a roll + static-window read-modify-write —
-    # a scatter here costs ~44 ns/row on v5e (serial index processing)
-    # while two rolls are plain dense copies. Masked rows (count gate or
-    # attribute discard, SpawnerCommon.fxh:185-188) keep their old values.
+    # capacity, so the write is a masked merge of the ROLLED NEW ROWS —
+    # one full-size roll per attribute instead of rolling the state out
+    # and back (and a scatter here costs ~44 ns/row on v5e). Masked rows
+    # (count gate or attribute discard, SpawnerCommon.fxh:185-188) keep
+    # their old values.
     if spawn_max <= n:
+        mask_pad = jnp.pad(mask, (0, n - spawn_max))
+        mask_rolled = jnp.roll(mask_pad, state.write_cursor)[:, None]
+
         def window_write(arr, new_rows):
-            rolled = jnp.roll(arr, -state.write_cursor, axis=0)
-            win = jnp.where(mask[:, None], new_rows, rolled[:spawn_max])
-            rolled = rolled.at[:spawn_max].set(win)
-            return jnp.roll(rolled, state.write_cursor, axis=0)
+            padded = jnp.pad(new_rows, ((0, n - spawn_max), (0, 0)))
+            return jnp.where(
+                mask_rolled, jnp.roll(padded, state.write_cursor, axis=0),
+                arr,
+            )
     else:
         # spawn_max exceeds the ring: the window self-overlaps, so fall
         # back to a (cheap at this size) scatter with drop semantics.

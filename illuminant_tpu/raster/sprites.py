@@ -258,8 +258,9 @@ def rasterize_sprites(
     ry = jnp.arange(win, dtype=jnp.float32)[None, :, None]  # (1, win, 1)
     rx = jnp.arange(win, dtype=jnp.float32)[None, None, :]
 
-    pc = (bins["color"][:, :, :ch] * valid[:, :, None]).astype(
-        jnp.bfloat16)
+    pc = jnp.stack(
+        [bins["color"][c] * valid for c in range(ch)], axis=-1
+    ).astype(jnp.bfloat16)
 
     # WY_r[t, y, k] = row_f[t, k, r, y - iy + half] with linear subpixel
     # interpolation; built by S static shift-selects (see module doc).

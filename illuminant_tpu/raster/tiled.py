@@ -295,12 +295,19 @@ def _quad_gather(packed, starts_sel, counts_sel, k, p, aligned=True):
 def _unpack_bins(cfg: TiledRasterConfig, bins):
     bx, by = _unpack_xy(bins[0])
     if cfg.rgba8_colors:
-        bc = _unpack_rgba8(bins[1], cfg.color_scale)
+        packed = bins[1]
+        scale = cfg.color_scale / 255.0
+        # PLANAR channels — a (NT, K, 4) stack is a minor-dim-4
+        # interleave, measured multi-ms at this size on TPU.
+        bc = tuple(
+            ((packed >> (8 * c)) & 0xFF).astype(jnp.float32) * scale
+            for c in range(4)
+        )
         size_idx = 2
     else:
         c0, c1 = _unpack_bf16_pair(bins[1])
         c2, c3 = _unpack_bf16_pair(bins[2])
-        bc = jnp.stack([c0, c1, c2, c3], axis=-1)
+        bc = (c0, c1, c2, c3)
         size_idx = 3
     bsize, _ = _unpack_bf16_pair(bins[size_idx])
     return dict(x=bx, y=by, color=bc, size=bsize)
@@ -417,7 +424,7 @@ def rasterize_tiled(
     # needs only reshapes, no transposes, and no ch-wide minor dims
     # anywhere (both were measured multi-ms relayout costs on TPU).
     rhs = jnp.concatenate(
-        [wx * (bins["color"][:, :, c] * valid).astype(jnp.bfloat16)
+        [wx * (bins["color"][c] * valid).astype(jnp.bfloat16)
          [:, :, None] for c in range(ch)],
         axis=-1,
     )  # (NT, K, ch*win)
@@ -449,7 +456,7 @@ def rasterize_tiled(
         ox, oy = _tile_origins(cfg)
         wy2, wx2 = _coverage_factors(cfg, up2, ox[sel], oy[sel])
         rhs2 = jnp.concatenate(
-            [wx2 * (up2["color"][:, :, c] * valid2).astype(jnp.bfloat16)
+            [wx2 * (up2["color"][c] * valid2).astype(jnp.bfloat16)
              [:, :, None] for c in range(ch)],
             axis=-1,
         )
@@ -538,13 +545,15 @@ def rasterize_tiled_alpha(
     xs = jnp.arange(win) % 4
     bayer = bayer4[ys[:, None], xs[None, :]]  # (win, win)
 
-    color_b = bins["color"] * valid[:, :, None]  # (NT, K, 4) premult
-    src_a = jnp.maximum(color_b[:, :, 3], 1e-6)
-    straight_rgb = color_b[:, :, :3] / src_a[:, :, None]  # (NT, K, 3)
+    cb = [c * valid for c in bins["color"]]  # planar premult channels
+    src_a = jnp.maximum(cb[3], 1e-6)
+    straight_rgb = jnp.stack(
+        [cb[0] / src_a, cb[1] / src_a, cb[2] / src_a], axis=-1
+    )  # (NT, K, 3)
 
     def over(img, j):
         cov = wy[:, :, j][:, :, None] * wx[:, j, :][:, None, :]
-        a_eff = cov * color_b[:, j, 3][:, None, None]  # (NT, win, win)
+        a_eff = cov * cb[3][:, j][:, None, None]  # (NT, win, win)
         if dither:
             # Dithered opacity discard (fx:158-175): fragments become
             # fully opaque where the effective alpha beats the Bayer
