@@ -320,10 +320,13 @@ def build_flagship(
         scene_hdr = lightmap[..., :3] + particle_img
 
         # -- HDR histogram -> auto-exposure for the NEXT frame --
-        # Full-res: a strided [::2, ::2] subsample costs MORE than the
-        # histogram itself on TPU (lane-dim stride = sublane shuffles);
-        # the direct-index one-hot reduce is cheap at 2M pixels.
-        hist = compute_histogram(scene_hdr, hist_bounds)
+        # 2x2 average-pooled via reshape (stride-free — a [::2, ::2]
+        # subsample costs MORE than the histogram itself on TPU), the
+        # same downsampled-luminance accuracy lever the reference uses
+        # (LightingRenderer.HDR.cs:154-167 mip-level accuracyFactor).
+        h2, w2 = scene_hdr.shape[0] // 2, scene_hdr.shape[1] // 2
+        pooled = scene_hdr.reshape(h2, 2, w2, 2, 3).mean(axis=(1, 3))
+        hist = compute_histogram(pooled, hist_bounds)
         p95 = percentile(hist, 95.0)
         new_avg = avg_lum * 0.95 + p95 * 0.05  # temporal smoothing
 

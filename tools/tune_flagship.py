@@ -181,3 +181,111 @@ def raster_stages():
 
 if "raster_stages" in sys.argv:
     raster_stages()
+
+
+def frame_variants():
+    """In-frame cost attribution: the real flagship frame with stages
+    disabled one at a time (includes all fusion effects)."""
+    import time
+    from functools import partial
+    from illuminant_tpu.scenes import build_flagship
+    from illuminant_tpu.raster.tiled import rasterize_tiled
+    from illuminant_tpu.lighting.sphere import accumulate_sphere_lights
+    from illuminant_tpu.particles.spawner import spawn as spawn_fn
+    from illuminant_tpu.particles import transforms as tx
+    from illuminant_tpu.particles.integrate import (
+        integrate_with_distance_field)
+    from illuminant_tpu.utils.histogram import (bucket_boundaries,
+                                                compute_histogram,
+                                                percentile)
+    from illuminant_tpu.ops import tonemap as tm
+
+    scene = build_flagship(height=H, width=W, capacity=CAP)
+    env_u = scene.environment.uniforms()
+    key = jax.random.key(0)
+    sc = jnp.asarray(scene.spawner.spawn_max, jnp.int32)
+    state0 = scene.system.state
+    avg0 = jnp.asarray(0.5, jnp.float32)
+    img, state0, avg0, _ = scene.frame_loop(
+        state0, avg0, key, scene.volume, scene.gbuffer, env_u,
+        scene.sphere_lights, sc, jnp.asarray(0, jnp.int32), 300)
+    fence(img.astype(jnp.float32))
+
+    system = scene.system
+    su = system.system_uniforms(1.0 / 60.0)
+    rd = system.render_data
+    grav = scene.system.transforms[1]
+    grav_u = grav.uniforms(0.0)
+    spawn_u = scene.spawner.uniforms(0.0)
+    q = scene.config.quality
+    rc = scene.raster_config
+    bounds = jnp.asarray(bucket_boundaries(max_value=64.0))
+    N_IT = 200
+
+    def run_variant(name, lighting, particles, raster, resolve):
+        @partial(jax.jit, donate_argnums=(0,), static_argnums=())
+        def loop(state, avg, volume, gbuffer, lights):
+            def body(i, carry):
+                st, avg, acc = carry
+                k = jax.random.fold_in(key, i)
+                if lighting:
+                    lm = jnp.broadcast_to(
+                        env_u.ambient, (H, W, 4)).astype(jnp.float32)
+                    lm = lm + accumulate_sphere_lights(
+                        volume, gbuffer, lights, env_u, q,
+                        with_specular=False, shadow_mode="scan",
+                        with_ao=False)
+                else:
+                    lm = jnp.zeros((H, W, 4), jnp.float32)
+                if particles:
+                    st = spawn_fn(st, spawn_u, sc, k,
+                                  scene.spawner.spawn_max)
+                    pos, vel = tx.apply_gravity(st.position, st.velocity,
+                                                grav_u, su)
+                    st = st.replace(position=pos, velocity=vel)
+                    st = integrate_with_distance_field(st, su, rd, volume)
+                if raster:
+                    pimg, diag = rasterize_tiled(
+                        rc, st.position[:, 0], st.position[:, 1],
+                        st.render_color, st.render_data[:, 0],
+                        st.live_mask())
+                    hdr = lm[..., :3] + pimg
+                else:
+                    hdr = lm[..., :3]
+                if resolve:
+                    hist = compute_histogram(hdr, bounds)
+                    p95 = percentile(hist, 95.0)
+                    avg = avg * 0.95 + p95 * 0.05
+                    mapped = tm.uncharted2_tonemap(hdr * (1.1 / jnp.maximum(
+                        avg, 0.05)))
+                    out = (jnp.clip(mapped, 0, 1) ** (1 / 2.2) * 255.0
+                           ).astype(jnp.uint8)
+                    acc = acc + out[0, 0, 0].astype(jnp.float32)
+                else:
+                    acc = acc + hdr[0, 0, 0]
+                return (st, avg, acc)
+
+            return jax.lax.fori_loop(
+                0, N_IT, body, (state, avg, jnp.zeros((), jnp.float32)))
+
+        st = jax.tree.map(jnp.copy, state0)
+        c = loop(st, avg0, scene.volume, scene.gbuffer,
+                 scene.sphere_lights)
+        fence(c[0].position)
+        st = c[0]
+        t0 = time.perf_counter()
+        c = loop(st, c[1], scene.volume, scene.gbuffer,
+                 scene.sphere_lights)
+        fence(c[0].position)
+        dt = (time.perf_counter() - t0) / N_IT
+        print(f"{name:40s} {dt * 1e3:8.3f} ms/frame")
+
+    run_variant("FULL frame", True, True, True, True)
+    run_variant("no raster", True, True, False, True)
+    run_variant("no lighting", False, True, True, True)
+    run_variant("no particles+raster", True, False, False, True)
+    run_variant("no resolve (hist+tonemap)", True, True, True, False)
+
+
+if "frame_variants" in sys.argv:
+    frame_variants()
