@@ -91,6 +91,10 @@ class TiledRasterConfig:
     # Hierarchical overflow: the M hottest tiles get a second K-slot bin
     # level (additive path only). 0 disables.
     overflow_tiles: int = 128
+    # Sorted slots packed per gathered row (the XLA gather is row-count-
+    # bound, so more slots/row = cheaper binning; alignment cost is only
+    # paid by the ordered alpha path). 4 or 8.
+    slots_per_row: int = 4
 
     @property
     def grid(self) -> Tuple[int, int]:
@@ -222,70 +226,73 @@ def bin_particles(cfg: TiledRasterConfig, x, y, color, size, live,
     counts = starts[1:] - starts[:-1]  # (NT,)
     dropped = jnp.sum(jnp.maximum(counts - k, 0))
 
-    # Quad-row bin gather: the XLA TPU gather is ROW-COUNT-bound (rows of
-    # 2 and 3 int32 cost the same, tools/microbench_raster3.py M4), so
-    # pack FOUR sorted slots per gathered row and realign per tile — this
-    # quarters the dominant binning cost. Each operand keeps its own
-    # contiguous 4-slot blocks, concatenated side by side (a (N, P) stack
-    # would interleave a 3-wide minor dim — layout-hostile on TPU); the
-    # payload is padded by a full window so base_row = starts // 4 never
-    # clamps and the in-row offset is always 0..3.
+    # Multi-slot-row bin gather: the XLA TPU gather is ROW-COUNT-bound
+    # (rows of 2 and 3 int32 cost the same, tools/microbench_raster3.py
+    # M4), so pack `spr` sorted slots per gathered row and realign per
+    # tile — this divides the dominant binning cost by spr. Each operand
+    # keeps its own contiguous slot blocks, concatenated side by side (a
+    # (N, P) stack would interleave a narrow minor dim — layout-hostile
+    # on TPU); the payload is padded by a full window so base_row =
+    # starts // spr never clamps and the in-row offset is in [0, spr).
     p = len(ops)
-    rows_needed = k // 4 + 1
-    n_rows = -(-n // 4) + rows_needed
-    pad = n_rows * 4 - n
+    spr = cfg.slots_per_row
+    rows_needed = k // spr + 1
+    n_rows = -(-n // spr) + rows_needed
+    pad = n_rows * spr - n
     packed = jnp.concatenate(
-        [jnp.pad(op, (0, pad)).reshape(n_rows, 4)
+        [jnp.pad(op, (0, pad)).reshape(n_rows, spr)
          for op in sorted_all[1:]],
         axis=1,
-    )  # (n_rows, 4P): columns [4i, 4i+4) = operand i's slots
+    )  # (n_rows, spr*P): columns [spr*i, spr*(i+1)) = operand i's slots
 
     bins, valid = _quad_gather(packed, starts[:-1], counts, k, p,
-                               aligned=aligned)
+                               aligned=aligned, spr=spr)
     unpacked = _unpack_bins(cfg, bins)
     unpacked.update(valid=valid, dropped=dropped, packed=packed,
                     starts=starts[:-1], counts=counts)
     return unpacked
 
 
-def _quad_gather(packed, starts_sel, counts_sel, k, p, aligned=True):
-    """Gather K (+4 when unaligned) slots per selected segment from the
-    quad-row payload. starts_sel/counts_sel: (M,) segment starts/counts
-    (absolute slot indices). Returns (bins: list of P (M, S) int32
+def _quad_gather(packed, starts_sel, counts_sel, k, p, aligned=True,
+                 spr=4):
+    """Gather K (+spr when unaligned) slots per selected segment from the
+    multi-slot-row payload. starts_sel/counts_sel: (M,) segment starts/
+    counts (absolute slot indices). Returns (bins: list of P (M, S) int32
     operand arrays, valid (M, S)).
 
     aligned=True shifts slots so bin j == sorted[start + j] (the alpha
-    path needs draw order). aligned=False skips the 4-way realign selects
-    and instead masks by ABSOLUTE slot position — additive blending is
+    path needs draw order). aligned=False skips the realign selects and
+    instead masks by ABSOLUTE slot position — additive blending is
     order-invariant, so the set is all that matters."""
     m = starts_sel.shape[0]
-    rows_needed = k // 4 + 1
+    rows_needed = k // spr + 1
 
-    base_row = starts_sel // 4
+    base_row = starts_sel // spr
 
     def get(r):
         return lax.dynamic_slice(packed, (r, jnp.int32(0)),
                                  (rows_needed, packed.shape[1]))
 
-    quad = jax.vmap(get)(base_row)  # (M, rows_needed, 4P)
-    off = starts_sel - base_row * 4  # in [0, 4)
+    quad = jax.vmap(get)(base_row)  # (M, rows_needed, spr*P)
+    off = starts_sel - base_row * spr  # in [0, spr)
     bins = []
     for i in range(p):
-        slots = quad[:, :, 4 * i:4 * i + 4].reshape(m, rows_needed * 4)
+        slots = quad[:, :, spr * i:spr * (i + 1)].reshape(
+            m, rows_needed * spr)
         if aligned:
             out = slots[:, 0:k]
-            for o in (1, 2, 3):
+            for o in range(1, spr):
                 out = jnp.where((off == o)[:, None],
                                 slots[:, o:o + k], out)
         else:
-            out = slots  # (M, K + 4) raw window
+            out = slots  # (M, K + spr) raw window
         bins.append(out)
     if aligned:
         slot = jnp.arange(k, dtype=jnp.int32)[None, :]
         valid = slot < jnp.minimum(counts_sel, k)[:, None]
     else:
-        pos = base_row[:, None] * 4 + jnp.arange(
-            rows_needed * 4, dtype=jnp.int32)[None, :]
+        pos = base_row[:, None] * spr + jnp.arange(
+            rows_needed * spr, dtype=jnp.int32)[None, :]
         valid = (pos >= starts_sel[:, None]) & (
             pos < (starts_sel + jnp.minimum(counts_sel, k))[:, None]
         )
@@ -451,7 +458,8 @@ def rasterize_tiled(
         bins2, valid2 = _quad_gather(bins["packed"], sel_starts,
                                      sel_counts, cfg.bin_capacity,
                                      3 if cfg.rgba8_colors else 4,
-                                     aligned=False)
+                                     aligned=False,
+                                     spr=cfg.slots_per_row)
         up2 = _unpack_bins(cfg, bins2)
         ox, oy = _tile_origins(cfg)
         wy2, wx2 = _coverage_factors(cfg, up2, ox[sel], oy[sel])

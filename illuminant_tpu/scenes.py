@@ -80,7 +80,7 @@ def build_flagship(
     spawn_max: int = 16384,
     sdf_resolution_scale: float = 0.25,
     quality: Optional[QualitySettings] = None,
-    bin_capacity: int = 1020,
+    bin_capacity: int = 1016,
 ) -> FlagshipScene:
     """The full config-5 frame: see module docstring."""
     env = LightingEnvironment(
@@ -257,7 +257,7 @@ def build_flagship(
     raster_config = TiledRasterConfig(
         height=height, width=width, tile=32, bin_capacity=bin_capacity,
         apron=4, kernel="gauss", rgba8_colors=True, color_scale=4.0,
-        channels=3,
+        channels=3, slots_per_row=8,
     )
     hist_bounds = jnp.asarray(bucket_boundaries(max_value=64.0))
 
