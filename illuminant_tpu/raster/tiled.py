@@ -95,6 +95,11 @@ class TiledRasterConfig:
     # bound, so more slots/row = cheaper binning; alignment cost is only
     # paid by the ordered alpha path). 4 or 8.
     slots_per_row: int = 4
+    # Compact 2-operand payload: (x, y) at 1/8 px + 4-bit log-quantized
+    # size share ONE word (sizes snap to 16 log steps in [0.5, 8.5]);
+    # colors stay rgba8. One fewer sort operand + leaner unpack; use for
+    # big additive systems where the size quantization is invisible.
+    compact_payload: bool = False
 
     @property
     def grid(self) -> Tuple[int, int]:
@@ -109,6 +114,42 @@ class TiledRasterConfig:
 
 XY_SUBPIXEL = 16.0  # fixed-point position precision through the sort
 _XY_BIAS = 2048
+
+# Compact payload: 14-bit x/y at 1/8 px (viewport + [-128, +1920] px),
+# 4-bit log size.
+_C_SUB = 8.0
+_C_BIAS = 1024
+_C_SIZE_MIN = 0.5
+_C_SIZE_MAX = 8.5
+
+
+def _pack_compact(x, y, size):
+    xi = jnp.clip(jnp.round(x * _C_SUB).astype(jnp.int32) + _C_BIAS,
+                  0, (1 << 14) - 1)
+    yi = jnp.clip(jnp.round(y * _C_SUB).astype(jnp.int32) + _C_BIAS,
+                  0, (1 << 14) - 1)
+    import math as _math
+
+    span = _math.log(_C_SIZE_MAX / _C_SIZE_MIN)
+    si = jnp.clip(
+        jnp.round(jnp.log(jnp.clip(size, _C_SIZE_MIN, _C_SIZE_MAX)
+                          / _C_SIZE_MIN) / span * 15.0).astype(jnp.int32),
+        0, 15,
+    )
+    return (xi << 18) | (yi << 4) | si
+
+
+def _unpack_compact(packed):
+    import math as _math
+
+    xi = (packed >> 18) & 0x3FFF
+    yi = (packed >> 4) & 0x3FFF
+    si = packed & 0xF
+    span = _math.log(_C_SIZE_MAX / _C_SIZE_MIN)
+    size = _C_SIZE_MIN * jnp.exp(si.astype(jnp.float32) * (span / 15.0))
+    return ((xi - _C_BIAS).astype(jnp.float32) / _C_SUB,
+            (yi - _C_BIAS).astype(jnp.float32) / _C_SUB,
+            size)
 
 
 def quantize_xy(x, y):
@@ -209,13 +250,18 @@ def bin_particles(cfg: TiledRasterConfig, x, y, color, size, live,
     )
     key = jnp.where(live & onscreen, tyi * gx + txi, nt)
 
-    ops = [_pack_xy(x, y)]
-    if cfg.rgba8_colors:
-        ops.append(_pack_rgba8(color, cfg.color_scale))
+    if cfg.compact_payload:
+        assert cfg.rgba8_colors, "compact payload implies rgba8 colors"
+        ops = [_pack_compact(x, y, size),
+               _pack_rgba8(color, cfg.color_scale)]
     else:
-        ops.append(_pack_bf16_pair(color[:, 0], color[:, 1]))
-        ops.append(_pack_bf16_pair(color[:, 2], color[:, 3]))
-    ops.append(_pack_bf16_pair(size, jnp.zeros_like(size)))
+        ops = [_pack_xy(x, y)]
+        if cfg.rgba8_colors:
+            ops.append(_pack_rgba8(color, cfg.color_scale))
+        else:
+            ops.append(_pack_bf16_pair(color[:, 0], color[:, 1]))
+            ops.append(_pack_bf16_pair(color[:, 2], color[:, 3]))
+        ops.append(_pack_bf16_pair(size, jnp.zeros_like(size)))
 
     sorted_all = lax.sort((key, *ops), num_keys=1)
     skey = sorted_all[0]
@@ -300,6 +346,14 @@ def _quad_gather(packed, starts_sel, counts_sel, k, p, aligned=True,
 
 
 def _unpack_bins(cfg: TiledRasterConfig, bins):
+    if cfg.compact_payload:
+        bx, by, bsize = _unpack_compact(bins[0])
+        scale = cfg.color_scale / 255.0
+        bc = tuple(
+            ((bins[1] >> (8 * c)) & 0xFF).astype(jnp.float32) * scale
+            for c in range(4)
+        )
+        return dict(x=bx, y=by, color=bc, size=bsize)
     bx, by = _unpack_xy(bins[0])
     if cfg.rgba8_colors:
         packed = bins[1]
@@ -455,10 +509,11 @@ def rasterize_tiled(
         _, sel = lax.top_k(overflow, m)  # (M,) tile ids
         sel_counts = jnp.maximum(counts[sel] - k, 0)
         sel_starts = bins["starts"][sel] + k
+        n_ops = 2 if cfg.compact_payload else (
+            3 if cfg.rgba8_colors else 4)
         bins2, valid2 = _quad_gather(bins["packed"], sel_starts,
                                      sel_counts, cfg.bin_capacity,
-                                     3 if cfg.rgba8_colors else 4,
-                                     aligned=False,
+                                     n_ops, aligned=False,
                                      spr=cfg.slots_per_row)
         up2 = _unpack_bins(cfg, bins2)
         ox, oy = _tile_origins(cfg)

@@ -221,3 +221,32 @@ def test_dithered_opacity_is_binary():
     # Dithering makes alpha binary with ~50% duty inside the quad core.
     assert set(np.round(np.unique(inside), 5)) <= {0.0, 1.0}
     assert 0.3 < inside.mean() < 0.7
+
+
+def test_compact_payload_matches_full():
+    h, w, n = 96, 64, 800
+    base = dict(height=h, width=w, tile=32, bin_capacity=256, apron=4,
+                kernel=KERNEL_GAUSS, rgba8_colors=True, color_scale=2.0)
+    rng = np.random.default_rng(11)
+    # 1/8-px grid positions and bin-exact sizes so only the documented
+    # quantization differs.
+    x = np.round(rng.uniform(4, w - 4, n) * 8).astype(np.float32) / 8
+    y = np.round(rng.uniform(4, h - 4, n) * 8).astype(np.float32) / 8
+    color = rng.uniform(0.1, 1.5, (n, 4)).astype(np.float32)
+    size = rng.uniform(1.0, 6.0, n).astype(np.float32)
+    live = np.ones(n, bool)
+    full_cfg = TiledRasterConfig(**base)
+    comp_cfg = TiledRasterConfig(**base, compact_payload=True)
+    a, _ = rasterize_tiled(full_cfg, jnp.asarray(x), jnp.asarray(y),
+                           jnp.asarray(color), jnp.asarray(size),
+                           jnp.asarray(live))
+    b, _ = rasterize_tiled(comp_cfg, jnp.asarray(x), jnp.asarray(y),
+                           jnp.asarray(color), jnp.asarray(size),
+                           jnp.asarray(live))
+    a = np.asarray(a)
+    b = np.asarray(b)
+    # Size quantizes to 16 log steps (<= ~15% radius step); energy and
+    # structure must agree closely.
+    assert abs(a.sum() - b.sum()) / a.sum() < 0.08
+    corr = np.corrcoef(a.reshape(-1), b.reshape(-1))[0, 1]
+    assert corr > 0.99, corr
