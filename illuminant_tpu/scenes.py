@@ -317,7 +317,11 @@ def build_flagship(
             state.render_data[:, 0],
             state.live_mask(),
         )
-        scene_hdr = lightmap[..., :3] + particle_img
+        # bf16 composite: feeds only the histogram (log-bucket index) and
+        # the uint8 tonemap — 0.4% relative precision is invisible there
+        # and the (H, W, 3) plane is written+read twice per frame.
+        scene_hdr = (lightmap[..., :3] + particle_img).astype(
+            jnp.bfloat16)
 
         # -- HDR histogram -> auto-exposure for the NEXT frame --
         # Full resolution: on TPU any 2x subsample of this image (strided
@@ -331,7 +335,8 @@ def build_flagship(
 
         # -- tonemap resolve (Uncharted2 + sRGB-ish gamma) to uint8 --
         exposure = 1.1 / jnp.maximum(avg_lum, 0.05)
-        mapped = tm.uncharted2_tonemap(scene_hdr * exposure)
+        mapped = tm.uncharted2_tonemap(
+            scene_hdr.astype(jnp.float32) * exposure)
         white = tm.uncharted2_tonemap(jnp.float32(4.0))
         rgb = jnp.clip(mapped / white, 0.0, 1.0) ** (1.0 / 2.2)
         img = (rgb * 255.0 + 0.5).astype(jnp.uint8)

@@ -53,7 +53,9 @@ def compute_histogram(lightmap, boundaries, ignore_zeroes: bool = False,
     then counted with ONE bf16 one-hot reduction on the MXU. `power` /
     `max_value` must match the values used to build `boundaries`.
     """
-    lum = luminance(lightmap[..., :3]).reshape(-1)
+    # f32 math over whatever input dtype (bf16 lightmaps read at half
+    # bandwidth; the upcast fuses into the elementwise chain).
+    lum = luminance(lightmap[..., :3]).reshape(-1).astype(jnp.float32)
     boundaries = jnp.asarray(boundaries)
     b = boundaries.shape[0]
 
