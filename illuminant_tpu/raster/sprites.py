@@ -217,6 +217,10 @@ def rasterize_sprites(
     assert cfg.apron >= half, (
         f"apron {cfg.apron} < sprite support half-width {half}"
     )
+    assert not cfg.compact_payload, (
+        "sprite path carries the variant id in the size operand — "
+        "incompatible with the log-quantized compact payload"
+    )
     r_rank = table.rank
     ch = cfg.channels
     win = cfg.window
