@@ -631,6 +631,26 @@ def scene_hdr_histogram():
     return out
 
 
+def scene_jumpflood():
+    """JumpFlooding (TestGame scene): mask -> JFA SDF -> height -> normals
+    — the GenerateMaps pipeline end-to-end on TPU rolls."""
+    import jax.numpy as jnp
+    from illuminant_tpu.utils.jumpflood import jump_flood_sdf
+    from illuminant_tpu.utils.mapgen import (height_from_distance,
+                                             heightmap_to_normals)
+
+    ys, xs = np.meshgrid(np.arange(256), np.arange(256), indexing="ij")
+    mask = (((ys - 128) ** 2 + (xs - 96) ** 2) < 60 ** 2) |         ((np.abs(ys - 120) < 18) & (np.abs(xs - 180) < 50))
+    sdf = jump_flood_sdf(jnp.asarray(mask))
+    hmap = height_from_distance(sdf, -40.0, 24.0, 0.0, 1.0, 1.0, 2.0)
+    n = np.asarray(heightmap_to_normals(jnp.asarray(hmap[..., 0])))
+    d = np.asarray(sdf)
+    sdf_vis = np.stack([np.clip(-d / 40, 0, 1), np.clip(d / 40, 0, 1),
+                        (np.abs(d) < 1.2).astype(np.float32)], -1)
+    return (np.concatenate([sdf_vis, n[..., :3]], axis=1)
+            * 255).clip(0, 255).astype(np.uint8)
+
+
 def scene_heightmap_tools():
     """GenerateMaps tooling: distance -> height -> normals/displacement."""
     from illuminant_tpu.utils.mapgen import (height_from_distance,
@@ -662,6 +682,7 @@ SCENES = {
     "flagship_frame": scene_flagship_frame,
     "hdr_histogram": scene_hdr_histogram,
     "heightmap_tools": scene_heightmap_tools,
+    "jumpflood": scene_jumpflood,
 }
 
 
