@@ -25,13 +25,11 @@ The reference-exact per-pixel path remains raster/particles.py (oracle).
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Optional, Tuple
 
 import numpy as np
 import jax
 import jax.numpy as jnp
-from jax import lax
 
 from ..core.pytree import pytree_dataclass, static_field
 from .tiled import (

@@ -44,14 +44,11 @@ Blending:
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 from jax import lax
-
-from ..core.pytree import pytree_dataclass, static_field
 
 KERNEL_POINT = "point"
 KERNEL_QUAD = "quad"
