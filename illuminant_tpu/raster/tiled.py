@@ -92,10 +92,14 @@ class TiledRasterConfig:
     # bound, so more slots/row = cheaper binning; alignment cost is only
     # paid by the ordered alpha path). 4 or 8.
     slots_per_row: int = 4
-    # Compact 2-operand payload: (x, y) at 1/8 px + 4-bit log-quantized
-    # size share ONE word (sizes snap to 16 log steps in [0.5, 8.5]);
-    # colors stay rgba8. One fewer sort operand + leaner unpack; use for
-    # big additive systems where the size quantization is invisible.
+    # Compact payload: the SORT KEY ITSELF carries the position — bits
+    # (ty:6 tx:6 y_local:9 x_local:9) where locals are 1/8-px offsets in
+    # [-32, +32) around the tile origin (covers the apron) — and the
+    # single payload operand packs rgb888 + an 8-bit log size. Sorting by
+    # this key orders by tile id first (what binning needs); the in-tile
+    # order is by y then x, irrelevant for additive blending. ONE key +
+    # ONE operand through the sort. Requires channels == 3 (the alpha
+    # byte holds the size) and rgba8 colors.
     compact_payload: bool = False
 
     @property
@@ -112,41 +116,59 @@ class TiledRasterConfig:
 XY_SUBPIXEL = 16.0  # fixed-point position precision through the sort
 _XY_BIAS = 2048
 
-# Compact payload: 14-bit x/y at 1/8 px (viewport + [-128, +1920] px),
-# 4-bit log size.
+# Compact payload: position rides in the sort key (1/8-px tile-local
+# coords, bias 256 covers [-32, +32) px around the tile origin); size is
+# an 8-bit log code in the payload's alpha byte.
 _C_SUB = 8.0
-_C_BIAS = 1024
+_C_LBIAS = 256
 _C_SIZE_MIN = 0.5
-_C_SIZE_MAX = 8.5
+_C_SIZE_MAX = 16.5
+import math as _math  # noqa: E402
+
+_C_SIZE_SPAN = _math.log(_C_SIZE_MAX / _C_SIZE_MIN)
 
 
-def _pack_compact(x, y, size):
-    xi = jnp.clip(jnp.round(x * _C_SUB).astype(jnp.int32) + _C_BIAS,
-                  0, (1 << 14) - 1)
-    yi = jnp.clip(jnp.round(y * _C_SUB).astype(jnp.int32) + _C_BIAS,
-                  0, (1 << 14) - 1)
-    import math as _math
+def _pack_compact_key(tyi, txi, x, y, tile):
+    xl = jnp.clip(
+        jnp.round((x - txi.astype(jnp.float32) * tile) * _C_SUB
+                  ).astype(jnp.int32) + _C_LBIAS, 0, 511)
+    yl = jnp.clip(
+        jnp.round((y - tyi.astype(jnp.float32) * tile) * _C_SUB
+                  ).astype(jnp.int32) + _C_LBIAS, 0, 511)
+    return (tyi << 24) | (txi << 18) | (yl << 9) | xl
 
-    span = _math.log(_C_SIZE_MAX / _C_SIZE_MIN)
+
+def _unpack_compact_key(key, tile):
+    tyi = (key >> 24) & 0x3F
+    txi = (key >> 18) & 0x3F
+    yl = (key >> 9) & 0x1FF
+    xl = key & 0x1FF
+    x = (txi * tile + (xl - _C_LBIAS).astype(jnp.float32) / _C_SUB)
+    y = (tyi * tile + (yl - _C_LBIAS).astype(jnp.float32) / _C_SUB)
+    return x, y
+
+
+def _pack_rgb_size(color, scale, size):
+    c = jnp.clip(color[:, :3] / scale * 255.0 + 0.5, 0.0, 255.0
+                 ).astype(jnp.int32)
     si = jnp.clip(
         jnp.round(jnp.log(jnp.clip(size, _C_SIZE_MIN, _C_SIZE_MAX)
-                          / _C_SIZE_MIN) / span * 15.0).astype(jnp.int32),
-        0, 15,
+                          / _C_SIZE_MIN) / _C_SIZE_SPAN * 255.0
+                  ).astype(jnp.int32),
+        0, 255,
     )
-    return (xi << 18) | (yi << 4) | si
+    return c[:, 0] | (c[:, 1] << 8) | (c[:, 2] << 16) | (si << 24)
 
 
-def _unpack_compact(packed):
-    import math as _math
-
-    xi = (packed >> 18) & 0x3FFF
-    yi = (packed >> 4) & 0x3FFF
-    si = packed & 0xF
-    span = _math.log(_C_SIZE_MAX / _C_SIZE_MIN)
-    size = _C_SIZE_MIN * jnp.exp(si.astype(jnp.float32) * (span / 15.0))
-    return ((xi - _C_BIAS).astype(jnp.float32) / _C_SUB,
-            (yi - _C_BIAS).astype(jnp.float32) / _C_SUB,
-            size)
+def _unpack_rgb_size(packed, scale):
+    colors = tuple(
+        ((packed >> (8 * c)) & 0xFF).astype(jnp.float32) * (scale / 255.0)
+        for c in range(3)
+    )
+    si = (packed >> 24) & 0xFF
+    size = _C_SIZE_MIN * jnp.exp(
+        si.astype(jnp.float32) * (_C_SIZE_SPAN / 255.0))
+    return colors, size
 
 
 def quantize_xy(x, y):
@@ -248,9 +270,16 @@ def bin_particles(cfg: TiledRasterConfig, x, y, color, size, live,
     key = jnp.where(live & onscreen, tyi * gx + txi, nt)
 
     if cfg.compact_payload:
-        assert cfg.rgba8_colors, "compact payload implies rgba8 colors"
-        ops = [_pack_compact(x, y, size),
-               _pack_rgba8(color, cfg.color_scale)]
+        assert cfg.rgba8_colors and cfg.channels == 3, (
+            "compact payload packs rgb888+size8 — requires rgba8 colors "
+            "and channels == 3"
+        )
+        key = jnp.where(
+            live & onscreen,
+            _pack_compact_key(tyi, txi, x, y, cfg.tile),
+            jnp.int32(0x7FFFFFFF),
+        )
+        ops = [_pack_rgb_size(color, cfg.color_scale, size)]
     else:
         ops = [_pack_xy(x, y)]
         if cfg.rgba8_colors:
@@ -263,9 +292,23 @@ def bin_particles(cfg: TiledRasterConfig, x, y, color, size, live,
     sorted_all = lax.sort((key, *ops), num_keys=1)
     skey = sorted_all[0]
 
-    starts = jnp.searchsorted(
-        skey, jnp.arange(nt + 1, dtype=jnp.int32)
-    ).astype(jnp.int32)
+    if cfg.compact_payload:
+        # Fused keys order lexicographically by (ty, tx) — same order as
+        # tile ids (gx <= 64) — with tile t's keys in
+        # [(ty<<24)|(tx<<18), next tile). Query those lower bounds.
+        assert gx <= 64 and gy <= 64, "compact payload: grid <= 64x64"
+        tids = jnp.arange(nt + 1, dtype=jnp.int32)
+        t_ty = jnp.minimum(tids // gx, gy - 1)
+        t_tx = tids % gx
+        bounds = jnp.where(
+            tids < nt, (t_ty << 24) | (t_tx << 18),
+            jnp.int32(0x7FFFFFFF),
+        )
+        starts = jnp.searchsorted(skey, bounds).astype(jnp.int32)
+    else:
+        starts = jnp.searchsorted(
+            skey, jnp.arange(nt + 1, dtype=jnp.int32)
+        ).astype(jnp.int32)
     counts = starts[1:] - starts[:-1]  # (NT,)
     dropped = jnp.sum(jnp.maximum(counts - k, 0))
 
@@ -277,14 +320,17 @@ def bin_particles(cfg: TiledRasterConfig, x, y, color, size, live,
     # (N, P) stack would interleave a narrow minor dim — layout-hostile
     # on TPU); the payload is padded by a full window so base_row =
     # starts // spr never clamps and the in-row offset is in [0, spr).
-    p = len(ops)
+    # In compact mode the sorted KEY carries the position, so it is part
+    # of the gathered payload.
+    payload_ops = sorted_all if cfg.compact_payload else sorted_all[1:]
+    p = len(payload_ops)
     spr = cfg.slots_per_row
     rows_needed = k // spr + 1
     n_rows = -(-n // spr) + rows_needed
     pad = n_rows * spr - n
     packed = jnp.concatenate(
         [jnp.pad(op, (0, pad)).reshape(n_rows, spr)
-         for op in sorted_all[1:]],
+         for op in payload_ops],
         axis=1,
     )  # (n_rows, spr*P): columns [spr*i, spr*(i+1)) = operand i's slots
 
@@ -344,13 +390,10 @@ def _quad_gather(packed, starts_sel, counts_sel, k, p, aligned=True,
 
 def _unpack_bins(cfg: TiledRasterConfig, bins):
     if cfg.compact_payload:
-        bx, by, bsize = _unpack_compact(bins[0])
-        scale = cfg.color_scale / 255.0
-        bc = tuple(
-            ((bins[1] >> (8 * c)) & 0xFF).astype(jnp.float32) * scale
-            for c in range(4)
-        )
-        return dict(x=bx, y=by, color=bc, size=bsize)
+        bx, by = _unpack_compact_key(bins[0], cfg.tile)
+        bc3, bsize = _unpack_rgb_size(bins[1], cfg.color_scale)
+        return dict(x=bx, y=by, color=bc3 + (jnp.zeros_like(bc3[0]),),
+                    size=bsize)
     bx, by = _unpack_xy(bins[0])
     if cfg.rgba8_colors:
         packed = bins[1]

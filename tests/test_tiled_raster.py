@@ -226,7 +226,8 @@ def test_dithered_opacity_is_binary():
 def test_compact_payload_matches_full():
     h, w, n = 96, 64, 800
     base = dict(height=h, width=w, tile=32, bin_capacity=256, apron=4,
-                kernel=KERNEL_GAUSS, rgba8_colors=True, color_scale=2.0)
+                kernel=KERNEL_GAUSS, rgba8_colors=True, color_scale=2.0,
+                channels=3)
     rng = np.random.default_rng(11)
     # 1/8-px grid positions and bin-exact sizes so only the documented
     # quantization differs.
