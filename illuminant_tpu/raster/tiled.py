@@ -633,6 +633,10 @@ def rasterize_tiled_alpha(
     O(K) sequential per tile — use for the (typically much smaller)
     alpha-blended systems; additive systems take rasterize_tiled.
     """
+    assert not cfg.compact_payload, (
+        "alpha compositing needs the alpha channel — compact payload "
+        "repurposes it for size"
+    )
     bins = bin_particles(cfg, x, y, color, size, live)
     wy, wx = _coverage_factors(cfg, bins)
     valid = bins["valid"]
