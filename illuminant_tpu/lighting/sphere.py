@@ -159,6 +159,7 @@ def accumulate_sphere_lights(
     with_specular: bool = True,
     shadow_mode: str = "march",
     with_ao: bool = True,
+    with_alpha: bool = True,
 ):
     """Shade all sphere lights against the G-buffer -> (H, W, 4) HDR add.
 
@@ -385,6 +386,10 @@ def accumulate_sphere_lights(
             preferred_element_type=jnp.float32,
         )
 
+    if not with_alpha:
+        # Callers compositing additively (no albedo resolve) never read
+        # the accumulated-opacity channel; skip its reduction + concat.
+        return out_rgb
     out_a = jnp.sum(opacity.astype(jnp.bfloat16), axis=0,
                     dtype=jnp.float32)
     return jnp.concatenate([out_rgb, out_a[..., None]], axis=-1)

@@ -289,11 +289,13 @@ def build_flagship(
 
         # -- lighting --
         lightmap = jnp.broadcast_to(
-            env_u_.ambient, (gbuffer_.z.shape[0], gbuffer_.z.shape[1], 4)
+            env_u_.ambient[:3],
+            (gbuffer_.z.shape[0], gbuffer_.z.shape[1], 3),
         ).astype(jnp.float32)
         lightmap = lightmap + accumulate_sphere_lights(
             vol_t, gbuffer_, lights_i, env_u_, config.quality,
             with_specular=False, shadow_mode="scan", with_ao=False,
+            with_alpha=False,
         )
 
         # -- particles: bezier-path spawner, gravity, SDF collision --
@@ -320,8 +322,7 @@ def build_flagship(
         # bf16 composite: feeds only the histogram (log-bucket index) and
         # the uint8 tonemap — 0.4% relative precision is invisible there
         # and the (H, W, 3) plane is written+read twice per frame.
-        scene_hdr = (lightmap[..., :3] + particle_img).astype(
-            jnp.bfloat16)
+        scene_hdr = (lightmap + particle_img).astype(jnp.bfloat16)
 
         # -- HDR histogram -> auto-exposure for the NEXT frame --
         # Full resolution: on TPU any 2x subsample of this image (strided
