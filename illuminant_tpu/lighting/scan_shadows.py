@@ -43,7 +43,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.config import QualitySettings
-from ..sdf.analytic import AnalyticScene
+from ..sdf.analytic import AnalyticScene, scene_sample_p
 from ..core.pytree import named_scope
 from .cone_trace import (
     FULLY_SHADOWED_THRESHOLD,
@@ -55,12 +55,16 @@ from .cone_trace import (
 _BIG = 1e9
 
 
-def occlusion_image(scene: AnalyticScene, height: int, width: int, trace_z,
+def occlusion_image(scene, height: int, width: int, trace_z,
                     render_scale: float = 1.0):
-    """Dense scene distance at every pixel center, at height trace_z."""
+    """Dense scene distance at every pixel center, at height trace_z.
+
+    `scene` is any field queryable by scene_sample_p — the analytic scene
+    (gather-free, the fast path) or a voxel SdfVolume (loaded/polygonal
+    fields; trilinear gathers, correct but slower)."""
     ys = (jnp.arange(height, dtype=jnp.float32) + 0.5) / render_scale
     xs = (jnp.arange(width, dtype=jnp.float32) + 0.5) / render_scale
-    return scene.distance_p(xs[None, :], ys[:, None], trace_z)
+    return scene_sample_p(scene, xs[None, :], ys[:, None], trace_z)
 
 
 def _default_unroll() -> int:
@@ -161,7 +165,7 @@ def _bidirectional_scan(occ, light_x, light_y, light_radius, unroll=None):
 
 @named_scope("illuminant/scan_shadows")
 def scan_visibility(
-    scene: AnalyticScene,
+    scene,
     height: int,
     width: int,
     light_position,  # (L, 3)
@@ -295,7 +299,7 @@ def scan_visibility(
         sx = lx_w + (px_x - lx_w) * t
         sy = ly_w + (px_y - ly_w) * t
         sz = lz[:, None, None] + (pz_lift - lz[:, None, None]) * t
-        d_i = scene.distance_p(sx, sy, sz)
+        d_i = scene_sample_p(scene, sx, sy, sz)
         u_i = jnp.maximum((1.0 - t) * major * sec, 0.0)
         radius_i = jnp.minimum(growth * u_i + MIN_CONE_RADIUS, max_radius)
         vis_i = (d_i + HACK_DISTANCE_OFFSET) / radius_i
