@@ -43,7 +43,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.config import QualitySettings
-from ..sdf.analytic import AnalyticScene, scene_sample_p
+from ..sdf.analytic import scene_sample_p
 from ..core.pytree import named_scope
 from .cone_trace import (
     FULLY_SHADOWED_THRESHOLD,
@@ -239,7 +239,6 @@ def scan_visibility(
     dz = pz - lz[:, None, None]
     ray_len = jnp.sqrt(dx * dx + dy * dy + dz * dz)
     sec = ray_len / major
-    u = jnp.maximum((major - min_k) * sec, 0.0)  # dist from pixel to blocker
 
     # createTraceConfig (ConeTrace.fxh:122-139) + coneTraceStep (fxh:51-71).
     max_radius = jnp.clip(
