@@ -74,9 +74,9 @@ def _run_config(height, width, capacity, frames):
 
     def run(state, avg_lum, i0, n):
         return scene.frame_loop(
-            state, avg_lum, key, scene.volume, scene.gbuffer, env_u,
-            scene.sphere_lights, spawn_count, jnp.asarray(i0, jnp.int32),
-            n,
+            state, avg_lum, key, scene.volume, scene.gbuffer,
+            scene.sphere_lights, env_u, spawn_count,
+            jnp.asarray(i0, jnp.int32), n,
         )
 
     # Warm up: compile + prime the particle population.

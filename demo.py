@@ -606,7 +606,7 @@ def scene_flagship_frame():
     env_u = sc.environment.uniforms()
     img, st, avg, drops = sc.frame_loop(
         st, jnp.float32(0.5), jax.random.key(0), sc.volume, sc.gbuffer,
-        env_u, sc.sphere_lights, jnp.asarray(2048, jnp.int32),
+        sc.sphere_lights, env_u, jnp.asarray(2048, jnp.int32),
         jnp.asarray(0, jnp.int32), 240)
     return np.asarray(img)
 

@@ -116,6 +116,11 @@ def pack_projector_lights(lights: List[ProjectorLightSource]
     mips = []
     level = tex
     while min(level.shape[1], level.shape[2]) >= 2:
+        # Crop odd dimensions before the 2x2 pool (non-power-of-two
+        # textures otherwise mismatch shapes).
+        eh = level.shape[1] // 2 * 2
+        ew = level.shape[2] // 2 * 2
+        level = level[:, :eh, :ew]
         level = 0.25 * (
             level[:, 0::2, 0::2] + level[:, 1::2, 0::2]
             + level[:, 0::2, 1::2] + level[:, 1::2, 1::2]
@@ -133,8 +138,8 @@ def pack_projector_lights(lights: List[ProjectorLightSource]
         color=jnp.asarray(color),
         active=jnp.asarray(active),
         mip_bias=jnp.asarray(
-            ([getattr(l, "mip_bias", 0.0) for l in lights] or [0.0])
-            + [0.0] * (n - len(lights)), jnp.float32),
+            ([getattr(l, "mip_bias", 0.0) for l in lights]
+             + [0.0] * n)[:n], jnp.float32),
         mips=tuple(mips),
     )
 

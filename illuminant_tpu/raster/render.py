@@ -108,7 +108,20 @@ def render_particles(
     app = appearance or ParticleAppearance()
     table = app.sprite_table()
 
+    if stipple_factor < 1.0:
+        # StippleReject applies to every material (fx:101-110).
+        n = state.capacity
+        slotf = jnp.arange(n, dtype=jnp.float32)
+        live = live & (jnp.mod(slotf * 0.6180339887, 1.0)
+                       < stipple_factor)
+
     if table is not None:
+        if not additive_blend:
+            raise NotImplementedError(
+                "ordered alpha compositing of TEXTURED sprites is not "
+                "implemented on the tiled path — use the exact oracle "
+                "rasterizer (raster/particles.py) for small systems"
+            )
         if app.relative_size:
             size = size * max(
                 np.asarray(app.texture).shape[0] // max(app.rows, 1), 1
@@ -137,10 +150,7 @@ def render_particles(
         config = dataclasses.replace(config, kernel=kernel)
 
     if additive_blend:
-        return rasterize_tiled(
-            config, x, y, color, size, live,
-            stipple_factor=stipple_factor,
-        )
+        return rasterize_tiled(config, x, y, color, size, live)
     return rasterize_tiled_alpha(
         config, x, y, color, size, live,
         background=background,

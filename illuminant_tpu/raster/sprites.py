@@ -116,6 +116,13 @@ def build_sprite_table(
         support = int(np.ceil(size_max)) | 1  # odd
     s = support
 
+    n_variants = frames * angle_bins * size_bins
+    if n_variants > 256:
+        raise ValueError(
+            f"frames*angle_bins*size_bins = {n_variants} > 256: variant "
+            "ids ride a bf16 payload lane, exact only to 256 — reduce "
+            "bins or split the sheet into multiple tables"
+        )
     sizes = np.exp(np.linspace(np.log(size_min), np.log(size_max),
                                size_bins))
     rows = np.zeros((frames * angle_bins * size_bins, rank, s), np.float32)

@@ -55,10 +55,6 @@ KERNEL_QUAD = "quad"
 KERNEL_GAUSS = "gauss"
 KERNEL_ROUND = "round"
 
-BLEND_ADDITIVE = "additive"
-BLEND_ALPHA = "alpha"
-
-
 @dataclasses.dataclass(frozen=True)
 class TiledRasterConfig:
     """Static rasterizer parameters (recompile on change)."""
@@ -73,13 +69,12 @@ class TiledRasterConfig:
     # Window = tile + 2 * apron; radii are clamped to apron + 0.5.
     apron: int = 4
     kernel: str = KERNEL_GAUSS
-    blend: str = BLEND_ADDITIVE
     # Quantize colors to rgba8 x scale through the sort (halves sort +
     # bin traffic; additive sums of hundreds of particles per tile wash
     # the quantization out). f32 mode keeps two bf16-pair operands.
     rgba8_colors: bool = True
     color_scale: float = 4.0  # rgba8 full-scale in HDR units
-    z_to_y: float = 0.0
+    # Stipple phase offset (per-system so stippled systems interleave).
     stipple_offset: float = 0.0
     # Output channel count: 4 = premultiplied RGBA; 3 = RGB only (the
     # flagship's additive HDR composite never reads particle alpha, and
@@ -117,10 +112,11 @@ XY_SUBPIXEL = 16.0  # fixed-point position precision through the sort
 _XY_BIAS = 2048
 
 # Compact payload: position rides in the sort key (1/8-px tile-local
-# coords, bias 256 covers [-32, +32) px around the tile origin); size is
-# an 8-bit log code in the payload's alpha byte.
+# coords; 9-bit codes with bias 64 cover [-8, +56) px around the tile
+# origin — enough for tile + apron on both sides); size is an 8-bit log
+# code in the payload's alpha byte.
 _C_SUB = 8.0
-_C_LBIAS = 256
+_C_LBIAS = 64
 _C_SIZE_MIN = 0.5
 _C_SIZE_MAX = 16.5
 import math as _math  # noqa: E402
@@ -495,8 +491,9 @@ def rasterize_tiled(
 ):
     """Additive tiled rasterization.
 
-    x, y: (N,) screen positions (z_to_y already applied by the caller or
-    via cfg.z_to_y upstream). color: (N, 4) premultiplied HDR. size: (N,)
+    x, y: (N,) screen positions (any z-to-y projection applied by the
+    caller — see raster/render.py). color: (N, 4) premultiplied HDR.
+    size: (N,)
     quad edge in pixels. live: (N,) bool.
 
     Returns (image (H, W, 4) f32, diagnostics dict).

@@ -352,7 +352,7 @@ def build_flagship(
 
     @partial(jax.jit, donate_argnums=(0,), static_argnames=("n_frames",))
     def frame_loop(state: ParticleState, avg_lum, key, volume_, gbuffer_,
-                   env_u_, lights_, spawn_count, i0, n_frames: int):
+                   lights_, env_u_, spawn_count, i0, n_frames: int):
         """n_frames full frames in ONE dispatch — amortizes host-tunnel
         latency so benchmarks measure device throughput."""
         h, w = gbuffer_.z.shape

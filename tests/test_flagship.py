@@ -49,8 +49,8 @@ def test_flagship_frame_loop_matches_single_steps():
     # compare a 1-iteration loop to one frame() call instead.
     st_b = jax.tree.map(jnp.copy, sc.system.state)
     img_b, st_b, avg_b, _ = sc.frame_loop(
-        st_b, jnp.float32(0.5), key, sc.volume, sc.gbuffer, env_u,
-        sc.sphere_lights, jnp.asarray(128, jnp.int32),
+        st_b, jnp.float32(0.5), key, sc.volume, sc.gbuffer,
+        sc.sphere_lights, env_u, jnp.asarray(128, jnp.int32),
         jnp.asarray(0, jnp.int32), 1)
     img_c, st_c, avg_c, _ = sc.frame(
         jax.tree.map(jnp.copy, sc.system.state), jnp.float32(0.5), key,

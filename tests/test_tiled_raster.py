@@ -4,7 +4,6 @@ import numpy as np
 import jax.numpy as jnp
 
 from illuminant_tpu.raster.tiled import (
-    BLEND_ADDITIVE,
     KERNEL_GAUSS,
     KERNEL_POINT,
     KERNEL_QUAD,
@@ -172,7 +171,7 @@ def test_alpha_ordering_last_on_top():
     h = w = 32
     cfg = TiledRasterConfig(height=h, width=w, tile=32, bin_capacity=16,
                             apron=4, kernel=KERNEL_QUAD,
-                            rgba8_colors=False, blend="alpha")
+                            rgba8_colors=False)
     # Two fully-opaque overlapping quads; slot 1 drawn after slot 0.
     x = jnp.asarray([16.0, 16.0])
     y = jnp.asarray([16.0, 16.0])
@@ -188,7 +187,7 @@ def test_alpha_over_background():
     h = w = 32
     cfg = TiledRasterConfig(height=h, width=w, tile=32, bin_capacity=16,
                             apron=4, kernel=KERNEL_QUAD,
-                            rgba8_colors=False, blend="alpha")
+                            rgba8_colors=False)
     x = jnp.asarray([16.0])
     y = jnp.asarray([16.0])
     color = jnp.asarray([[0.5, 0.0, 0.0, 0.5]])  # premultiplied, a=0.5
@@ -208,7 +207,7 @@ def test_dithered_opacity_is_binary():
     h = w = 32
     cfg = TiledRasterConfig(height=h, width=w, tile=32, bin_capacity=16,
                             apron=4, kernel=KERNEL_QUAD,
-                            rgba8_colors=False, blend="alpha")
+                            rgba8_colors=False)
     x = jnp.asarray([16.0])
     y = jnp.asarray([16.0])
     color = jnp.asarray([[0.5, 0.5, 0.5, 0.5]])

@@ -45,8 +45,8 @@ def main():
 
     # Prime 400 frames.
     img, state, avg, drops = scene.frame_loop(
-        state, avg, key, scene.volume, scene.gbuffer, env_u,
-        scene.sphere_lights, spawn_count, jnp.asarray(0, jnp.int32), 400)
+        state, avg, key, scene.volume, scene.gbuffer,
+        scene.sphere_lights, env_u, spawn_count, jnp.asarray(0, jnp.int32), 400)
     fence(img)
 
     if "occupancy" in what:
@@ -137,8 +137,8 @@ def raster_stages():
     state = scene.system.state
     avg = jnp.asarray(0.5, jnp.float32)
     img, state, avg, drops = scene.frame_loop(
-        state, avg, key, scene.volume, scene.gbuffer, env_u,
-        scene.sphere_lights, sc, jnp.asarray(0, jnp.int32), 300)
+        state, avg, key, scene.volume, scene.gbuffer,
+        scene.sphere_lights, env_u, sc, jnp.asarray(0, jnp.int32), 300)
     fence(img.astype(jnp.float32))
     cfg = scene.raster_config
     ITERS = 100
@@ -207,8 +207,8 @@ def frame_variants():
     state0 = scene.system.state
     avg0 = jnp.asarray(0.5, jnp.float32)
     img, state0, avg0, _ = scene.frame_loop(
-        state0, avg0, key, scene.volume, scene.gbuffer, env_u,
-        scene.sphere_lights, sc, jnp.asarray(0, jnp.int32), 300)
+        state0, avg0, key, scene.volume, scene.gbuffer,
+        scene.sphere_lights, env_u, sc, jnp.asarray(0, jnp.int32), 300)
     fence(img.astype(jnp.float32))
 
     system = scene.system
