@@ -209,16 +209,12 @@ def main():
         timed("compute_render_data 1M", loop(rdata_body), state)
 
     if want("frame"):
-        def frame_body(i, carry):
-            st = carry
-            lm, st = scene.frame(st, jax.random.fold_in(key, i), volume,
-                                 gb, lights, env_u, spawn_count)
-            return st
-
-        # frame() is donated-jit; call it in a python loop instead.
-        lm, st2 = scene.frame(state, key, volume, gb, lights, env_u,
-                              spawn_count)
-        fence(lm)
+        # frame() is donated-jit; one call as a smoke check (per-frame
+        # timing lives in tools/tune_flagship.py frame_variants).
+        img, st2, avg2, drops = scene.frame(
+            state, jnp.float32(0.5), key, volume, gb, lights, env_u,
+            spawn_count)
+        fence(img.astype(jnp.float32))
 
 
 if __name__ == "__main__":
