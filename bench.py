@@ -50,13 +50,18 @@ def main():
     )
     last_error = None
     for height, width, capacity in configs:
-        try:
-            _run_config(height, width, capacity, frames)
-            return
-        except Exception as e:  # noqa: BLE001 — report and degrade
-            last_error = e
-            print(f"# config {width}x{height} failed: {e}",
-                  file=sys.stderr)
+        # The axon tunnel occasionally throws transient backend errors
+        # (FailedPrecondition at device_put observed); retry the SAME
+        # config before degrading resolution.
+        for attempt in range(3):
+            try:
+                _run_config(height, width, capacity, frames)
+                return
+            except Exception as e:  # noqa: BLE001 — report and degrade
+                last_error = e
+                print(f"# config {width}x{height} attempt {attempt} "
+                      f"failed: {e}", file=sys.stderr)
+                time.sleep(20)
     raise last_error
 
 
