@@ -11,7 +11,7 @@ reference's 128-instances-per-draw chunking, LightingRenderer.cs:1149-1166).
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional
+from typing import List, Optional, Tuple
 
 import numpy as np
 import jax.numpy as jnp

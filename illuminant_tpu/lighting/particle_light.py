@@ -45,8 +45,13 @@ def subset_lights_from_particles(
     template: SphereLightSource,
     max_lights: int,
     energy_compensate: bool = True,
+    stipple_factor: float = 1.0,
 ) -> SphereLights:
-    """Strided subset of particle slots -> SphereLights SoA."""
+    """Strided subset of particle slots -> SphereLights SoA.
+
+    `stipple_factor` thins the subset further (LightSource.cs:466+
+    StippleFactor), with brightness compensation preserving total
+    emitted energy."""
     n = state.capacity
     stride = max(n // max_lights, 1)
     pos = state.position[::stride][:max_lights]
@@ -55,12 +60,18 @@ def subset_lights_from_particles(
 
     live = pos[:, 3] > 0.0
     alpha_ok = col[:, 3] > 0.0
+    if stipple_factor < 1.0:
+        slot = jnp.arange(count, dtype=jnp.float32)
+        live = live & (jnp.mod(slot * 0.6180339887, 1.0)
+                       < stipple_factor)
     active = (live & alpha_ok).astype(jnp.float32)
 
     t_color = jnp.asarray(template.color, jnp.float32)
     # Un-premultiplied attribute color x template (ParticleLight.fx:40-71).
     color = col * t_color
     scale = float(stride) if energy_compensate else 1.0
+    if energy_compensate and stipple_factor < 1.0:
+        scale /= max(stipple_factor, 1e-3)
     color = jnp.concatenate(
         [color[:, :3], color[:, 3:4] * (template.opacity * scale)],
         axis=-1,
@@ -115,7 +126,8 @@ def accumulate_particle_lights(
     usePreviousData to avoid a pipeline stall, LightingRenderer.cs:1138-43;
     functionally pass whichever state you have)."""
     lights = subset_lights_from_particles(
-        state, source.template, source.max_lights
+        state, source.template, source.max_lights,
+        stipple_factor=source.stipple_factor,
     )
     return accumulate_sphere_lights(
         volume, gbuffer, lights, env, quality,

@@ -113,14 +113,21 @@ def _bidirectional_scan(occ, light_x, light_y, light_radius, unroll=None):
         af = jnp.abs(f)
         near = 1.0 - af
 
-        def resample(c):
+        def resample(c, edge_fill):
+            # jnp.roll wraps; rays leaving the image must read "no
+            # occlusion yet", not the opposite edge's carry (an occluder
+            # at the bottom edge otherwise leaks a shadow streak onto the
+            # top rows along the sector diagonal).
             up = jnp.roll(c, 1, axis=2)  # index y -> value at y-1
             dn = jnp.roll(c, -1, axis=2)
+            row = jnp.arange(c.shape[2])
+            up = jnp.where(row == 0, edge_fill, up)
+            dn = jnp.where(row == c.shape[2] - 1, edge_fill, dn)
             return c * near + jnp.where(f >= 0.0, up, dn) * af
 
-        res_d = resample(min_d)
-        res_k = resample(min_k)
-        res_n = resample(neg_k)
+        res_d = resample(min_d, _BIG)
+        res_k = resample(min_k, 0.0)
+        res_n = resample(neg_k, 0.0)
         # Outside the light's half-plane nothing has accumulated yet.
         res_d = jnp.where(in_front, res_d, _BIG)
         res_k = jnp.where(in_front, res_k, 0.0)

@@ -43,3 +43,23 @@ def normalize(v, axis=-1, eps=1e-20):
 
 def vlength(v, axis=-1):
     return jnp.sqrt(jnp.sum(v * v, axis=axis))
+
+
+def mul_point_rows(v4, matrix):
+    """mul(float4(v.xyz, 1), M) keeping the original w — the row-vector
+    point transform shared by spawners (SpawnerCommon.fxh:166-180) and
+    particle matrix transforms (ParticleCommon.fxh mul3 :187).
+
+    Written as explicit row combinations, NOT a matmul: a (N, 4) @ (4, 4)
+    jnp.dot on TPU rounds inputs to bf16 at default precision, visibly
+    quantizing positions/velocities. Element-wise VPU ops keep f32.
+    """
+    import jax.numpy as jnp
+
+    out = (
+        v4[:, 0:1] * matrix[0, :3]
+        + v4[:, 1:2] * matrix[1, :3]
+        + v4[:, 2:3] * matrix[2, :3]
+        + matrix[3, :3]
+    )
+    return jnp.concatenate([out, v4[:, 3:4]], axis=-1)

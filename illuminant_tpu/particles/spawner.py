@@ -53,6 +53,11 @@ class SpawnUniforms:
     # velocity-along-polygon formula (constant, scale, offset).
     polygon_rate: jnp.ndarray  # (); <= 0.05 disables
     polygon_loop: jnp.ndarray  # ()
+    # Per-position-constant color multipliers — ones for plain spawners;
+    # PatternSpawner's pixel colors (SpecialSpawners.cs
+    # MultiplyColorConstant) ride here, multiplying the color formula of
+    # particles spawned at that pixel.
+    position_colors: jnp.ndarray = None  # (P, 4)
 
 
 @named_scope("illuminant/particle_spawn")
@@ -145,6 +150,14 @@ def spawn(
         u.config[6], u.config[7], random3, u.formula_types[2], u.axis_mask,
     )
 
+    if u.position_colors is not None:
+        # Pattern pixel color multiply (fxh Spawn_Stage2 + SpecialSpawners
+        # MultiplyColorConstant): the color formula scales by the color of
+        # the selected position constant's source pixel.
+        new_attributes = new_attributes * u.position_colors[
+            idx1.astype(jnp.int32)
+        ]
+
     mask = mask & (new_attributes[:, 3] >= u.attribute_discard_threshold)
 
     # The ring window [cursor, cursor+spawn_max) is contiguous modulo the
@@ -186,20 +199,10 @@ def spawn(
 
 
 def _mul_point(v4, matrix):
-    """mul(float4(v.xyz, 1), M) keeping the original w
-    (SpawnerCommon.fxh:166-167, 179-180).
+    """Shared row-vector point transform (see ops.coords.mul_point_rows)."""
+    from ..ops.coords import mul_point_rows
 
-    Written as explicit row combinations, NOT a matmul: a (N, 4) @ (4, 4)
-    jnp.dot on TPU rounds inputs to bf16 at default precision, visibly
-    quantizing spawn positions/velocities. Element-wise VPU ops keep f32.
-    """
-    out = (
-        v4[:, 0:1] * matrix[0, :3]
-        + v4[:, 1:2] * matrix[1, :3]
-        + v4[:, 2:3] * matrix[2, :3]
-        + matrix[3, :3]
-    )
-    return jnp.concatenate([out, v4[:, 3:4]], axis=-1)
+    return mul_point_rows(v4, matrix)
 
 
 @dataclasses.dataclass
@@ -485,7 +488,9 @@ class FeedbackSpawner(Spawner):
         )
 
     def advance_window(self, consumed: int):
-        if self.source is None:
+        if self.source is None or consumed <= 0:
+            # Zero-consumption ticks must not drift the window past
+            # source particles that were never consumed.
             return
         cap = self.source.config.capacity
         if self.spawn_from_entire_window:
@@ -557,4 +562,5 @@ class PatternSpawner(Spawner):
             attribute_discard_threshold=u.attribute_discard_threshold,
             polygon_rate=u.polygon_rate,
             polygon_loop=u.polygon_loop,
+            position_colors=jnp.asarray(self._pattern_colors),
         )

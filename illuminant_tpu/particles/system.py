@@ -116,8 +116,12 @@ class ParticleSystem:
             for i, (uni, count, src) in enumerate(spawn_batches):
                 k = jax.random.fold_in(key, i)
                 if spawner_feedback[i]:
+                    # src None = SELF-feedback: read the in-step state
+                    # (passing self.state separately would alias the
+                    # donated input buffer).
                     state = spawner_mod.spawn_feedback(
-                        state, src, uni, count, k, spawner_maxes[i]
+                        state, state if src is None else src, uni, count,
+                        k, spawner_maxes[i]
                     )
                 else:
                     state = spawner_mod.spawn(
@@ -187,7 +191,7 @@ class ParticleSystem:
         for s in self.spawners:
             count = s.begin_tick(now, dt)
             if getattr(s, "is_feedback", False):
-                src = s.source.state if s.source is not None else self.state
+                src = s.source.state if s.source is not None else None
                 spawn_batches.append(
                     (s.feedback_uniforms(now),
                      jnp.asarray(count, jnp.int32), src)

@@ -182,16 +182,11 @@ class MatrixMultiplyUniforms:
 
 
 def _mul3(v, matrix):
-    """mul3 (ParticleCommon.fxh:187-196): transform xyz as a point
-    (row vector), preserve w. Explicit row combinations instead of matmul —
-    TPU matmuls at default precision round f32 inputs to bf16."""
-    out = (
-        v[:, 0:1] * matrix[0, :3]
-        + v[:, 1:2] * matrix[1, :3]
-        + v[:, 2:3] * matrix[2, :3]
-        + matrix[3, :3]
-    )
-    return jnp.concatenate([out, v[:, 3:4]], axis=-1)
+    """mul3 (ParticleCommon.fxh:187-196) — shared row-vector point
+    transform (ops.coords.mul_point_rows)."""
+    from ..ops.coords import mul_point_rows
+
+    return mul_point_rows(v, matrix)
 
 
 def apply_matrix_multiply(position, velocity, u: MatrixMultiplyUniforms,

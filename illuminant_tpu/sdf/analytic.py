@@ -205,13 +205,6 @@ class AnalyticScene:
         return jnp.stack([nx, ny, nz], axis=-1)
 
 
-_NORMAL_WEIGHTS = jnp.asarray(
-    [[1.0, -1.0, -1.0], [-1.0, -1.0, 1.0], [-1.0, 1.0, -1.0],
-     [1.0, 1.0, 1.0]],
-    dtype=jnp.float32,
-)
-
-
 def _is_identity_rotation(q) -> bool:
     return abs(q[0]) < 1e-9 and abs(q[1]) < 1e-9 and abs(q[2]) < 1e-9
 
