@@ -61,9 +61,9 @@ def subset_lights_from_particles(
     live = pos[:, 3] > 0.0
     alpha_ok = col[:, 3] > 0.0
     if stipple_factor < 1.0:
-        slot = jnp.arange(count, dtype=jnp.float32)
-        live = live & (jnp.mod(slot * 0.6180339887, 1.0)
-                       < stipple_factor)
+        from ..ops.coords import stipple_keep
+
+        live = live & stipple_keep(count, stipple_factor)
     active = (live & alpha_ok).astype(jnp.float32)
 
     t_color = jnp.asarray(template.color, jnp.float32)

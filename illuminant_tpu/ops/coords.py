@@ -54,8 +54,6 @@ def mul_point_rows(v4, matrix):
     jnp.dot on TPU rounds inputs to bf16 at default precision, visibly
     quantizing positions/velocities. Element-wise VPU ops keep f32.
     """
-    import jax.numpy as jnp
-
     out = (
         v4[:, 0:1] * matrix[0, :3]
         + v4[:, 1:2] * matrix[1, :3]
@@ -63,3 +61,15 @@ def mul_point_rows(v4, matrix):
         + matrix[3, :3]
     )
     return jnp.concatenate([out, v4[:, 3:4]], axis=-1)
+
+
+def stipple_keep(count_or_slots, factor, offset=0.0):
+    """StippleReject keep mask (RasterizeParticleSystem.fx:101-110):
+    deterministic golden-ratio fraction of slots. Shared by the
+    rasterizers and particle lights."""
+    import jax.numpy as jnp
+
+    slots = (jnp.arange(count_or_slots, dtype=jnp.float32)
+             if isinstance(count_or_slots, int) else
+             count_or_slots.astype(jnp.float32))
+    return jnp.mod(slots * 0.6180339887 + offset, 1.0) < factor

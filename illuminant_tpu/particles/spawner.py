@@ -145,18 +145,18 @@ def spawn(
     )
     new_velocity = _mul_point(temp_velocity, u.velocity_matrix)
 
-    new_attributes = evaluate_formula(
-        zero, jnp.broadcast_to(u.config[5], temp_position.shape),
-        u.config[6], u.config[7], random3, u.formula_types[2], u.axis_mask,
-    )
-
+    attr_constant = jnp.broadcast_to(u.config[5], temp_position.shape)
     if u.position_colors is not None:
-        # Pattern pixel color multiply (fxh Spawn_Stage2 + SpecialSpawners
-        # MultiplyColorConstant): the color formula scales by the color of
-        # the selected position constant's source pixel.
-        new_attributes = new_attributes * u.position_colors[
+        # Pattern pixel color multiplies the color CONSTANT before the
+        # formula evaluates (PatternSpawner.fx:70-74 MultiplyAttribute-
+        # Constant) — random_scale/offset terms stay untinted.
+        attr_constant = attr_constant * u.position_colors[
             idx1.astype(jnp.int32)
         ]
+    new_attributes = evaluate_formula(
+        zero, attr_constant,
+        u.config[6], u.config[7], random3, u.formula_types[2], u.axis_mask,
+    )
 
     mask = mask & (new_attributes[:, 3] >= u.attribute_discard_threshold)
 
@@ -198,11 +198,7 @@ def spawn(
     )
 
 
-def _mul_point(v4, matrix):
-    """Shared row-vector point transform (see ops.coords.mul_point_rows)."""
-    from ..ops.coords import mul_point_rows
-
-    return mul_point_rows(v4, matrix)
+from ..ops.coords import mul_point_rows as _mul_point  # noqa: E402
 
 
 @dataclasses.dataclass
@@ -550,17 +546,11 @@ class PatternSpawner(Spawner):
         base = np.asarray([(*self.position.constant, self.life.constant)],
                           np.float32)
         pc = self._pattern_positions + base
-        return SpawnUniforms(
+        # dataclasses-style replace: future SpawnUniforms fields flow
+        # through instead of being silently reset here.
+        return u.replace(
             position_constants=jnp.asarray(pc),
-            position_constant_count=jnp.asarray(float(len(pc)), jnp.float32),
-            config=u.config,
-            formula_types=u.formula_types,
-            position_matrix=u.position_matrix,
-            velocity_matrix=u.velocity_matrix,
-            axis_mask=u.axis_mask,
-            align_velocity_and_position=u.align_velocity_and_position,
-            attribute_discard_threshold=u.attribute_discard_threshold,
-            polygon_rate=u.polygon_rate,
-            polygon_loop=u.polygon_loop,
+            position_constant_count=jnp.asarray(float(len(pc)),
+                                                jnp.float32),
             position_colors=jnp.asarray(self._pattern_colors),
         )

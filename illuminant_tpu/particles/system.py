@@ -191,7 +191,11 @@ class ParticleSystem:
         for s in self.spawners:
             count = s.begin_tick(now, dt)
             if getattr(s, "is_feedback", False):
-                src = s.source.state if s.source is not None else None
+                # None OR the owning system = self-feedback: the step
+                # reads its own evolving state (passing self.state would
+                # alias the donated input buffer).
+                self_feed = s.source is None or s.source is self
+                src = None if self_feed else s.source.state
                 spawn_batches.append(
                     (s.feedback_uniforms(now),
                      jnp.asarray(count, jnp.int32), src)

@@ -181,12 +181,7 @@ class MatrixMultiplyUniforms:
     category_filter: jnp.ndarray  # (2,)
 
 
-def _mul3(v, matrix):
-    """mul3 (ParticleCommon.fxh:187-196) — shared row-vector point
-    transform (ops.coords.mul_point_rows)."""
-    from ..ops.coords import mul_point_rows
-
-    return mul_point_rows(v, matrix)
+from ..ops.coords import mul_point_rows as _mul3  # noqa: E402
 
 
 def apply_matrix_multiply(position, velocity, u: MatrixMultiplyUniforms,

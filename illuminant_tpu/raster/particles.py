@@ -99,10 +99,9 @@ def rasterize_additive(
 
     # Stipple (deterministic per-slot fraction, fx StippleReject).
     if stipple_factor < 1.0:
-        n = state.capacity
-        slot = jnp.arange(n, dtype=jnp.float32)
-        keep = jnp.mod(slot * 0.6180339887, 1.0) < stipple_factor
-        live = live & keep
+        from ..ops.coords import stipple_keep
+
+        live = live & stipple_keep(state.capacity, stipple_factor)
 
     x = pos[:, 0] * render_scale
     y = (pos[:, 1] - pos[:, 2] * z_to_y) * render_scale

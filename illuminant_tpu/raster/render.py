@@ -110,10 +110,9 @@ def render_particles(
 
     if stipple_factor < 1.0:
         # StippleReject applies to every material (fx:101-110).
-        n = state.capacity
-        slotf = jnp.arange(n, dtype=jnp.float32)
-        live = live & (jnp.mod(slotf * 0.6180339887, 1.0)
-                       < stipple_factor)
+        from ..ops.coords import stipple_keep
+
+        live = live & stipple_keep(state.capacity, stipple_factor)
 
     if table is not None:
         if not additive_blend:

@@ -500,12 +500,10 @@ def rasterize_tiled(
     """
     if stipple_factor < 1.0:
         # StippleReject (fx:101-110): deterministic per-slot fraction.
-        n = x.shape[0]
-        slotf = jnp.arange(n, dtype=jnp.float32)
-        keep = jnp.mod(
-            slotf * 0.6180339887 + cfg.stipple_offset, 1.0
-        ) < stipple_factor
-        live = live & keep
+        from ..ops.coords import stipple_keep
+
+        live = live & stipple_keep(x.shape[0], stipple_factor,
+                                   cfg.stipple_offset)
 
     bins = bin_particles(cfg, x, y, color, size, live, aligned=False)
     wy, wx = _coverage_factors(cfg, bins)

@@ -24,6 +24,36 @@ from illuminant_tpu.particles.system import ParticleSystem, \
 from illuminant_tpu.sdf.analytic import pack_scene
 
 
+def test_pattern_color_multiplies_constant_before_formula():
+    # PatternSpawner.fx:70-74: pixel color scales the color CONSTANT,
+    # then the formula adds offset/random terms UNtinted.
+    from illuminant_tpu.particles.formula import Formula4
+
+    img = np.zeros((1, 1, 4), np.float32)
+    img[0, 0] = [0.5, 1.0, 1.0, 1.0]
+    ps = PatternSpawner(
+        image=img, min_rate=600.0, max_rate=600.0,
+        life=Formula1(constant=5.0),
+        color=Formula4(constant=(1.0, 1.0, 1.0, 1.0),
+                       random_scale=(1.0, 0.0, 0.0, 0.0),
+                       offset=(1.0, 0.0, 0.0, 0.0)),
+    )
+    sys_ = ParticleSystem(ParticleSystemConfig(capacity=128,
+                                               updates_per_second=0.0,
+                                               life_decay_per_second=0.1),
+                          [ps])
+    sys_.update(1.0 / 60.0)
+    st = sys_.state
+    live = np.asarray(st.live_mask())
+    col = np.asarray(st.color)[live]
+    assert live.sum() > 2
+    # Linear formula: value = constant*pixel + (rnd + offset) * scale.
+    # Pre-multiply (reference): r = 0.5 + (rnd + 1) in [1.5, 2.5).
+    # Post-multiply (the bug): r = (1 + rnd + 1) * 0.5 in [1.0, 1.5).
+    assert col[:, 0].min() > 1.45, col[:, 0].min()
+    np.testing.assert_allclose(col[:, 1], 1.0, atol=1e-5)
+
+
 def test_pattern_spawner_applies_pixel_colors():
     img = np.zeros((2, 2, 4), np.float32)
     img[0, 0] = [1.0, 0.2, 0.2, 1.0]  # red pixel
