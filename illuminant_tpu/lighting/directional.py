@@ -116,14 +116,70 @@ def compute_directional_opacity(light_direction, shaded_normal):
     return jnp.where(light_direction[..., 3] < 0.1, 1.0, factor)
 
 
+def _scan_pseudo_centers(gbuffer: GBuffer, lights: DirectionalLights,
+                         env: EnvironmentUniforms):
+    """Far pseudo light centers for the scan path.
+
+    Parallel directional rays are the limit of the radial scan with the
+    center pushed far along -direction: a center at in-plane distance D
+    from the screen center bounds the ray-direction error across the
+    screen by atan(half_diagonal / D). The z coordinate is placed at
+    slope -dz/|d_xy| so the scan readout's 3D `sec` factor (and hence
+    the trace-length cap and refine-sample ray heights) reproduces the
+    TRUE directional ray, not an approximation.
+
+    Returns (centers (L, 3), horizontal trace plane z, D).
+    """
+    h, w = gbuffer.shape
+    rs = gbuffer.render_scale
+    d = lights.direction
+    n_xy = jnp.sqrt(d[:, 0] ** 2 + d[:, 1] ** 2)
+    # Near-vertical lights (|d_xy| -> 0) have no in-plane shadow travel;
+    # clamping keeps the geometry finite (their shadows are ~degenerate
+    # in the march too: the fake center sits almost straight above).
+    safe = jnp.maximum(n_xy, 0.05)
+    u_xy = d[:, :2] / safe[:, None]
+    diag = float(np.hypot(h, w))
+    dist = 4.0 * diag / rs  # ray-angle error <= atan(1/8) ~ 7deg
+    z0 = jnp.mean(gbuffer.z)
+    cx = 0.5 * w / rs
+    cy = 0.5 * h / rs + jnp.mean(gbuffer.relative_y)
+    centers = jnp.stack(
+        [
+            cx - u_xy[:, 0] * dist,
+            cy - u_xy[:, 1] * dist,
+            z0 - d[:, 2] / safe * dist,
+        ],
+        axis=-1,
+    )
+    # Occlusion-image height: the ray climbs -dz over the trace budget,
+    # but blockers only matter where the ray is LOW (within obstruction
+    # height of the ground) — a plane above every obstruction top
+    # nominates nothing and the shadows vanish. Over-nomination is safe
+    # (the 3D refine rejects blockers the true ray clears), so cap the
+    # plane inside the environment's height band and bias low.
+    rise = jnp.maximum(-d[:, 2], 0.0) * lights.properties[:, 1]
+    wsum = jnp.maximum(jnp.sum(lights.active), 1.0)
+    rise_mean = jnp.sum(rise * lights.active) / wsum
+    band = jnp.maximum(env.maximum_z - env.ground_z, 1.0)
+    trace_plane = z0 + jnp.minimum(0.4 * rise_mean, 0.25 * band)
+    return centers, trace_plane, dist
+
+
 def accumulate_directional_lights(
     volume,
     gbuffer: GBuffer,
     lights: DirectionalLights,
     env: EnvironmentUniforms,
     quality: QualitySettings,
+    shadow_mode: str = "march",
 ):
-    """All directional lights -> (H, W, 4) additive HDR contribution."""
+    """All directional lights -> (H, W, 4) additive HDR contribution.
+
+    `shadow_mode="scan"` replaces the per-pixel cone march (fx:76-83,
+    ~64 dense plane evals per light) with the gather-free column scan
+    (scan_shadows.py) using far pseudo centers + the ShadowTraceLength
+    cap — the same fast path sphere lights use."""
     world_pos = gbuffer.world_position()
     normal = gbuffer.normal
 
@@ -150,23 +206,42 @@ def accumulate_directional_lights(
         & (direction[..., 3] >= 0.1)
         & (active > 0.0)
     )
-    # Fake light center behind the pixel along the direction (fx:76-77).
-    fake_center = world_pos[None] - direction[..., :3] * props[..., 1:2]
     # Cone config (fx:78-83): radius = softness, ramp = distance falloff,
     # per-light growth factor = rampRate — folded into the ramp length
     # (growth = maxR / ramp * rate == maxR / (ramp / rate)).
     ramp = jnp.maximum(more[..., 1], 16.0) / jnp.maximum(
         props[..., 3], 1e-3
     )
-    cone = cone_trace(
-        volume,
-        fake_center,
-        props[..., 2],
-        ramp,
-        world_pos[None] + SELF_OCCLUSION_HACK * normal[None],
-        trace_enable,
-        quality,
-    )
+    if shadow_mode == "scan":
+        from .scan_shadows import scan_cone_visibility
+
+        centers, trace_plane, _ = _scan_pseudo_centers(
+            gbuffer, lights, env
+        )
+        vis = scan_cone_visibility(
+            volume, gbuffer, centers,
+            lights.properties[:, 2],
+            ramp[:, 0, 0],
+            quality,
+            max_trace_distance=lights.properties[:, 1],
+            trace_z=trace_plane,
+        )
+        cone = jnp.where(trace_enable, vis, 1.0)
+    else:
+        # Fake light center behind the pixel along the direction
+        # (fx:76-77).
+        fake_center = (
+            world_pos[None] - direction[..., :3] * props[..., 1:2]
+        )
+        cone = cone_trace(
+            volume,
+            fake_center,
+            props[..., 2],
+            ramp,
+            world_pos[None] + SELF_OCCLUSION_HACK * normal[None],
+            trace_enable,
+            quality,
+        )
     opacity = opacity * cone
 
     opacity = jnp.where(visible, opacity, 0.0) * active

@@ -66,7 +66,8 @@ def render_lightmap(
         from .directional import accumulate_directional_lights
 
         lightmap = lightmap + accumulate_directional_lights(
-            volume, gbuffer, directional_lights, env, config.quality
+            volume, gbuffer, directional_lights, env, config.quality,
+            shadow_mode=shadow_mode,
         )
     if line_lights is not None:
         from .line import accumulate_line_lights

@@ -98,6 +98,12 @@ def _bidirectional_scan(occ, light_x, light_y, light_radius, unroll=None):
     lx = jnp.stack([light_x, (W - 1.0) - light_x], axis=0)[:, :, None]
     ly = jnp.broadcast_to(light_y[None, :, None], (2, L, 1))
     lr = jnp.broadcast_to(light_radius[None, :, None], (2, L, 1))
+    # The per-column k outputs are stored f16; for a far off-screen
+    # light (the directional pseudo-center, |lx| in the thousands) dx is
+    # large and the f16 step reaches ~8px — enough to push the 3D-refine
+    # sample off its blocker. Store k relative to this offset (k stays
+    # within [0, W] for any lx <= 0) and add it back at readout.
+    k_off = jnp.minimum(lx, 0.0)
 
     def step(carry, inputs):
         min_d, min_k, neg_k = carry  # (2, L, H) each
@@ -147,8 +153,9 @@ def _bidirectional_scan(occ, light_x, light_y, light_radius, unroll=None):
         # ~0.06 precision, k <= W keeps ~1 shadow-res px — and upcast at
         # readout. Halves the pass's HBM traffic.
         return (new_min_d, new_min_k, new_neg_k), (
-            res_d.astype(jnp.float16), res_k.astype(jnp.float16),
-            res_n.astype(jnp.float16),
+            res_d.astype(jnp.float16),
+            (res_k - k_off).astype(jnp.float16),
+            (res_n - k_off).astype(jnp.float16),
         )
 
     init = (
@@ -183,8 +190,14 @@ def scan_visibility(
     render_scale: float = 1.0,
     pixel_z=None,
     pixel_offset_xy=None,
+    max_trace_distance=None,  # (L,) world units; None = to image edge
 ):
     """Cone-trace-equivalent visibility for all lights -> (L, H, W).
+
+    `max_trace_distance` mirrors the march's trace budget (blockers
+    farther than this from the SHADED PIXEL along the ray are ignored —
+    DirectionalLightSource.ShadowTraceLength semantics); the radial
+    sphere-light path leaves it None (trace to the light).
 
     `pixel_z` (H, W): shaded-surface heights. The occlusion image lives at
     one trace height, so pixels standing ABOVE it (height-volume tops)
@@ -234,6 +247,18 @@ def scan_visibility(
         east, e_n,
         jnp.where(west, w_n, jnp.where(north, n_n, s_n)),
     )
+    # Undo the f16-range k offset (see _bidirectional_scan): each sector
+    # pass measured k from its own (possibly mirrored) light coordinate.
+    off_e = jnp.minimum(lx, 0.0)[:, None, None]
+    off_w = jnp.minimum((width - 1.0) - lx, 0.0)[:, None, None]
+    off_n = jnp.minimum(ly, 0.0)[:, None, None]
+    off_s = jnp.minimum((height - 1.0) - ly, 0.0)[:, None, None]
+    k_off = jnp.where(
+        east, off_e,
+        jnp.where(west, off_w, jnp.where(north, off_n, off_s)),
+    )
+    min_k = min_k + k_off
+    neg_k = neg_k + k_off
 
     # Convert horizontal distances to along-ray distances (the scan walks
     # the major axis; the ray is longer by sec = ray_len / major_extent).
@@ -280,6 +305,14 @@ def scan_visibility(
     lx_w = light_position[:, 0][:, None, None]
     ly_w = light_position[:, 1][:, None, None]
     has_blocker = min_d < 1e8
+    if max_trace_distance is not None:
+        # Blocker distance from the pixel along the ray, in world units.
+        u_blocker = jnp.maximum(
+            (major - min_k) * sec, 0.0
+        ) / jnp.maximum(render_scale, 1e-6)
+        has_blocker = has_blocker & (
+            u_blocker <= max_trace_distance[:, None, None]
+        )
     if quality.scan_refine_samples <= 0:
         # Pure flatland: use the scan's own 2D min directly.
         u0 = jnp.maximum((major - min_k) * sec, 0.0)
@@ -287,6 +320,8 @@ def scan_visibility(
         vis = jnp.minimum(
             (min_d + HACK_DISTANCE_OFFSET) / radius0, 1.0
         )
+        if max_trace_distance is not None:
+            vis = jnp.where(has_blocker, vis, 1.0)
         candidates = ()
     elif quality.scan_refine_samples == 1:
         vis = jnp.ones(min_d.shape, jnp.float32)
@@ -340,3 +375,60 @@ def upsample2x_bilinear(v):
         return stacked.reshape(new_shape)
 
     return axis_up(axis_up(v, v.ndim - 2), v.ndim - 1)
+
+
+def scan_cone_visibility(
+    scene,
+    gbuffer,
+    light_position,  # (L, 3) world (possibly pseudo — directional)
+    light_radius,  # (L,)
+    light_ramp_length,  # (L,)
+    quality: QualitySettings,
+    max_trace_distance=None,  # (L,) or None
+    trace_z=None,
+):
+    """Shadow-scale-aware scan visibility over a G-buffer -> (L, H, W).
+
+    Shared dispatch for every light family on the scan path: computes the
+    normal-lifted shading endpoints (SphereLightCore.fxh:151 + the 2.5D
+    screen->world y reconstruction, LightCommon.fxh:119), runs the scan
+    at quality.shadow_scale resolution, and upsamples in bf16.
+    """
+    h, w = gbuffer.shape
+    ss = quality.shadow_scale
+    lifted_z = gbuffer.z + 1.6 * gbuffer.normal[..., 2]
+    offset_xy = 1.6 * gbuffer.normal[..., :2]
+    offset_xy = jnp.stack(
+        [offset_xy[..., 0], offset_xy[..., 1] + gbuffer.relative_y],
+        axis=-1,
+    )
+    if ss == 0.5 and h % 2 == 0 and w % 2 == 0:
+        sh, sw = h // 2, w // 2
+        pixel_z = jax.image.resize(lifted_z, (sh, sw), "linear")
+        off = jax.image.resize(offset_xy, (sh, sw, 2), "linear")
+        vis = scan_visibility(
+            scene, sh, sw, light_position, light_radius,
+            light_ramp_length, quality,
+            render_scale=gbuffer.render_scale * ss,
+            pixel_z=pixel_z, pixel_offset_xy=off,
+            max_trace_distance=max_trace_distance, trace_z=trace_z,
+        )
+        return upsample2x_bilinear(vis.astype(jnp.bfloat16))
+    if ss != 1.0:
+        sh, sw = max(int(h * ss), 8), max(int(w * ss), 8)
+        pixel_z = jax.image.resize(lifted_z, (sh, sw), "linear")
+        off = jax.image.resize(offset_xy, (sh, sw, 2), "linear")
+        vis = scan_visibility(
+            scene, sh, sw, light_position, light_radius,
+            light_ramp_length, quality,
+            render_scale=gbuffer.render_scale * ss,
+            pixel_z=pixel_z, pixel_offset_xy=off,
+            max_trace_distance=max_trace_distance, trace_z=trace_z,
+        )
+        return jax.image.resize(vis, (vis.shape[0], h, w), "linear")
+    return scan_visibility(
+        scene, h, w, light_position, light_radius, light_ramp_length,
+        quality, render_scale=gbuffer.render_scale,
+        pixel_z=lifted_z, pixel_offset_xy=offset_xy,
+        max_trace_distance=max_trace_distance, trace_z=trace_z,
+    )

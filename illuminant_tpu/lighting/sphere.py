@@ -263,54 +263,16 @@ def accumulate_sphere_lights(
         & (active > 0.0)
     )
     if shadow_mode == "scan":
-        # Fast gather-free path (scan_shadows.py); `trace_enable` gating
-        # applied afterward like the march's early-disable.
-        from .scan_shadows import scan_visibility
+        # Fast gather-free path; `trace_enable` gating applied afterward
+        # like the march's early-disable. Shadow-scale handling + the
+        # normal-lifted endpoints live in the shared dispatch
+        # (scan_shadows.scan_cone_visibility).
+        from .scan_shadows import scan_cone_visibility
 
-        h, w = gbuffer.shape
-        ss = quality.shadow_scale
-        # Normal-lifted shading endpoint (SphereLightCore.fxh:151), plus
-        # the 2.5D screen->world y reconstruction (LightCommon.fxh:119):
-        # world y = screen y + relativeY.
-        lifted_z = gbuffer.z + SELF_OCCLUSION_HACK * gbuffer.normal[..., 2]
-        offset_xy = SELF_OCCLUSION_HACK * gbuffer.normal[..., :2]
-        offset_xy = jnp.stack(
-            [offset_xy[..., 0], offset_xy[..., 1] + gbuffer.relative_y],
-            axis=-1,
+        vis = scan_cone_visibility(
+            volume, gbuffer, lights.position, lights.properties[:, 0],
+            lights.properties[:, 1], quality,
         )
-        if ss == 0.5 and h % 2 == 0 and w % 2 == 0:
-            from .scan_shadows import upsample2x_bilinear
-
-            sh, sw = h // 2, w // 2
-            pixel_z = jax.image.resize(lifted_z, (sh, sw), "linear")
-            off = jax.image.resize(offset_xy, (sh, sw, 2), "linear")
-            vis = scan_visibility(
-                volume, sh, sw, lights.position,
-                lights.properties[:, 0], lights.properties[:, 1], quality,
-                render_scale=gbuffer.render_scale * ss,
-                pixel_z=pixel_z, pixel_offset_xy=off,
-            )
-            # Upsample + consume in bf16: visibility is in [0,1] and the
-            # (L, H, W) full-res plane is the pass's biggest array.
-            vis = upsample2x_bilinear(vis.astype(jnp.bfloat16))
-        elif ss != 1.0:
-            sh, sw = max(int(h * ss), 8), max(int(w * ss), 8)
-            pixel_z = jax.image.resize(lifted_z, (sh, sw), "linear")
-            off = jax.image.resize(offset_xy, (sh, sw, 2), "linear")
-            vis = scan_visibility(
-                volume, sh, sw, lights.position,
-                lights.properties[:, 0], lights.properties[:, 1], quality,
-                render_scale=gbuffer.render_scale * ss,
-                pixel_z=pixel_z, pixel_offset_xy=off,
-            )
-            vis = jax.image.resize(vis, (vis.shape[0], h, w), "linear")
-        else:
-            vis = scan_visibility(
-                volume, h, w, lights.position,
-                lights.properties[:, 0], lights.properties[:, 1], quality,
-                render_scale=gbuffer.render_scale,
-                pixel_z=lifted_z, pixel_offset_xy=offset_xy,
-            )
         cone = jnp.where(trace_enable, vis, 1.0)
     else:
         world_pos = gbuffer.world_position()
