@@ -8,10 +8,13 @@ fuses straight into the resolve pass — no separate "material" machinery.
 
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
 # Rec.601 luma weights (HDR.fxh:9).
-RGB_TO_LUMINANCE = jnp.asarray([0.299, 0.587, 0.114], dtype=jnp.float32)
+# numpy, not jnp: module-level jnp constants become leaked tracers if the
+# module is first imported inside a jit trace.
+RGB_TO_LUMINANCE = np.asarray([0.299, 0.587, 0.114], dtype=np.float32)
 
 # Uncharted2 curve constants (HDR.fxh:24-29).
 _KA, _KB, _KC, _KD, _KE, _KF = 0.15, 0.50, 0.10, 0.20, 0.02, 0.30

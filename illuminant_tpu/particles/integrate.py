@@ -95,11 +95,16 @@ def integrate_with_distance_field(
     rd: RenderDataUniforms,
     volume,
     maximum_z: float | jnp.ndarray = 1e9,
+    substeps: int = MAX_STEP_COUNT,
 ) -> ParticleState:
     """SDF collision integrate (UpdateParticleSystemWithDistanceField.fx).
 
     `maximum_z` mirrors ParticleCollision.DistanceFieldMaximumZ
     (ParticleConfiguration.cs:8-40): particles above it ignore the field.
+    `substeps` trades backtrack refinement for dense SDF evals (each
+    unrolled substep is a full scene eval at particle count on TPU);
+    travel is already capped by the initial sphere-trace step, so fewer
+    substeps never tunnel — colliding particles just rest deeper.
     """
     pos = state.position
     vel = state.velocity
@@ -135,10 +140,10 @@ def integrate_with_distance_field(
     # Active substep mask (fx:66-71): wasColliding -> 1 step; zero travel
     # -> 0 steps.
     steps_left = jnp.where(
-        was_colliding, 1, jnp.where(travel <= 0.001, 0, MAX_STEP_COUNT)
+        was_colliding, 1, jnp.where(travel <= 0.001, 0, substeps)
     )
 
-    for _ in range(MAX_STEP_COUNT):  # fx:72-90, statically unrolled
+    for _ in range(substeps):  # fx:72-90, statically unrolled
         active = steps_left > 0
         tx = ox + travel * ux
         ty = oy + travel * uy

@@ -51,6 +51,12 @@ class ParticleSystemConfig:
     escape_velocity: float = 128.0
     bounce_velocity_multiplier: float = 0.0
     collision_maximum_z: float = 1e9
+    # Sphere-trace substeps (MAX_STEP_COUNT=3,
+    # UpdateParticleSystemWithDistanceField.fx:12). All particles pay for
+    # every unrolled substep on TPU (branchless masking), but substeps
+    # past the first only refine the backtrack of already-colliding
+    # particles — 1 is a cheap quality knob (~2 dense SDF evals saved).
+    collision_substeps: int = 3
 
 
 def _slot_xy(capacity: int):
@@ -159,7 +165,8 @@ class ParticleSystem:
             # Integrator last (:834-855).
             if has_volume:
                 state = integrate_with_distance_field(
-                    state, su, rd, volume, cfg.collision_maximum_z
+                    state, su, rd, volume, cfg.collision_maximum_z,
+                    substeps=cfg.collision_substeps,
                 )
             else:
                 state = integrate(state, su, rd)

@@ -308,7 +308,8 @@ def build_flagship(
         pos, vel = tx.apply_gravity(state.position, state.velocity, grav_u,
                                     su)
         state = state.replace(position=pos, velocity=vel)
-        state = integrate_with_distance_field(state, su, rd, vol_t)
+        state = integrate_with_distance_field(state, su, rd, vol_t,
+                                              substeps=1)
 
         # -- particle rasterization (full-res, tiled) --
         particle_img, diag = rasterize_tiled(

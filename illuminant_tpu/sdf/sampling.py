@@ -19,6 +19,7 @@ this inline with the volume pinned in VMEM (lighting/pallas_trace.py).
 
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
 from .volume import SdfVolume
@@ -97,14 +98,17 @@ def sample_or_max(volume: SdfVolume | None, position, maximum_z: float = 128.0):
 
 # Tetrahedral offsets k.xyy, k.yyx, k.yxy, k.xxx with k = (1, -1)
 # (VisualizeCommon.fxh:44-45).
-_NORMAL_WEIGHTS = jnp.asarray(
+# numpy, not jnp: a module-level jnp constant created during a lazy
+# import INSIDE a jit trace becomes a tracer of that trace and leaks
+# into every later trace (UnexpectedTracerError).
+_NORMAL_WEIGHTS = np.asarray(
     [
         [1.0, -1.0, -1.0],
         [-1.0, -1.0, 1.0],
         [-1.0, 1.0, -1.0],
         [1.0, 1.0, 1.0],
     ],
-    dtype=jnp.float32,
+    dtype=np.float32,
 )
 
 

@@ -195,8 +195,15 @@ def test_noise_perturbs_velocity():
     assert speeds.std() > 0.5, "noise should decorrelate velocities"
 
 
-def test_collision_keeps_particles_out_of_box():
-    # Particles shot at a wall must not end up inside it.
+import pytest
+
+
+@pytest.mark.parametrize("substeps", [3, 1])
+def test_collision_keeps_particles_out_of_box(substeps):
+    # Particles shot at a wall must not end up inside it — with the full
+    # reference substep count AND the cheap single-substep quality knob
+    # (travel is capped by the initial sphere-trace step, so fewer
+    # substeps must never tunnel).
     sdf_config = vol.SdfVolumeConfig(
         virtual_width=256, virtual_height=256, virtual_depth=64,
         slice_count=16, resolution_scale=0.5,
@@ -210,6 +217,7 @@ def test_collision_keeps_particles_out_of_box():
     cfg = ParticleSystemConfig(
         capacity=512, updates_per_second=0.0, life_decay_per_second=0.0,
         collision_distance=1.0, bounce_velocity_multiplier=0.8,
+        collision_substeps=substeps,
     )
     spn = Spawner(
         min_rate=6000.0, max_rate=6000.0,
