@@ -171,8 +171,18 @@ def accumulate_line_lights(
     lights: LineLights,
     env: EnvironmentUniforms,
     quality: QualitySettings,
+    shadow_mode: str = "march",
 ):
-    """All line lights -> (H, W, 4) additive HDR contribution."""
+    """All line lights -> (H, W, 4) additive HDR contribution.
+
+    `shadow_mode="scan"` approximates the 3-ray march
+    (LineLightCore.fxh:27-34) with three radial scans anchored at the
+    segment start / midpoint / end, blended per pixel by the
+    closest-point parameter u (hat weights). Deviation vs the march:
+    the reference averages RAW ray visibilities around the per-pixel
+    closest point before thresholding; the scan blends the THRESHOLDED
+    visibilities of the three fixed anchors — penumbrae along the
+    segment direction interpolate instead of tracking u exactly."""
     world_pos = gbuffer.world_position()
     normal = gbuffer.normal
 
@@ -204,30 +214,54 @@ def accumulate_line_lights(
     )
     shaded = world_pos[None] + SELF_OCCLUSION_HACK * normal[None]
 
-    # 3-ray trace at u - offset / u / u + offset (LineLightCore.fxh:27-34),
-    # raw visibilities averaged before thresholding (:52-57).
-    delta = p1 - p0
-    delta_len = _norm(delta)
-    offset = jnp.maximum(
-        _saturate((radius + 1.0) / jnp.maximum(delta_len, 1e-6)), 0.03
-    )
-    raws = []
-    for du in (-1.0, 0.0, 1.0):
-        uu = _saturate(u + du * offset)
-        target = p0 + uu[..., None] * delta
-        raws.append(
-            cone_trace(volume, target, radius, props[..., 1], shaded,
-                       trace_enable, quality, raw=True)
+    if shadow_mode == "scan":
+        from .scan_shadows import scan_cone_visibility
+
+        # Segment anchors as scan centers: (3L, 3) batched in one call.
+        anchors = jnp.concatenate(
+            [lights.start, (lights.start + lights.end) * 0.5, lights.end],
+            axis=0,
         )
-    visibility = (raws[0] + raws[1] + raws[2]) / 3.0
-    cone = (
-        _saturate(
-            _saturate(visibility - FULLY_SHADOWED_THRESHOLD)
-            / (UNSHADOWED_THRESHOLD - FULLY_SHADOWED_THRESHOLD)
+        rad3 = jnp.tile(lights.properties[:, 0], 3)
+        ramp3 = jnp.tile(lights.properties[:, 1], 3)
+        vis3 = scan_cone_visibility(
+            volume, gbuffer, anchors, rad3, ramp3, quality
         )
-        ** quality.occlusion_to_opacity_power
-    )
-    cone = jnp.where(trace_enable, cone, 1.0)
+        vis3 = vis3.reshape(3, lights.capacity, *vis3.shape[1:])
+        # Hat weights over u: anchor 0 at u=0, 1 at u=0.5, 2 at u=1.
+        w0 = _saturate(1.0 - 2.0 * u)
+        w2 = _saturate(2.0 * u - 1.0)
+        w1 = 1.0 - w0 - w2
+        vis = (w0 * vis3[0] + w1 * vis3[1] + w2 * vis3[2]).astype(
+            jnp.float32
+        )
+        cone = jnp.where(trace_enable, vis, 1.0)
+    else:
+        # 3-ray trace at u - offset / u / u + offset
+        # (LineLightCore.fxh:27-34), raw visibilities averaged before
+        # thresholding (:52-57).
+        delta = p1 - p0
+        delta_len = _norm(delta)
+        offset = jnp.maximum(
+            _saturate((radius + 1.0) / jnp.maximum(delta_len, 1e-6)), 0.03
+        )
+        raws = []
+        for du in (-1.0, 0.0, 1.0):
+            uu = _saturate(u + du * offset)
+            target = p0 + uu[..., None] * delta
+            raws.append(
+                cone_trace(volume, target, radius, props[..., 1], shaded,
+                           trace_enable, quality, raw=True)
+            )
+        visibility = (raws[0] + raws[1] + raws[2]) / 3.0
+        cone = (
+            _saturate(
+                _saturate(visibility - FULLY_SHADOWED_THRESHOLD)
+                / (UNSHADOWED_THRESHOLD - FULLY_SHADOWED_THRESHOLD)
+            )
+            ** quality.occlusion_to_opacity_power
+        )
+        cone = jnp.where(trace_enable, cone, 1.0)
 
     light_opacity = jnp.where(visible, pre_trace * cone, 0.0) * active
     color = (

@@ -73,7 +73,8 @@ def render_lightmap(
         from .line import accumulate_line_lights
 
         lightmap = lightmap + accumulate_line_lights(
-            volume, gbuffer, line_lights, env, config.quality
+            volume, gbuffer, line_lights, env, config.quality,
+            shadow_mode=shadow_mode,
         )
     if volumetric_lights is not None:
         from .volumetric import accumulate_volumetric_lights

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..core.pytree import pytree_dataclass
+from ..core.pytree import pytree_dataclass, static_field
 
 # Time-mode flag bits (Bezier.cs BezierTimeMode / Bezier.fxh:24-60).
 MODE_LINEAR = 0
@@ -43,6 +43,10 @@ class ClampedBezier:
 
     range_and_count: jnp.ndarray
     points: jnp.ndarray
+    # Static shortcut: single-control-point beziers evaluate to points[0]
+    # regardless of t — skipping the de Casteljau chain matters when a
+    # constant ramp is evaluated per particle per tick.
+    is_constant: bool = static_field(default=False)
 
     @property
     def channels(self) -> int:
@@ -80,7 +84,7 @@ def pack_bezier(
 def constant_bezier(value) -> ClampedBezier:
     """A single-point (constant) bezier."""
     v = jnp.atleast_1d(jnp.asarray(value, dtype=jnp.float32))
-    return pack_bezier(v[None, :])
+    return pack_bezier(v[None, :]).replace(is_constant=True)
 
 
 def t_for_scaled_bezier(range_and_count, value):
@@ -149,6 +153,10 @@ def evaluate_bezier(bezier: ClampedBezier, value):
     Returns shape value.shape + (C,). Port of Bezier.fxh evaluateBezier*.
     """
     value = jnp.asarray(value, dtype=jnp.float32)
+    if bezier.is_constant:
+        return jnp.broadcast_to(
+            bezier.points[0], value.shape + (bezier.points.shape[-1],)
+        )
     count, t = t_for_scaled_bezier(bezier.range_and_count, value)
     return evaluate_at_t(bezier.points, count, t)
 

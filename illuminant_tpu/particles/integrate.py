@@ -36,16 +36,18 @@ def _len3(x, y, z, eps=1e-12):
     return jnp.sqrt(x * x + y * y + z * z + eps)
 
 
-def _friction_max_p(vx, vy, vz, su: SystemUniforms):
+def _friction_max_p(vx, vy, vz, su: SystemUniforms, v_len=None):
     """applyFrictionAndMaximum (UpdateCommon.fxh:20-35), planar — exact
-    mirror of state.apply_friction_and_maximum."""
-    l = _len3(vx, vy, vz, 1e-20)
+    mirror of state.apply_friction_and_maximum. Pass `v_len` when the
+    caller already has |v| (saves a sqrt chain at particle count);
+    returns the post-friction speed too for the same reason."""
+    l = _len3(vx, vy, vz, 1e-20) if v_len is None else v_len
     max_v = su.maximum_velocity
     clamped = jnp.minimum(l, max_v)
     friction = clamped * su.friction
     new_l = jnp.clip(clamped - friction * su.dt, 0.0, max_v)
     m = jnp.where(l <= 0.001, 0.0, new_l / l)
-    return vx * m, vy * m, vz * m
+    return vx * m, vy * m, vz * m, jnp.where(l <= 0.001, 0.0, new_l)
 
 
 def integrate(state: ParticleState, su: SystemUniforms,
@@ -55,7 +57,7 @@ def integrate(state: ParticleState, su: SystemUniforms,
     vel = state.velocity
     dt = su.dt
 
-    vx, vy, vz = _friction_max_p(vel[:, 0], vel[:, 1], vel[:, 2], su)
+    vx, vy, vz, _ = _friction_max_p(vel[:, 0], vel[:, 1], vel[:, 2], su)
     new_life = pos[:, 3] - su.life_decay * dt
     alive = new_life > 0.0
 
@@ -122,8 +124,11 @@ def integrate_with_distance_field(
     v0x, v0y, v0z, v0w = vel[:, 0], vel[:, 1], vel[:, 2], vel[:, 3]
     v0len = _len3(v0x, v0y, v0z)
     ux, uy, uz = v0x / v0len, v0y / v0len, v0z / v0len
-    vx, vy, vz = _friction_max_p(v0x, v0y, v0z, su)
-    scaled_len = _len3(vx, vy, vz) * dt
+    # Post-friction velocity is a scalar multiple of v0, so its length
+    # comes straight out of the friction clamp — no second sqrt chain.
+    vx, vy, vz, v_new_len = _friction_max_p(v0x, v0y, v0z, su,
+                                            v_len=v0len)
+    scaled_len = v_new_len * dt
 
     # fx:63-70.
     initial_distance = scene_sample_p(volume, ox, oy, oz)
@@ -188,10 +193,17 @@ def integrate_with_distance_field(
     r_len = _len3(nx, ny, jnp.zeros_like(nx))
     # Position-hash fallback direction to escape volume centers (fx:105-110)
     # — keyed on the slot index here instead of pixel xy.
-    slot = jnp.arange(pos.shape[0], dtype=jnp.float32)
-    hash_angle = (slot % 67.0) / 67.0 * 6.2831853 + (slot % 13.0) / 13.0
-    fbx = jnp.sin(hash_angle)
-    fby = jnp.cos(hash_angle)
+    # Integer Weyl hash -> 2D direction without sin/cos (the reference
+    # hashes pixel xy; any decorrelated unit-ish vector serves — the
+    # redirect path normalizes by rd_len below).
+    slot_i = jnp.arange(pos.shape[0], dtype=jnp.uint32)
+    h1 = slot_i * jnp.uint32(2654435761)
+    h2 = (slot_i + jnp.uint32(0x9E3779B9)) * jnp.uint32(2246822519)
+    fbx = (h1 >> 16).astype(jnp.float32) / 32768.0 - 1.0
+    fby = (h2 >> 16).astype(jnp.float32) / 32768.0 - 1.0
+    fb_len = _len3(fbx, fby, jnp.zeros_like(fbx), 1e-6)
+    fbx = fbx / fb_len
+    fby = fby / fb_len
     no_norm = r_len < NO_NORMAL_THRESHOLD
     rdx = jnp.where(no_norm, fbx, nx)
     rdy = jnp.where(no_norm, fby, ny)
@@ -214,8 +226,7 @@ def integrate_with_distance_field(
     bdx = jnp.where(short, -ux, bvx / b_len)
     bdy = jnp.where(short, -uy, bvy / b_len)
     bdz = jnp.where(short, -uz, bvz / b_len)
-    b_speed = jnp.minimum(su.maximum_velocity, _len3(vx, vy, vz) *
-                          bounce_mult)
+    b_speed = jnp.minimum(su.maximum_velocity, v_new_len * bounce_mult)
     b_vx, b_vy, b_vz = bdx * b_speed, bdy * b_speed, bdz * b_speed
 
     # Escaping while colliding: accelerate out (fx:129-135).

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..core.pytree import pytree_dataclass
+from ..core.pytree import pytree_dataclass, static_field
 from ..ops.bezier import ClampedBezier, constant_bezier, evaluate_bezier
 
 
@@ -25,6 +25,11 @@ class RenderDataUniforms:
     # (life_rotation, index_rotation) (UpdateCommon.fxh:18, 41-44).
     rotation_from_life_and_index: jnp.ndarray  # (2,)
     velocity_rotation: jnp.ndarray  # ()
+    # Static gate for the velocity->angle path: arctan2 over every
+    # particle every tick is a real cost (transcendental at 1M), and
+    # most systems never rotate by velocity. Set True when building
+    # uniforms for systems that do.
+    use_velocity_rotation: bool = static_field(default=False)
 
     @staticmethod
     def defaults(size: float = 1.0) -> "RenderDataUniforms":
@@ -71,10 +76,13 @@ def compute_render_data(position, velocity, attributes, index,
         * evaluate_bezier(u.size_from_velocity, vel_len)[..., 0]
     )
     rotation = (
-        rotation_for_velocity(velocity) * u.velocity_rotation
-        + life * u.rotation_from_life_and_index[0]
+        life * u.rotation_from_life_and_index[0]
         + index.astype(jnp.float32) * u.rotation_from_life_and_index[1]
     )
+    if u.use_velocity_rotation:
+        rotation = rotation + (
+            rotation_for_velocity(velocity) * u.velocity_rotation
+        )
     render_data = jnp.stack(
         [size, rotation, vel_len, velocity[..., 3]], axis=-1
     )

@@ -21,6 +21,7 @@ from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.pytree import pytree_dataclass, static_field
 from ..ops.noise import RandomField
@@ -83,6 +84,18 @@ class ParticleSystem:
         self.transforms = list(transforms or [])
         self.volume = volume
         self.render_data = render_data or RenderDataUniforms.defaults()
+        # Auto-enable the (statically gated) velocity->rotation path if
+        # the host-side uniform is nonzero, so callers don't have to know
+        # about the gate.
+        try:
+            if (not self.render_data.use_velocity_rotation
+                    and float(np.asarray(
+                        self.render_data.velocity_rotation)) != 0.0):
+                self.render_data = self.render_data.replace(
+                    use_velocity_rotation=True)
+        except (TypeError, jax.errors.TracerArrayConversionError):
+            pass  # traced value: caller controls the static flag
+
         self.random_field = RandomField.create(jax.random.key(seed ^ 0x5EED))
         self.state = ParticleState.empty(config.capacity)
         self._base_key = jax.random.key(seed)

@@ -109,3 +109,35 @@ def test_directional_ambient_no_direction_unshadowed():
         scene, gb, lights, env, q, shadow_mode="scan"
     )[..., 3])
     assert a.min() > 0.9
+
+
+def test_line_light_scan_matches_march():
+    """Line-light scan mode (3 anchors blended by u) agrees with the
+    3-ray march on lit/shadow classification."""
+    from illuminant_tpu.lighting.line import (
+        LineLightSource,
+        accumulate_line_lights,
+        pack_line_lights,
+    )
+
+    scene = pack_scene(
+        [LightObstruction.box((128.0, 100.0, 16.0), (30.0, 8.0, 24.0))]
+    )
+    env = EnvironmentUniforms.make()
+    gb = flat_ground(256, 256, env)
+    lights = pack_line_lights([
+        LineLightSource(start=(60.0, 40.0, 30.0), end=(200.0, 40.0, 30.0),
+                        radius=8.0)
+    ])
+    q = QualitySettings()
+    a_m = np.asarray(accumulate_line_lights(
+        scene, gb, lights, env, q, shadow_mode="march")[..., 3])
+    a_s = np.asarray(accumulate_line_lights(
+        scene, gb, lights, env, q, shadow_mode="scan")[..., 3])
+
+    # Shadow south of the bar in both; lit next to the segment.
+    for a in (a_m, a_s):
+        assert a[140:180, 110:145].max() < a[50:70, 110:145].mean() * 0.3
+    lvl = a_m[50:70, 110:145].mean()
+    cls = (a_m > 0.3 * lvl) != (a_s > 0.3 * lvl)
+    assert cls.mean() < 0.06, cls.mean()

@@ -55,7 +55,7 @@ def stripped(i, st, with_crd=True, with_outcome=True, with_sub=True,
     v0x, v0y, v0z, v0w = vel[:, 0], vel[:, 1], vel[:, 2], vel[:, 3]
     v0len = _len3(v0x, v0y, v0z)
     ux, uy, uz = v0x / v0len, v0y / v0len, v0z / v0len
-    vx, vy, vz = _friction_max_p(v0x, v0y, v0z, su)
+    vx, vy, vz, _ = _friction_max_p(v0x, v0y, v0z, su)
     scaled_len = _len3(vx, vy, vz) * dt
     if with_init:
         initial = scene_sample_p(volume, ox, oy, oz)
