@@ -667,6 +667,44 @@ def scene_heightmap_tools():
     return np.concatenate([left, right], axis=1)
 
 
+def scene_directional_sun():
+    """Directional 'sun' light + a small town of boxes: long parallel
+    shadows with the ShadowTraceLength cap (DirectionalLight.fx
+    semantics), scan fast path vs march oracle side-by-side (left=march,
+    right=scan)."""
+    env = LightingEnvironment(
+        ground_z=0.0, maximum_z=96.0, ambient=(0.04, 0.05, 0.08, 1.0)
+    )
+    from illuminant_tpu.lighting.directional import DirectionalLightSource
+
+    env.lights.append(
+        DirectionalLightSource(
+            direction=(-0.75, -0.35, -0.35),
+            color=(1.0, 0.93, 0.8, 1.0),
+            shadow_trace_length=420.0,
+            shadow_softness=9.0,
+            shadow_ramp_rate=0.8,
+        )
+    )
+    rng = np.random.default_rng(7)
+    for _ in range(10):
+        cx, cy = rng.uniform(60, 460), rng.uniform(60, 460)
+        hw, hh = rng.uniform(8, 22), rng.uniform(8, 22)
+        hz = rng.uniform(12, 34)
+        env.obstructions.append(
+            LightObstruction.box((cx, cy, hz), (hw, hh, hz))
+        )
+    config = RendererConfig(width=512, height=512)
+    r = LightingRenderer(config, env, None)
+    r.update_fields()
+    halves = []
+    for mode in ("march", "scan"):
+        lightmap = r.render_lighting(shadow_mode=mode)
+        img = r.resolve(lightmap, HDRConfig(srgb_output=True))
+        halves.append(np.asarray(img))
+    return np.concatenate(halves, axis=1)
+
+
 SCENES = {
     "single_light_box": scene_single_light_box,
     "multi_light": scene_multi_light,
@@ -683,6 +721,7 @@ SCENES = {
     "hdr_histogram": scene_hdr_histogram,
     "heightmap_tools": scene_heightmap_tools,
     "jumpflood": scene_jumpflood,
+    "directional_sun": scene_directional_sun,
 }
 
 

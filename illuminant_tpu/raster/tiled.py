@@ -244,13 +244,16 @@ def _profile(kernel: str, d, radius):
 
 
 def bin_particles(cfg: TiledRasterConfig, x, y, color, size, live,
-                  aligned: bool = True):
+                  aligned: bool = True, stable: bool = True):
     """Sort by tile, slice per-tile bins.
 
     Returns a dict with per-slot arrays (x/y/color/size), the valid mask,
     drop count, and the quad-row payload for overflow passes. With
     aligned=False the slot axis is K+4 wide and unordered (see
     _quad_gather) — only valid for order-invariant consumers.
+    `stable=False` picks XLA's cheaper unstable sort (measured ~0.6 ms
+    faster at 1M on v5e) — ties (same quantized key) then land in
+    arbitrary slot order, fine for additive accumulation only.
     """
     gy, gx = cfg.grid
     nt = gy * gx
@@ -285,7 +288,7 @@ def bin_particles(cfg: TiledRasterConfig, x, y, color, size, live,
             ops.append(_pack_bf16_pair(color[:, 2], color[:, 3]))
         ops.append(_pack_bf16_pair(size, jnp.zeros_like(size)))
 
-    sorted_all = lax.sort((key, *ops), num_keys=1)
+    sorted_all = lax.sort((key, *ops), num_keys=1, is_stable=stable)
     skey = sorted_all[0]
 
     if cfg.compact_payload:
@@ -505,7 +508,8 @@ def rasterize_tiled(
         live = live & stipple_keep(x.shape[0], stipple_factor,
                                    cfg.stipple_offset)
 
-    bins = bin_particles(cfg, x, y, color, size, live, aligned=False)
+    bins = bin_particles(cfg, x, y, color, size, live, aligned=False,
+                         stable=False)
     wy, wx = _coverage_factors(cfg, bins)
 
     valid = bins["valid"]
