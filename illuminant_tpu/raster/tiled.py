@@ -357,11 +357,12 @@ def _quad_gather(packed, starts_sel, counts_sel, k, p, aligned=True,
 
     base_row = starts_sel // spr
 
-    def get(r):
-        return lax.dynamic_slice(packed, (r, jnp.int32(0)),
-                                 (rows_needed, packed.shape[1]))
-
-    quad = jax.vmap(get)(base_row)  # (M, rows_needed, spr*P)
+    # Flat per-row gather, NOT vmap(dynamic_slice): a (rows_needed, spr*P)
+    # slice per segment makes XLA's TPU gather ~10x slower than the
+    # row-count-bound single-row form (2.4 ms vs ~0.3 ms at 133k rows,
+    # tools/profile_raster.py).
+    rows = base_row[:, None] + jnp.arange(rows_needed, dtype=jnp.int32)
+    quad = jnp.take(packed, rows, axis=0)  # (M, rows_needed, spr*P)
     off = starts_sel - base_row * spr  # in [0, spr)
     bins = []
     for i in range(p):
