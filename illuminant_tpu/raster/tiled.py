@@ -230,8 +230,17 @@ def _profile(kernel: str, d, radius):
         return jnp.clip(radius - jnp.abs(d) + 0.5, 0.0, 1.0)
     if kernel == KERNEL_GAUSS:
         # sigma = r/2; normalized so total energy ~ quad of equal radius.
+        # exp(-q) via the squaring chain (1 - q/8)^8: the profile tensors
+        # are (NT, WIN, K) ~ 84M elements each and a true exp there is
+        # ~2 ms of transcendentals per frame; the chain is 5 multiplies
+        # and within 6% of e^-q over the visible range (coverage is an
+        # 8-bit-ish quantity), with exact compact support beyond q=8.
         sigma = jnp.maximum(radius * 0.5, 0.3)
-        return jnp.exp(-0.5 * (d / sigma) ** 2)
+        q = 0.5 * (d / sigma) ** 2
+        base = jnp.maximum(1.0 - q * 0.125, 0.0)
+        b2 = base * base
+        b4 = b2 * b2
+        return b4 * b4
     if kernel == KERNEL_ROUND:
         # Smooth edge whose product approximates the circular alpha
         # 1 - saturate(dist - radius + 0.5) (fx:145-156). The sqrt makes

@@ -19,8 +19,10 @@ def _profile_np(kernel, d, radius):
     if kernel == KERNEL_QUAD:
         return np.clip(radius - np.abs(d) + 0.5, 0.0, 1.0)
     if kernel == KERNEL_GAUSS:
+        # (1 - q/8)^8 squaring-chain gaussian — mirrors raster/tiled.py
         sigma = max(radius * 0.5, 0.3)
-        return np.exp(-0.5 * (d / sigma) ** 2)
+        q = 0.5 * (d / sigma) ** 2
+        return np.maximum(1.0 - q * 0.125, 0.0) ** 8
     raise ValueError(kernel)
 
 
