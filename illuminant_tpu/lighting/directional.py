@@ -225,6 +225,7 @@ def accumulate_directional_lights(
             quality,
             max_trace_distance=lights.properties[:, 1],
             trace_z=trace_plane,
+            self_occlusion_lift=SELF_OCCLUSION_HACK,
         )
         cone = jnp.where(trace_enable, vis, 1.0)
     else:

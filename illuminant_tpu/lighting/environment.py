@@ -11,6 +11,7 @@ reference's 128-instances-per-draw chunking, LightingRenderer.cs:1149-1166).
 from __future__ import annotations
 
 import dataclasses
+import itertools
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -209,9 +210,15 @@ class LightObstruction:
             object.__setattr__(self, "has_dynamicity_changed", True)
         object.__setattr__(self, name, value)
 
+    _serial_counter = itertools.count()
+
     def __post_init__(self):
         object.__setattr__(self, "is_valid", False)  # new -> needs raster
         object.__setattr__(self, "has_dynamicity_changed", False)
+        # Process-unique identity for the renderer's add/remove snapshot:
+        # id() is recycled by the allocator, so a remove+add pair at the
+        # same address would compare equal and skip field invalidation.
+        object.__setattr__(self, "serial", next(self._serial_counter))
 
     @staticmethod
     def box(center, size, is_dynamic=False):

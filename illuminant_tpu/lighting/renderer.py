@@ -165,9 +165,9 @@ class LightingRenderer:
         if self.sdf_config is None:
             return
         snapshot = (
-            tuple(id(o) for o in self.environment.obstructions
+            tuple(o.serial for o in self.environment.obstructions
                   if not o.is_dynamic),
-            tuple(id(o) for o in self.environment.obstructions
+            tuple(o.serial for o in self.environment.obstructions
                   if o.is_dynamic),
         )
         invalidated_static = invalidated_dynamic = False

@@ -101,8 +101,9 @@ def _bidirectional_scan(occ, light_x, light_y, light_radius, unroll=None):
     # The per-column k outputs are stored f16; for a far off-screen
     # light (the directional pseudo-center, |lx| in the thousands) dx is
     # large and the f16 step reaches ~8px — enough to push the 3D-refine
-    # sample off its blocker. Store k relative to this offset (k stays
-    # within [0, W] for any lx <= 0) and add it back at readout.
+    # sample off its blocker. Store k + k_off (for lx = -D, dx is in
+    # [D, D+W] and k_off = -D, so the stored value stays within [0, W])
+    # and subtract k_off back at readout.
     k_off = jnp.minimum(lx, 0.0)
 
     def step(carry, inputs):
@@ -154,8 +155,8 @@ def _bidirectional_scan(occ, light_x, light_y, light_radius, unroll=None):
         # readout. Halves the pass's HBM traffic.
         return (new_min_d, new_min_k, new_neg_k), (
             res_d.astype(jnp.float16),
-            (res_k - k_off).astype(jnp.float16),
-            (res_n - k_off).astype(jnp.float16),
+            (res_k + k_off).astype(jnp.float16),
+            (res_n + k_off).astype(jnp.float16),
         )
 
     init = (
@@ -257,8 +258,8 @@ def scan_visibility(
         east, off_e,
         jnp.where(west, off_w, jnp.where(north, off_n, off_s)),
     )
-    min_k = min_k + k_off
-    neg_k = neg_k + k_off
+    min_k = min_k - k_off
+    neg_k = neg_k - k_off
 
     # Convert horizontal distances to along-ray distances (the scan walks
     # the major axis; the ray is longer by sec = ray_len / major_extent).
@@ -386,6 +387,7 @@ def scan_cone_visibility(
     quality: QualitySettings,
     max_trace_distance=None,  # (L,) or None
     trace_z=None,
+    self_occlusion_lift: float = 1.6,
 ):
     """Shadow-scale-aware scan visibility over a G-buffer -> (L, H, W).
 
@@ -393,11 +395,16 @@ def scan_cone_visibility(
     normal-lifted shading endpoints (SphereLightCore.fxh:151 + the 2.5D
     screen->world y reconstruction, LightCommon.fxh:119), runs the scan
     at quality.shadow_scale resolution, and upsamples in bf16.
+
+    `self_occlusion_lift` is the family's SELF_OCCLUSION_HACK constant —
+    1.6 for sphere lights (SphereLightCore.fxh:151), 1.5 for
+    directional/line (LineLightCore.fxh:10) — so the scan shades the same
+    endpoint as the march it replaces.
     """
     h, w = gbuffer.shape
     ss = quality.shadow_scale
-    lifted_z = gbuffer.z + 1.6 * gbuffer.normal[..., 2]
-    offset_xy = 1.6 * gbuffer.normal[..., :2]
+    lifted_z = gbuffer.z + self_occlusion_lift * gbuffer.normal[..., 2]
+    offset_xy = self_occlusion_lift * gbuffer.normal[..., :2]
     offset_xy = jnp.stack(
         [offset_xy[..., 0], offset_xy[..., 1] + gbuffer.relative_y],
         axis=-1,

@@ -333,7 +333,11 @@ def bin_particles(cfg: TiledRasterConfig, x, y, color, size, live,
     payload_ops = sorted_all if cfg.compact_payload else sorted_all[1:]
     p = len(payload_ops)
     spr = cfg.slots_per_row
-    rows_needed = k // spr + 1
+    # ceil(k/spr) + 1 rows: the +1 absorbs the in-row offset (up to
+    # spr-1); plain k//spr + 1 under-covers when k % spr > 1 (off + k can
+    # exceed the window — silently truncating near-full bins in unaligned
+    # mode, or a trace-time broadcast error in aligned mode).
+    rows_needed = -(-k // spr) + 1
     n_rows = -(-n // spr) + rows_needed
     pad = n_rows * spr - n
     packed = jnp.concatenate(
@@ -362,7 +366,7 @@ def _quad_gather(packed, starts_sel, counts_sel, k, p, aligned=True,
     instead masks by ABSOLUTE slot position — additive blending is
     order-invariant, so the set is all that matters."""
     m = starts_sel.shape[0]
-    rows_needed = k // spr + 1
+    rows_needed = -(-k // spr) + 1  # must match bin_particles' padding
 
     base_row = starts_sel // spr
 

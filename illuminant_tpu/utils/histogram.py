@@ -63,13 +63,40 @@ def compute_histogram(lightmap, boundaries, ignore_zeroes: bool = False,
     if ignore_zeroes:
         valid = lum > 0.0
 
-    max_log = float(np.log(1.0 + max_value) / np.log(power))
-    scale = b / (max_log * float(np.log(power)))
-    # bucket i covers [boundary[i-1], boundary[i]) with
-    # boundary[i] = power^(max_log*(i+1)/B) - 1, so
-    # idx = floor(log_power(1 + lum) * B / max_log), clamped.
-    u = jnp.log1p(jnp.maximum(lum, 0.0)) * scale
-    idx = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, b - 1)
+    # The analytic index formula is only the inverse of bucket_boundaries'
+    # log spacing; a caller passing DIFFERENT boundaries (Histogram.cs
+    # PickBucketForValue accepts any sorted set) must get the comparison
+    # path, so check the supplied array against the formula host-side
+    # (cheap: B values). Traced boundaries can't be inspected — they are
+    # trusted to match power/max_value, as documented above.
+    analytic = True
+    try:
+        host_bounds = np.asarray(boundaries)
+    except Exception:
+        host_bounds = None
+    if host_bounds is not None:
+        expected = bucket_boundaries(max_value, power, b)
+        analytic = host_bounds.shape == expected.shape and bool(
+            np.allclose(host_bounds, expected, rtol=1e-4, atol=1e-5)
+        )
+    if analytic:
+        max_log = float(np.log(1.0 + max_value) / np.log(power))
+        scale = b / (max_log * float(np.log(power)))
+        # bucket i covers [boundary[i-1], boundary[i]) with
+        # boundary[i] = power^(max_log*(i+1)/B) - 1, so
+        # idx = floor(log_power(1 + lum) * B / max_log), clamped.
+        u = jnp.log1p(jnp.maximum(lum, 0.0)) * scale
+        idx = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, b - 1)
+    else:
+        # General sorted boundaries: bucket i takes values below
+        # boundaries[i] (first bucket below its max, last bucket takes
+        # everything past the second-last boundary).
+        idx = jnp.clip(
+            jnp.searchsorted(boundaries, lum, side="right").astype(
+                jnp.int32
+            ),
+            0, b - 1,
+        )
     one_hot = (
         idx[:, None] == jnp.arange(b, dtype=jnp.int32)[None, :]
     ) & valid[:, None]
