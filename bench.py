@@ -66,9 +66,64 @@ def main():
 
 
 def _run_config(height, width, capacity, frames):
+    fast = _bench_preset("fast", height, width, capacity, frames)
+    result = {
+        "metric": "1080p light-resolve Mpix/s; 1M-particle steps/sec",
+        "value": fast["fps"],
+        "unit": "fused frames/sec (full config-5: 8-light SDF resolve + "
+                "dynamic occluders + 1M-particle step + tiled raster + "
+                "HDR histogram tonemap)",
+        "vs_baseline": round(fast["fps"] / 60.0, 4),
+        "mpix_per_sec": fast["mpix_per_sec"],
+        "resolution": f"{width}x{height}",
+        "particle_capacity": capacity,
+        "live_particles": fast["live_particles"],
+        "raster_dropped_max": fast["raster_dropped_max"],
+        "device": str(jax.devices()[0]),
+    }
+    # Reference-parity quality row (VERDICT r2 #1): collision substeps 3,
+    # full-res shadows + 2 refine samples, round disc kernel, full
+    # payload. Benched at fewer frames (it is the slower row); a failure
+    # here must not lose the fast row.
+    try:
+        parity = _bench_preset(
+            "parity", height, width, capacity, max(frames // 2, 200)
+        )
+        result["parity_fps"] = parity["fps"]
+        result["parity_vs_baseline"] = round(parity["fps"] / 60.0, 4)
+        result["parity_raster_dropped_max"] = parity["raster_dropped_max"]
+        result["parity_unit"] = (
+            "same frame at reference-parity quality: collision_substeps "
+            "3, shadow_scale 1.0, scan_refine_samples 2, round kernel, "
+            "full-precision payload"
+        )
+    except Exception as e:  # noqa: BLE001
+        print(f"# parity row failed: {e}", file=sys.stderr)
+    # Full-light-family row (VERDICT r2 #2): the flagship plus a
+    # directional sun, a line light, a shadowed volumetric, a projector
+    # and 32 particle lights — config 5's "full Lumined scene" words.
+    try:
+        fam = _bench_preset(
+            "fast", height, width, capacity, max(frames // 2, 200),
+            full_family=True,
+        )
+        result["full_family_fps"] = fam["fps"]
+        result["full_family_vs_baseline"] = round(fam["fps"] / 60.0, 4)
+        result["full_family_unit"] = (
+            "flagship + directional sun + line + shadowed volumetric + "
+            "projector + 32 particle lights, one fused frame"
+        )
+    except Exception as e:  # noqa: BLE001
+        print(f"# full-family row failed: {e}", file=sys.stderr)
+    print(json.dumps(result))
+
+
+def _bench_preset(preset, height, width, capacity, frames,
+                  full_family=False):
     from illuminant_tpu.scenes import build_flagship
 
-    scene = build_flagship(height=height, width=width, capacity=capacity)
+    scene = build_flagship(height=height, width=width, capacity=capacity,
+                           preset=preset, full_family=full_family)
     state = scene.system.state
     key = jax.random.key(0)
     env_u = scene.environment.uniforms()
@@ -112,21 +167,12 @@ def _run_config(height, width, capacity, frames):
     mpix_per_sec = steps_per_sec * height * width / 1e6
     live = int(jnp.sum(state.position[:, 3] > 0.0))
 
-    result = {
-        "metric": "1080p light-resolve Mpix/s; 1M-particle steps/sec",
-        "value": round(steps_per_sec, 3),
-        "unit": "fused frames/sec (full config-5: 8-light SDF resolve + "
-                "dynamic occluders + 1M-particle step + tiled raster + "
-                "HDR histogram tonemap)",
-        "vs_baseline": round(steps_per_sec / 60.0, 4),
+    return {
+        "fps": round(steps_per_sec, 3),
         "mpix_per_sec": round(mpix_per_sec, 1),
-        "resolution": f"{width}x{height}",
-        "particle_capacity": capacity,
         "live_particles": live,
         "raster_dropped_max": int(drops),
-        "device": str(jax.devices()[0]),
     }
-    print(json.dumps(result))
 
 
 if __name__ == "__main__":

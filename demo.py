@@ -15,6 +15,18 @@ import time
 
 import numpy as np
 
+import jax
+
+# Persistent compilation cache (same stanza as bench.py): a cold gallery
+# run otherwise pays multi-minute remote compiles per scene — the voxel
+# march's first compile alone was measured at ~400 s.
+_CACHE_DIR = os.path.join(os.path.dirname(__file__), ".jax_cache")
+try:
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 from illuminant_tpu.core.config import HDRConfig, RendererConfig
 from illuminant_tpu.lighting.environment import (
     LightObstruction,
@@ -611,6 +623,27 @@ def scene_flagship_frame():
     return np.asarray(img)
 
 
+def scene_full_family():
+    """The full-light-family Lumined frame (bench full_family row): the
+    flagship plus a directional sun, a line light, a shadowed volumetric,
+    a projector, and 32 particle lights — every LightSourceTypeID in one
+    frame (LightSource.cs:12-21)."""
+    import jax
+    import jax.numpy as jnp
+    from illuminant_tpu.scenes import build_flagship
+
+    sc = build_flagship(height=540, width=960, capacity=1 << 18,
+                        spawn_max=2048, bin_capacity=512,
+                        full_family=True)
+    st = sc.system.state
+    env_u = sc.environment.uniforms()
+    img, st, avg, drops = sc.frame_loop(
+        st, jnp.float32(0.5), jax.random.key(0), sc.volume, sc.gbuffer,
+        sc.sphere_lights, env_u, jnp.asarray(2048, jnp.int32),
+        jnp.asarray(0, jnp.int32), 240)
+    return np.asarray(img)
+
+
 def scene_hdr_histogram():
     """HDR histogram + visualizer overlay (HistogramVisualizer.Draw)."""
     import jax.numpy as jnp
@@ -718,6 +751,7 @@ SCENES = {
     "projector_lut": scene_projector_lut,
     "particle_sprites": scene_particle_sprites,
     "flagship_frame": scene_flagship_frame,
+    "full_family": scene_full_family,
     "hdr_histogram": scene_hdr_histogram,
     "heightmap_tools": scene_heightmap_tools,
     "jumpflood": scene_jumpflood,

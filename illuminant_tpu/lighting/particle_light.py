@@ -129,7 +129,12 @@ def accumulate_particle_lights(
         state, source.template, source.max_lights,
         stipple_factor=source.stipple_factor,
     )
+    if not source.template.cast_shadows:
+        # Host-static skip: the scan/march run full fixed-shape work even
+        # when every per-light cast flag is false.
+        shadow_mode = "none"
     return accumulate_sphere_lights(
         volume, gbuffer, lights, env, quality,
         with_specular=False, shadow_mode=shadow_mode,
+        with_ao=source.template.ambient_occlusion_radius > 0.0,
     )

@@ -262,7 +262,13 @@ def accumulate_sphere_lights(
         & (pre_trace >= SHADOW_OPACITY_THRESHOLD)
         & (active > 0.0)
     )
-    if shadow_mode == "scan":
+    if shadow_mode == "none":
+        # Static skip when the HOST knows no light in the set casts
+        # shadows (e.g. a shadowless ParticleLightSource template): both
+        # the scan and the march run their full fixed-shape work even
+        # with every trace_enable false, so the skip must be static.
+        cone = jnp.ones_like(pre_trace)
+    elif shadow_mode == "scan":
         # Fast gather-free path; `trace_enable` gating applied afterward
         # like the march's early-disable. Shadow-scale handling + the
         # normal-lifted endpoints live in the shared dispatch

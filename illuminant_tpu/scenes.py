@@ -81,8 +81,30 @@ def build_flagship(
     sdf_resolution_scale: float = 0.25,
     quality: Optional[QualitySettings] = None,
     bin_capacity: int = 1016,
+    preset: str = "fast",
+    shadow_mode: str = "scan",
+    full_family: bool = False,
 ) -> FlagshipScene:
-    """The full config-5 frame: see module docstring."""
+    """The full config-5 frame: see module docstring.
+
+    `preset` picks the benched quality point:
+      * "fast" — the library-default quality knobs (shadow_scale 0.5,
+        scan_refine_samples 1, collision substeps 1, Gaussian glow
+        kernel, compact rgb888 payload). Every knob's deviation from the
+        reference is individually measured (PERF.md "Deliberate
+        approximations").
+      * "parity" — reference-parity semantics: 3 collision substeps
+        (UpdateParticleSystemWithDistanceField.fx:29-147), full-res
+        shadows with 2 refine samples (ConeTrace.fxh march equivalence),
+        the round disc kernel (computeCircularAlpha, fx:145-156), and
+        the full-precision payload (1/16-px positions + bf16 colors).
+    """
+    if preset not in ("fast", "parity"):
+        raise ValueError(f"unknown preset {preset!r}")
+    parity = preset == "parity"
+    substeps = 3 if parity else 1
+    if quality is None and parity:
+        quality = QualitySettings(shadow_scale=1.0, scan_refine_samples=2)
     env = LightingEnvironment(
         ground_z=0.0, maximum_z=128.0, ambient=(0.03, 0.03, 0.04, 1.0)
     )
@@ -139,6 +161,74 @@ def build_flagship(
         [l for l in env.lights if isinstance(l, SphereLightSource)],
         capacity=max(n_lights, 1),
     )
+
+    # Full "Lumined scene" light set (BASELINE config 5's words; the
+    # reference light pass iterates every family in one batch group,
+    # LightingRenderer.cs:1004-1168): directional sun, line light,
+    # shadowed volumetric, projector, particle lights.
+    extra = None
+    if full_family:
+        from .lighting.directional import (
+            DirectionalLightSource, pack_directional_lights)
+        from .lighting.line import LineLightSource, pack_line_lights
+        from .lighting.volumetric import (
+            SHAPE_ELLIPSOID, VolumetricLightSource, pack_volumetric_lights)
+        from .lighting.projector import (
+            ProjectorLightSource, pack_projector_lights)
+        from .lighting.particle_light import ParticleLightSource
+
+        sun = DirectionalLightSource(
+            direction=(0.35, 0.55, -0.76),
+            color=(0.35, 0.33, 0.28, 1.0),
+            shadow_trace_length=256.0,
+            shadow_softness=12.0, shadow_ramp_rate=0.5,
+        )
+        line = LineLightSource(
+            start=(cx - ring * 0.9, cy - ring * 0.75, 44.0),
+            end=(cx + ring * 0.9, cy - ring * 0.75, 44.0),
+            radius=6.0,
+            color_start=(0.9, 0.2, 0.2, 0.9),
+            color_end=(0.2, 0.3, 0.9, 0.9),
+        )
+        volum = VolumetricLightSource(
+            shape=SHAPE_ELLIPSOID,
+            start_position=(cx - ring * 0.6, cy + ring * 0.55, 30.0),
+            end_position=(cx - ring * 0.6 + 120.0, cy + ring * 0.55, 30.0),
+            start_radius=90.0, end_radius=60.0,
+            volumetricity=0.75, distance_attenuation=0.8,
+            color=(0.5, 0.8, 0.6, 0.8),
+            cast_shadows=True,
+        )
+        # Procedural projected texture (a soft window-pane pattern).
+        ty, txx = np.meshgrid(np.linspace(0, 1, 64), np.linspace(0, 1, 64),
+                              indexing="ij")
+        pane = (np.sin(txx * np.pi * 4) * np.sin(ty * np.pi * 4)) ** 2
+        ptex = np.stack([pane * 0.9, pane * 0.8, pane * 0.5,
+                         np.ones_like(pane)], axis=-1).astype(np.float32)
+        proj = ProjectorLightSource(
+            texture=ptex,
+            position=(cx + ring * 0.35, cy + ring * 0.4, 0.0),
+            scale=(260.0, 200.0),
+            opacity=0.8,
+        )
+        plight = ParticleLightSource(
+            template=SphereLightSource(
+                position=(0.0, 0.0, 0.0), radius=3.0,
+                ramp_length=90.0, color=(1.0, 1.0, 1.0, 0.035),
+                # Shadowless template (the common reference usage —
+                # ParticleLights.cs demo tweaks this; 32 extra shadow
+                # traces would dominate the frame).
+                cast_shadows=False,
+            ),
+            max_lights=32,
+        )
+        extra = {
+            "directional": pack_directional_lights([sun]),
+            "line": pack_line_lights([line]),
+            "volumetric": pack_volumetric_lights([volum]),
+            "projector": pack_projector_lights([proj]),
+            "particle_light": plight,
+        }
 
     # Dynamic-occluder animation amplitudes per analytic group, aligned
     # with pack_scene's type-sorted group order. The ellipsoid orbits a
@@ -254,11 +344,20 @@ def build_flagship(
         min_value=0.0, max_value=6.0,
     )
 
-    raster_config = TiledRasterConfig(
-        height=height, width=width, tile=32, bin_capacity=bin_capacity,
-        apron=4, kernel="gauss", rgba8_colors=True, color_scale=4.0,
-        channels=3, slots_per_row=16, compact_payload=True,
-    )
+    if parity:
+        raster_config = TiledRasterConfig(
+            height=height, width=width, tile=32,
+            bin_capacity=bin_capacity, apron=4, kernel="round",
+            rgba8_colors=False, channels=4, slots_per_row=16,
+            compact_payload=False,
+        )
+    else:
+        raster_config = TiledRasterConfig(
+            height=height, width=width, tile=32,
+            bin_capacity=bin_capacity, apron=4, kernel="gauss",
+            rgba8_colors=True, color_scale=4.0, channels=3,
+            slots_per_row=16, compact_payload=True,
+        )
     hist_bounds = jnp.asarray(bucket_boundaries(max_value=64.0))
 
     dt = 1.0 / 60.0
@@ -294,9 +393,41 @@ def build_flagship(
         ).astype(jnp.float32)
         lightmap = lightmap + accumulate_sphere_lights(
             vol_t, gbuffer_, lights_i, env_u_, config.quality,
-            with_specular=False, shadow_mode="scan", with_ao=False,
+            with_specular=False, shadow_mode=shadow_mode, with_ao=False,
             with_alpha=False,
         )
+        if extra is not None:
+            from .lighting.directional import accumulate_directional_lights
+            from .lighting.line import accumulate_line_lights
+            from .lighting.volumetric import accumulate_volumetric_lights
+            from .lighting.projector import accumulate_projector_lights
+            from .lighting.particle_light import accumulate_particle_lights
+
+            # Directional sun: the march beats the scan for few-primitive
+            # analytic scenes (PERF.md A/B — the scan pays 4 sector
+            # passes per call; the march 64 masked plane evals).
+            lightmap = lightmap + accumulate_directional_lights(
+                vol_t, gbuffer_, extra["directional"], env_u_,
+                config.quality, shadow_mode="march",
+            )[..., :3]
+            lightmap = lightmap + accumulate_line_lights(
+                vol_t, gbuffer_, extra["line"], env_u_, config.quality,
+                shadow_mode="march",
+            )[..., :3]
+            lightmap = lightmap + accumulate_volumetric_lights(
+                vol_t, gbuffer_, extra["volumetric"], env_u_,
+                config.quality, shadowed=True,
+            )[..., :3]
+            lightmap = lightmap + accumulate_projector_lights(
+                vol_t, gbuffer_, extra["projector"], env_u_,
+                config.quality,
+            )[..., :3]
+            # Particle lights read the INCOMING state — the reference's
+            # usePreviousData convention (LightingRenderer.cs:1138-43).
+            lightmap = lightmap + accumulate_particle_lights(
+                vol_t, gbuffer_, state, extra["particle_light"], env_u_,
+                config.quality, shadow_mode="scan",
+            )[..., :3]
 
         # -- particles: bezier-path spawner, gravity, SDF collision --
         spawn_pos = evaluate_bezier(spawn_path_bezier, jnp.mod(t, 6.0))
@@ -309,7 +440,7 @@ def build_flagship(
                                     su)
         state = state.replace(position=pos, velocity=vel)
         state = integrate_with_distance_field(state, su, rd, vol_t,
-                                              substeps=1)
+                                              substeps=substeps)
 
         # -- particle rasterization (full-res, tiled) --
         particle_img, diag = rasterize_tiled(
@@ -323,7 +454,7 @@ def build_flagship(
         # bf16 composite: feeds only the histogram (log-bucket index) and
         # the uint8 tonemap — 0.4% relative precision is invisible there
         # and the (H, W, 3) plane is written+read twice per frame.
-        scene_hdr = (lightmap + particle_img).astype(jnp.bfloat16)
+        scene_hdr = (lightmap + particle_img[..., :3]).astype(jnp.bfloat16)
 
         # -- HDR histogram -> auto-exposure for the NEXT frame --
         # Full resolution: on TPU any 2x subsample of this image (strided

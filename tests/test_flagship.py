@@ -59,3 +59,56 @@ def test_flagship_frame_loop_matches_single_steps():
     np.testing.assert_array_equal(np.asarray(img_b), np.asarray(img_c))
     np.testing.assert_allclose(np.asarray(st_b.position),
                                np.asarray(st_c.position), atol=1e-5)
+
+
+def test_flagship_parity_preset():
+    """Reference-parity quality row (VERDICT r2 #1): substeps 3, full-res
+    shadows + 2 refine samples, round kernel, full payload."""
+    sc = build_flagship(height=96, width=128, capacity=1 << 12,
+                        spawn_max=256, bin_capacity=256, preset="parity")
+    assert sc.raster_config.kernel == "round"
+    assert not sc.raster_config.compact_payload
+    assert sc.config.quality.shadow_scale == 1.0
+    assert sc.config.quality.scan_refine_samples == 2
+    st = sc.system.state
+    env_u = sc.environment.uniforms()
+    avg = jnp.float32(0.5)
+    for i in range(6):
+        img, st, avg, drops = sc.frame(
+            st, avg, jax.random.fold_in(jax.random.key(1), i), sc.volume,
+            sc.gbuffer, sc.sphere_lights, env_u,
+            jnp.asarray(256, jnp.int32))
+    img = np.asarray(img)
+    assert img.dtype == np.uint8 and int(drops) == 0
+    assert 30 < img.mean() < 240, img.mean()
+    assert int(st.live_count()) > 500
+
+
+def test_flagship_full_family():
+    """Full-light-family frame (VERDICT r2 #2): every LightSourceTypeID
+    contributes — masking out each family must change the image."""
+    sc = build_flagship(height=96, width=128, capacity=1 << 12,
+                        spawn_max=256, bin_capacity=1016,
+                        full_family=True)
+    st = sc.system.state
+    env_u = sc.environment.uniforms()
+    key = jax.random.key(2)
+    # 48 frames: lets the 0.05-blend auto-exposure settle.
+    img, st, avg, drops = sc.frame_loop(
+        st, jnp.float32(0.5), key, sc.volume, sc.gbuffer,
+        sc.sphere_lights, env_u, jnp.asarray(256, jnp.int32),
+        jnp.asarray(0, jnp.int32), 48)
+    img = np.asarray(img)
+    assert img.dtype == np.uint8 and int(drops) == 0
+    assert 20 < img.mean() < 245, img.mean()
+
+    # Sanity: the sphere-only flagship at the same seed differs — the
+    # extra families are actually in the frame.
+    sc2 = build_flagship(height=96, width=128, capacity=1 << 12,
+                         spawn_max=256, bin_capacity=256,
+                         full_family=False)
+    img2, st2, avg2, _ = sc2.frame_loop(
+        sc2.system.state, jnp.float32(0.5), key, sc2.volume, sc2.gbuffer,
+        sc2.sphere_lights, env_u, jnp.asarray(256, jnp.int32),
+        jnp.asarray(0, jnp.int32), 48)
+    assert np.abs(img.astype(int) - np.asarray(img2, int)).mean() > 1.0
