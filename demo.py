@@ -605,6 +605,61 @@ def scene_particle_sprites():
     return (np.asarray(img) * 110).clip(0, 255).astype(np.uint8)
 
 
+def scene_alpha_sprites():
+    """Ordered-alpha TEXTURED sprites over a background with Z ordering
+    (RasterizeParticleSystem.fx Texture* materials + ZFormula): leaves
+    drifting over a lit floor, nearer leaves compositing over farther
+    ones regardless of spawn order."""
+    import jax.numpy as jnp
+    from illuminant_tpu.particles.state import ParticleState
+    from illuminant_tpu.raster.render import (ParticleAppearance,
+                                              render_particles)
+    from illuminant_tpu.raster.tiled import TiledRasterConfig
+
+    # Leaf-ish sprite: soft rounded diamond with a stem notch.
+    n = 24
+    ys, xs = np.meshgrid(np.linspace(-1, 1, n), np.linspace(-1, 1, n),
+                         indexing="ij")
+    leaf = np.clip(1.0 - (np.abs(xs) ** 1.5 + np.abs(ys * 1.6) ** 1.5),
+                   0, 1) ** 0.8
+    app = ParticleAppearance(texture=leaf.astype(np.float32),
+                             angle_bins=8, rank=4, size_bins=4,
+                             size_min=8.0, size_max=18.0)
+    rng = np.random.default_rng(11)
+    m = 300
+    st = ParticleState.empty(512)
+    pos = np.zeros((512, 4), np.float32)
+    pos[:m, 0] = rng.uniform(10, 246, m)
+    pos[:m, 1] = rng.uniform(10, 246, m)
+    pos[:m, 2] = rng.uniform(0, 60, m)  # depth for Z ordering
+    pos[:m, 3] = 1.0
+    rc = np.zeros((512, 4), np.float32)
+    a = rng.uniform(0.6, 0.95, m)
+    rc[:m, 0] = rng.uniform(0.5, 0.9, m) * a
+    rc[:m, 1] = rng.uniform(0.3, 0.8, m) * a
+    rc[:m, 2] = rng.uniform(0.1, 0.3, m) * a
+    rc[:m, 3] = a
+    rd = np.zeros((512, 4), np.float32)
+    rd[:m, 0] = rng.uniform(9, 17, m)
+    rd[:m, 1] = rng.uniform(0, 2 * np.pi, m)
+    st = st.replace(position=jnp.asarray(pos),
+                    render_color=jnp.asarray(rc),
+                    render_data=jnp.asarray(rd))
+    cfg = TiledRasterConfig(height=256, width=256, tile=32,
+                            bin_capacity=512, apron=9,
+                            rgba8_colors=False, channels=4)
+    # Lit-floor background.
+    yy, xx = np.meshgrid(np.arange(256), np.arange(256), indexing="ij")
+    bg = np.stack([0.2 + 0.5 * np.exp(-((xx - 128) ** 2 +
+                                        (yy - 110) ** 2) / 7000.0)] * 3
+                  + [np.ones((256, 256))], axis=-1).astype(np.float32)
+    img, _ = render_particles(
+        st, cfg, appearance=app, additive_blend=False,
+        background=jnp.asarray(bg), z_formula=(0.0, 0.0, 1.0, 0.0),
+    )
+    return (np.asarray(img) * 255).clip(0, 255).astype(np.uint8)
+
+
 def scene_flagship_frame():
     """One frame of the ACTUAL benchmark workload (config 5) at 480x270
     so the judge can eyeball what bench.py measures."""
@@ -750,6 +805,7 @@ SCENES = {
     "feedback_pattern_spawners": scene_feedback_pattern_spawners,
     "projector_lut": scene_projector_lut,
     "particle_sprites": scene_particle_sprites,
+    "alpha_sprites": scene_alpha_sprites,
     "flagship_frame": scene_flagship_frame,
     "full_family": scene_full_family,
     "hdr_histogram": scene_hdr_histogram,

@@ -8,9 +8,12 @@ the controller IS the capability — a notebook/CLI/UI front-end drives it
 programmatically.
 
 Editing model: every edit mutates the `EngineModel` (the persistent scene
-document), then rebuilds the live `EngineView` with a FIXED RNG seed and a
-mock time provider — so a scripted editor session is fully deterministic
-and replayable (save -> load -> replay produces bit-identical state; see
+document). PROPERTY edits then live-patch the running `EngineView`
+(particle state continues — the reference's reflection-patch path,
+Modeling/View.cs:199-264); STRUCTURAL edits (add/remove/duplicate) rebuild
+it with a FIXED RNG seed and a mock time provider (Controller.cs
+QueueReset). Either way a scripted editor session is fully deterministic
+and replayable (the same edit script reproduces bit-identical state; see
 tests/test_editor.py).
 """
 
@@ -53,11 +56,10 @@ class Selection:
 class EditorController:
     """Add/remove/edit systems & transforms, pause/step, save/load.
 
-    Structural edits and property edits go through the model; the live
-    view is rebuilt deterministically (the reference instead patches live
-    objects via reflection, View.cs:199-264 — same observable semantics,
-    since all engine state is reconstructed from the model + elapsed
-    steps).
+    All edits go through the model; property edits live-patch the running
+    view (state continues mid-flight), structural edits rebuild it
+    deterministically — matching the reference's split between
+    reflection-patching (View.cs:199-264) and QueueReset.
     """
 
     def __init__(self, model: Optional[EngineModel] = None, volume=None,
@@ -132,17 +134,22 @@ class EditorController:
         self._rebuild()
 
     # -- property editing (PropertyEditor over the model's bags) ---------
+    # Property edits LIVE-PATCH the running view — particle state, RNG
+    # stream and spawn accumulators carry over, so tweaking gravity while
+    # particles fly adjusts their trajectories without a restart (the
+    # reference patches live objects via reflection, View.cs:199-264;
+    # only structural changes queue a reset, Controller.cs QueueReset).
 
     def set_transform_property(self, system_index: int,
                                transform_index: int, key: str, value: Any):
         tm = self.model.systems[system_index].transforms[transform_index]
         tm.properties[key] = value
-        self._rebuild()
+        self._patch(self.model.systems[system_index])
 
     def set_system_configuration(self, system_index: int, key: str,
                                  value: Any):
         self.model.systems[system_index].configuration[key] = value
-        self._rebuild()
+        self._patch(self.model.systems[system_index])
 
     def set_named_variable(self, name: str, value: Any,
                            is_external: bool = True):
@@ -153,7 +160,8 @@ class EditorController:
         self.model.named_variables[name] = NamedVariableDefinition(
             default_value=param, is_external=is_external
         )
-        self._rebuild()
+        if self.view is None or not self.view.refresh_variables():
+            self._rebuild()
 
     # -- selection --------------------------------------------------------
 
@@ -220,12 +228,18 @@ class EditorController:
 
     # -- internals ----------------------------------------------------------
 
+    def _patch(self, sm):
+        """Property edit: live-patch if possible, else fall back to the
+        structural rebuild."""
+        if self.view is None or not self.view.patch_system(sm):
+            self._rebuild()
+
     def _rebuild(self):
         """Reinstantiate the live view from the model with a fixed seed
-        and reset MockTime. Edits therefore restart the simulation from a
-        deterministic state — the editing analog of the reference's
-        restart-on-structural-change (Controller.cs QueueReset), and what
-        makes scripted sessions replayable bit-for-bit."""
+        and reset MockTime — STRUCTURAL edits only (add/remove/duplicate;
+        the reference's Controller.cs QueueReset). Sessions stay
+        replayable bit-for-bit: both rebuilds and live patches are
+        deterministic functions of the edit script."""
         self.time = MockTime()
         self._steps_taken = 0
         self.view = EngineView(

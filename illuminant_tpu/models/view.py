@@ -184,6 +184,12 @@ def system_config_from_model(sm: SystemModel) -> ParticleSystemConfig:
         maximum_velocity=f("MaximumVelocity", 16384.0),
         life_decay_per_second=f("LifeDecayPerSecond", 1.0),
         z_to_y=f("ZToY", 0.0),
+        z_formula=(
+            tuple(float(v) for v in
+                  _param_value(c.get("ZFormula"), None, 0, 4))
+            if c.get("ZFormula") is not None else None
+        ),
+        size_from_z=f("SizeFromZ", 0.0),
         collision_distance=f("Distance", 0.33, collision),
         collision_life_penalty=f("LifePenalty", 0.0, collision),
         escape_velocity=f("EscapeVelocity", 128.0, collision),
@@ -207,6 +213,8 @@ class EngineView:
                  capacity: Optional[int] = None):
         self.model = model
         self.resolver = model.make_resolver(overrides)
+        self._overrides = overrides
+        self._capacity = capacity
         self.systems: List[SystemView] = []
         for sm in sorted(model.systems, key=lambda s: s.update_order):
             config = system_config_from_model(sm)
@@ -223,6 +231,41 @@ class EngineView:
                                           volume=volume),
                 )
             )
+
+    def patch_system(self, sm: SystemModel) -> bool:
+        """Re-derive a system's config + transforms from its (edited)
+        model and apply them to the LIVE ParticleSystem without resetting
+        its state (Modeling/View.cs:199-264 reflection-patch semantics).
+        Returns False when the edit is structural (capacity / transform
+        count changed) and the caller must rebuild instead."""
+        for sv in self.systems:
+            if sv.model is sm:
+                config = system_config_from_model(sm)
+                if self._capacity:
+                    config = dataclasses.replace(
+                        config, capacity=self._capacity)
+                if config.capacity != sv.system.config.capacity:
+                    return False
+                if len(sm.transforms) != len(sv.system.transforms):
+                    return False
+                transforms = [
+                    instantiate_transform(t, self.resolver)
+                    for t in sm.transforms
+                ]
+                sv.system.patch(transforms=transforms, config=config)
+                return True
+        return False
+
+    def refresh_variables(self,
+                          overrides: Optional[Dict[str, Any]] = None
+                          ) -> bool:
+        """Named-variable change: rebuild the resolver and live-patch
+        every system so transforms referencing the variable pick up the
+        new value without a reset."""
+        if overrides is not None:
+            self._overrides = overrides
+        self.resolver = self.model.make_resolver(self._overrides)
+        return all(self.patch_system(sv.model) for sv in self.systems)
 
     def update(self, dt: float):
         for sv in self.systems:

@@ -238,6 +238,17 @@ class Spawner:
         self.rate_error = 0.0
         self.total_spawned = 0
 
+    def carry_runtime_from(self, other: "Spawner"):
+        """Adopt another spawner's runtime accumulators (rate error, RNG
+        stream, spawn totals, feedback cursor) — used by the editor's
+        live property-patch path so a mid-flight edit doesn't restart or
+        stutter the emission stream."""
+        self._rng = other._rng
+        self.rate_error = other.rate_error
+        self.total_spawned = other.total_spawned
+        if hasattr(other, "read_cursor") and hasattr(self, "read_cursor"):
+            self.read_cursor = other.read_cursor
+
     def begin_tick(self, now: float, dt: float) -> int:
         """BeginTick (ParticleSpawner.cs:152-196): stochastic count with
         error carry."""
@@ -290,6 +301,20 @@ class Spawner:
             config[8, :3] = [vap.constant, vap.random_scale, vap.offset]
 
         identity = np.eye(4, dtype=np.float32)
+
+        def post_matrix(m):
+            """Static array OR animated Parameter<DynamicMatrix>: a
+            BezierM evaluates at the CURRENT time each tick
+            (ParticleSpawner.cs Position/VelocityPostMatrix are
+            Parameter<DynamicMatrix> re-evaluated per frame)."""
+            if m is None:
+                return jnp.asarray(identity)
+            from ..ops.bezier import BezierM, evaluate_bezier_matrix
+
+            if isinstance(m, BezierM):
+                return evaluate_bezier_matrix(m, now)
+            return jnp.asarray(m, jnp.float32)
+
         return SpawnUniforms(
             position_constants=jnp.asarray(pc),
             position_constant_count=jnp.asarray(float(len(pos_constants)),
@@ -299,16 +324,8 @@ class Spawner:
                 [self.position.type, self.velocity.type, 0.0, 0.0],
                 jnp.float32,
             ),
-            position_matrix=jnp.asarray(
-                self.position_post_matrix
-                if self.position_post_matrix is not None else identity,
-                jnp.float32,
-            ),
-            velocity_matrix=jnp.asarray(
-                self.velocity_post_matrix
-                if self.velocity_post_matrix is not None else identity,
-                jnp.float32,
-            ),
+            position_matrix=post_matrix(self.position_post_matrix),
+            velocity_matrix=post_matrix(self.velocity_post_matrix),
             axis_mask=jnp.asarray(self.axis_mask, jnp.float32),
             align_velocity_and_position=jnp.asarray(
                 1.0 if self.align_velocity_and_position else 0.0, jnp.float32

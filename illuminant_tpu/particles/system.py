@@ -46,6 +46,12 @@ class ParticleSystemConfig:
     maximum_velocity: float = 16384.0
     life_decay_per_second: float = 1.0
     z_to_y: float = 0.0
+    # Render-Z controls (ParticleConfiguration.cs:282-287): screen_z =
+    # dot(z_formula, (x, y, z, 1)) depth-orders alpha compositing;
+    # size *= max(0, 1 + z * size_from_z). Consumed by
+    # raster/render.py:render_particles.
+    z_formula: tuple = None
+    size_from_z: float = 0.0
     # ParticleCollision (ParticleConfiguration.cs:8-40).
     collision_distance: float = 0.33
     collision_life_penalty: float = 0.0
@@ -258,6 +264,34 @@ class ParticleSystem:
         self._update_error = 0.0
         for s in self.spawners:
             s.reset()
+
+    def patch(self, transforms=None, config=None, render_data=None):
+        """LIVE-patch transforms/config without resetting state — the
+        reference's property-edit path (Modeling/View.cs:199-264 patches
+        live objects via reflection; only structural changes queue a
+        reset, Controller.cs QueueReset).
+
+        Particle state, RNG stream, tick index and spawn-rate error carry
+        over; the step closure is rebuilt (property-only edits keep its
+        static structure, so the jit cache is hit). Capacity changes are
+        structural and must go through a rebuild instead."""
+        if config is not None:
+            if config.capacity != self.config.capacity:
+                raise ValueError(
+                    "capacity change is structural — rebuild the system"
+                )
+            self.config = config
+        if transforms is not None:
+            old_spawners = self.spawners
+            self.transforms = list(transforms)
+            # Carry spawner accumulators (rate error, window cursor) so a
+            # rate tweak mid-flight doesn't stutter the emission stream.
+            for old, new in zip(old_spawners, self.spawners):
+                if type(old) is type(new):
+                    new.carry_runtime_from(old)
+        if render_data is not None:
+            self.render_data = render_data
+        self._step = self._build_step()
 
     @property
     def live_count(self) -> int:

@@ -89,13 +89,23 @@ def render_particles(
     z_to_y: float = 0.0,
     size_scale: float = 1.0,
     background=None,
+    z_formula=None,
+    size_from_z: float = 0.0,
 ):
     """Render a particle system's live slots -> ((H, W, C) image, diag).
 
     The TPU ParticleSystem.Render: reads the state SoA (position /
     render_color / render_data), applies the appearance, and dispatches
     to the additive tiled splat, the ordered alpha compositor, or the
-    sprite-table path.
+    sprite-table paths (additive or ordered alpha).
+
+    `z_formula`: 4-vector (ParticleConfiguration.cs:282, fx:101-102):
+    screen_z = dot(z_formula, (x, y, z, 1)). The reference feeds this to
+    the depth test; with no depth buffer on the tiled path, it instead
+    DEPTH-ORDERS the alpha compositing (back-to-front by screen_z) —
+    additive blending is order-invariant, so it is a no-op there.
+    `size_from_z`: size *= max(0, 1 + z * size_from_z) (fx:86,
+    ParticleConfiguration.cs:287).
     """
     x = state.position[:, 0]
     y = state.position[:, 1] - state.position[:, 2] * z_to_y
@@ -103,6 +113,10 @@ def render_particles(
     if global_color is not None:
         color = color * jnp.asarray(global_color, jnp.float32)
     size = state.render_data[:, 0] * size_scale
+    if size_from_z:
+        size = size * jnp.maximum(
+            0.0, 1.0 + state.position[:, 2] * size_from_z
+        )
     live = state.live_mask()
 
     app = appearance or ParticleAppearance()
@@ -114,13 +128,25 @@ def render_particles(
 
         live = live & stipple_keep(state.capacity, stipple_factor)
 
+    order = None
+    if z_formula is not None and not additive_blend:
+        zf = jnp.asarray(z_formula, jnp.float32)
+        screen_z = (
+            state.position[:, 0] * zf[0]
+            + state.position[:, 1] * zf[1]
+            + state.position[:, 2] * zf[2]
+            + zf[3]
+        )
+        # Back-to-front: the ordered compositor draws slot order, so
+        # sort descending screen_z (stable — ties keep index order,
+        # the reference's draw order).
+        order = jnp.argsort(-jnp.where(live, screen_z, -jnp.inf),
+                            stable=True)
+        x, y, color, size, live = (
+            x[order], y[order], color[order], size[order], live[order]
+        )
+
     if table is not None:
-        if not additive_blend:
-            raise NotImplementedError(
-                "ordered alpha compositing of TEXTURED sprites is not "
-                "implemented on the tiled path — use the exact oracle "
-                "rasterizer (raster/particles.py) for small systems"
-            )
         if app.relative_size:
             size = size * max(
                 np.asarray(app.texture).shape[0] // max(app.rows, 1), 1
@@ -136,9 +162,17 @@ def render_particles(
             column_from_velocity=app.column_from_velocity,
             frames_x=app.columns,
         ).astype(jnp.float32)
-        return sprites_mod.rasterize_sprites(
+        if order is not None:
+            rotation, frame = rotation[order], frame[order]
+        if additive_blend:
+            return sprites_mod.rasterize_sprites(
+                config, table, x, y, color, size, live,
+                rotation=rotation, frame=frame,
+            )
+        return sprites_mod.rasterize_sprites_alpha(
             config, table, x, y, color, size, live,
             rotation=rotation, frame=frame,
+            background=background, dither=app.dithered_opacity,
         )
 
     kernel = (

@@ -204,19 +204,12 @@ def animation_frame(table: SpriteTable, life, velocity, index,
     return jnp.mod(fy * frames_x + fx, frames).astype(jnp.int32)
 
 
-def rasterize_sprites(
-    cfg: TiledRasterConfig,
-    table: SpriteTable,
-    x, y, color, size, live,
-    rotation=None,
-    frame=None,
-):
-    """Additive textured-sprite rasterization -> (H, W, C).
-
-    Costs ~R x the analytic tiled splat plus one small table gather per
-    bin slot; intended for textured systems (typically <= a few hundred
-    thousand particles). cfg.apron must be >= support // 2.
-    """
+def _sprite_bins_and_factors(cfg, table, x, y, color, size, live,
+                             rotation, frame):
+    """Shared front half of both sprite paths: bin particles (variant id
+    riding the size operand) and build the per-rank separable coverage
+    factors wy_r (NT, win, K) / wx_r (NT, K, win) via S static
+    shift-selects with subpixel lerp."""
     s = table.support
     half = s // 2
     assert cfg.apron >= half, (
@@ -227,7 +220,6 @@ def rasterize_sprites(
         "incompatible with the log-quantized compact payload"
     )
     r_rank = table.rank
-    ch = cfg.channels
     win = cfg.window
     k = cfg.bin_capacity
 
@@ -240,7 +232,6 @@ def rasterize_sprites(
     bins = bin_particles(cfg, x, y, color, bin_id.astype(jnp.float32),
                          live)
     nt = bins["valid"].shape[0]
-    valid = bins["valid"]
     bsel = jnp.clip(bins["size"].astype(jnp.int32), 0,
                     table.row_factors.shape[0] - 1)  # (NT, K)
 
@@ -267,13 +258,7 @@ def rasterize_sprites(
     ry = jnp.arange(win, dtype=jnp.float32)[None, :, None]  # (1, win, 1)
     rx = jnp.arange(win, dtype=jnp.float32)[None, None, :]
 
-    pc = jnp.stack(
-        [bins["color"][c] * valid for c in range(ch)], axis=-1
-    ).astype(jnp.bfloat16)
-
-    # WY_r[t, y, k] = row_f[t, k, r, y - iy + half] with linear subpixel
-    # interpolation; built by S static shift-selects (see module doc).
-    tiles = jnp.zeros((nt, win, win * ch), jnp.float32)
+    wys, wxs = [], []
     for r in range(r_rank):
         wy = jnp.zeros((nt, win, k), jnp.bfloat16)
         wx = jnp.zeros((nt, k, win), jnp.bfloat16)
@@ -297,6 +282,39 @@ def rasterize_sprites(
                 + wsel_x1 * fx[:, :, None]
             ) * col_f[:, :, r, si][:, :, None]
             wx = wx + contrib_x.astype(jnp.bfloat16)
+        wys.append(wy)
+        wxs.append(wx)
+    return bins, wys, wxs
+
+
+def rasterize_sprites(
+    cfg: TiledRasterConfig,
+    table: SpriteTable,
+    x, y, color, size, live,
+    rotation=None,
+    frame=None,
+):
+    """Additive textured-sprite rasterization -> (H, W, C).
+
+    Costs ~R x the analytic tiled splat plus one small table gather per
+    bin slot; intended for textured systems (typically <= a few hundred
+    thousand particles). cfg.apron must be >= support // 2.
+    """
+    ch = cfg.channels
+    win = cfg.window
+    k = cfg.bin_capacity
+    bins, wys, wxs = _sprite_bins_and_factors(
+        cfg, table, x, y, color, size, live, rotation, frame
+    )
+    nt = bins["valid"].shape[0]
+    valid = bins["valid"]
+
+    pc = jnp.stack(
+        [bins["color"][c] * valid for c in range(ch)], axis=-1
+    ).astype(jnp.bfloat16)
+
+    tiles = jnp.zeros((nt, win, win * ch), jnp.float32)
+    for wy, wx in zip(wys, wxs):
         rhs = (wx[:, :, :, None] * pc[:, :, None, :]).reshape(
             nt, k, win * ch)
         tiles = tiles + jnp.einsum(
@@ -304,4 +322,83 @@ def rasterize_sprites(
         )
 
     img = _overlap_add(cfg, tiles)
+    return img, dict(dropped=bins["dropped"], residual=table.residual)
+
+
+def rasterize_sprites_alpha(
+    cfg: TiledRasterConfig,
+    table: SpriteTable,
+    x, y, color, size, live,
+    rotation=None,
+    frame=None,
+    background=None,
+    dither: bool = False,
+):
+    """Ordered 'over' compositing of TEXTURED sprites -> (H, W, 4).
+
+    The textured ordered-alpha path of RasterizeParticleSystem.fx
+    (fx:62-237 with the Texture* materials, ParticleMaterials.cs:7-25):
+    per tile, bin slots composite in draw order via lax.scan exactly like
+    rasterize_tiled_alpha, but each slot's coverage is its sprite
+    variant's rank-R separable reconstruction sum_r wy_r ⊗ wx_r evaluated
+    at the slot's subpixel position. The sprite's texel value acts as
+    per-pixel opacity modulation (texture alpha x particle alpha), the
+    particle color as the straight source color. `color` premultiplied;
+    `dither` applies the Bayer discard (fx:158-175).
+
+    O(bin_capacity) sequential per tile like the analytic alpha path.
+    """
+    assert cfg.channels == 4, "alpha compositing needs 4 channels"
+    bins, wys, wxs = _sprite_bins_and_factors(
+        cfg, table, x, y, color, size, live, rotation, frame
+    )
+    nt = bins["valid"].shape[0]
+    valid = bins["valid"]
+    k = cfg.bin_capacity
+    win = cfg.window
+
+    bayer4 = jnp.asarray(
+        [[0, 8, 2, 10], [12, 4, 14, 6], [3, 11, 1, 9], [15, 7, 13, 5]],
+        jnp.float32,
+    ) / 16.0
+    ys = jnp.arange(win) % 4
+    xs = jnp.arange(win) % 4
+    bayer = bayer4[ys[:, None], xs[None, :]]  # (win, win)
+
+    cb = [c * valid for c in bins["color"]]  # planar premult channels
+    src_a = jnp.maximum(cb[3], 1e-6)
+    straight_rgb = jnp.stack(
+        [cb[0] / src_a, cb[1] / src_a, cb[2] / src_a], axis=-1
+    )  # (NT, K, 3)
+    # Stack ranks once: (R, NT, win, K) / (R, NT, K, win) — the scan body
+    # slices slot j from every rank.
+    wy_all = jnp.stack(wys, axis=0).astype(jnp.float32)
+    wx_all = jnp.stack(wxs, axis=0).astype(jnp.float32)
+
+    def over(img, j):
+        # Slot j's sprite coverage: sum_r wy_r[:, :, j] ⊗ wx_r[:, j, :].
+        cov = jnp.einsum(
+            "rtw,rtv->twv", wy_all[:, :, :, j], wx_all[:, :, j, :]
+        )
+        # SVD ringing can push the reconstruction slightly out of [0, 1].
+        cov = jnp.clip(cov, 0.0, 1.0)
+        a_eff = cov * cb[3][:, j][:, None, None]  # (NT, win, win)
+        if dither:
+            a_eff = jnp.where(
+                (a_eff > bayer[None]) & (a_eff > 0.0), 1.0, 0.0
+            )
+        rgb = img[..., :3] * (1.0 - a_eff[..., None]) + \
+            straight_rgb[:, j][:, None, None, :] * a_eff[..., None]
+        acc_a = img[..., 3] * (1.0 - a_eff) + a_eff
+        return jnp.concatenate([rgb, acc_a[..., None]], axis=-1), None
+
+    init = jnp.zeros((nt, win, win, 4), jnp.float32)
+    tiles, _ = jax.lax.scan(over, init,
+                            jnp.arange(k, dtype=jnp.int32))
+    img = _overlap_add(cfg, tiles.reshape(nt, win, win * 4))
+    if background is not None:
+        acc_a = jnp.clip(img[..., 3:4], 0.0, 1.0)
+        img = jnp.concatenate(
+            [img[..., :3] + background[..., :3] * (1.0 - acc_a),
+             jnp.maximum(acc_a, background[..., 3:4])], axis=-1)
     return img, dict(dropped=bins["dropped"], residual=table.residual)

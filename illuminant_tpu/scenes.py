@@ -44,7 +44,14 @@ from .lighting.environment import (
 )
 from .lighting.sphere import accumulate_sphere_lights
 from .ops import tonemap as tm
-from .ops.bezier import constant_bezier, evaluate_bezier, pack_bezier
+from .ops.bezier import (
+    DynamicMatrix,
+    constant_bezier,
+    evaluate_bezier,
+    evaluate_bezier_matrix,
+    pack_bezier,
+    pack_bezier_matrix,
+)
 from .particles.formula import FORMULA_SPHERICAL, Formula1, Formula3, Formula4
 from .particles.integrate import integrate_with_distance_field
 from .particles.render_data import RenderDataUniforms
@@ -278,9 +285,17 @@ def build_flagship(
     # velocity post-matrix (Parameter<DynamicMatrix> VelocityPostMatrix)
     # turns it TANGENTIAL, so particles orbit the attractor instead of
     # collapsing into it (keeps raster tile occupancy honest and even).
-    rot90 = np.asarray(
-        [[0.0, 1.0, 0.0, 0.0], [-1.0, 0.0, 0.0, 0.0],
-         [0.0, 0.0, 1.0, 0.0], [0.0, 0.0, 0.0, 1.0]], np.float32)
+    # The 90-deg turn is ANIMATED: a Parameter<DynamicMatrix> bezier
+    # wobbles the rotation 75->105 deg over 4 s (ParticleSpawner.cs
+    # VelocityPostMatrix is Parameter<DynamicMatrix>, re-evaluated per
+    # frame; BezierM angle interpolation, Bezier.cs:379-424), so the
+    # orbit injection angle breathes.
+    rot90 = pack_bezier_matrix(
+        [DynamicMatrix.from_components(angle=75.0),
+         DynamicMatrix.from_components(angle=105.0),
+         DynamicMatrix.from_components(angle=75.0)],
+        min_value=0.0, max_value=4.0,
+    )
     spawner = Spawner(
         min_rate=float(capacity) * 0.2,  # refill ~20%/s
         max_rate=float(capacity) * 0.2,
@@ -432,7 +447,12 @@ def build_flagship(
         # -- particles: bezier-path spawner, gravity, SDF collision --
         spawn_pos = evaluate_bezier(spawn_path_bezier, jnp.mod(t, 6.0))
         pc = spawn_u.position_constants.at[:, :3].set(spawn_pos[None, :])
-        spawn_u_t = spawn_u.replace(position_constants=pc)
+        spawn_u_t = spawn_u.replace(
+            position_constants=pc,
+            velocity_matrix=evaluate_bezier_matrix(
+                spawner.velocity_post_matrix, jnp.mod(t, 4.0)
+            ),
+        )
         k = jax.random.fold_in(key, i)
         state = spawn_fn(state, spawn_u_t, spawn_count, k,
                          spawner.spawn_max)
