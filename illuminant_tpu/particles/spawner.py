@@ -67,11 +67,33 @@ def spawn(
     count,  # traced int32 <= spawn_max
     key,
     spawn_max: int,
+    sub_rings: int = 1,
 ) -> ParticleState:
-    """Write up to spawn_max new particles at the ring cursor."""
+    """Write up to spawn_max new particles at the ring cursor.
+
+    `sub_rings` > 1 partitions the capacity into that many independent
+    ring segments, each receiving count//sub_rings rows at a SHARED local
+    cursor. Under a mesh sharding the capacity axis into `sub_rings`
+    blocks, every segment's rolled window write is shard-LOCAL — the
+    global ring's cross-shard window traffic disappears (the future
+    layout named in parallel/mesh.py round 2). Requires spawn_max and
+    capacity divisible by sub_rings; per-tick spawn count rounds down to
+    a multiple of sub_rings (the < sub_rings remainder re-enters through
+    the host rate-error accumulator on later ticks at most one frame
+    late). sub_rings=1 is the reference-exact contiguous window."""
     n = state.capacity
     rel = jnp.arange(spawn_max, dtype=jnp.int32)
-    mask = rel < count
+    if sub_rings > 1:
+        assert spawn_max % sub_rings == 0 and n % sub_rings == 0, (
+            "sub_rings must divide both spawn_max and capacity"
+        )
+        seg = spawn_max // sub_rings
+        count = (count // sub_rings) * sub_rings
+        # Row j belongs to segment j // seg at local index j % seg; each
+        # segment takes the first count/sub_rings of its rows.
+        mask = (rel % seg) < (count // sub_rings)
+    else:
+        mask = rel < count
 
     k1, k2, k3 = jax.random.split(key, 3)
     random1 = jax.random.uniform(k1, (spawn_max, 4), jnp.float32)
@@ -166,7 +188,29 @@ def spawn(
     # and back (and a scatter here costs ~44 ns/row on v5e). Masked rows
     # (count gate or attribute discard, SpawnerCommon.fxh:185-188) keep
     # their old values.
-    if spawn_max <= n:
+    if sub_rings > 1:
+        seg = spawn_max // sub_rings
+        block = n // sub_rings
+        local_cursor = jnp.mod(state.write_cursor // sub_rings, block)
+        mask_seg = jnp.pad(
+            mask.reshape(sub_rings, seg), ((0, 0), (0, block - seg))
+        )
+        mask_rolled = jnp.roll(mask_seg, local_cursor, axis=1).reshape(
+            n
+        )[:, None]
+
+        def window_write(arr, new_rows):
+            # (sub_rings, block, C): the roll is along the SHARD-LOCAL
+            # axis, so a capacity-sharded mesh keeps it device-local.
+            padded = jnp.pad(
+                new_rows.reshape(sub_rings, seg, -1),
+                ((0, 0), (0, block - seg), (0, 0)),
+            )
+            rolled = jnp.roll(padded, local_cursor, axis=1)
+            return jnp.where(
+                mask_rolled, rolled.reshape(n, -1), arr
+            )
+    elif spawn_max <= n:
         mask_pad = jnp.pad(mask, (0, n - spawn_max))
         mask_rolled = jnp.roll(mask_pad, state.write_cursor)[:, None]
 

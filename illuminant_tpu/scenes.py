@@ -91,6 +91,7 @@ def build_flagship(
     preset: str = "fast",
     shadow_mode: str = "scan",
     full_family: bool = False,
+    spawn_sub_rings: int = 1,
 ) -> FlagshipScene:
     """The full config-5 frame: see module docstring.
 
@@ -455,7 +456,7 @@ def build_flagship(
         )
         k = jax.random.fold_in(key, i)
         state = spawn_fn(state, spawn_u_t, spawn_count, k,
-                         spawner.spawn_max)
+                         spawner.spawn_max, sub_rings=spawn_sub_rings)
         pos, vel = tx.apply_gravity(state.position, state.velocity, grav_u,
                                     su)
         state = state.replace(position=pos, velocity=vel)

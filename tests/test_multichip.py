@@ -92,3 +92,60 @@ def test_sharded_output_is_distributed(scene):
     img.block_until_ready()
     assert len(img.sharding.device_set) == 8, img.sharding
     assert len(state2.position.sharding.device_set) == 8
+
+
+def test_spawn_sub_rings_unit():
+    """sub_rings spawn: each capacity segment receives count/D rows at a
+    shared local cursor; liveness and totals match the global ring up to
+    the multiple-of-D rounding."""
+    from illuminant_tpu.particles.spawner import Spawner, spawn
+    from illuminant_tpu.particles.state import ParticleState
+    from illuminant_tpu.particles.formula import Formula1, Formula3
+
+    sp = Spawner(min_rate=0, max_rate=0,
+                 life=Formula1(constant=5.0),
+                 position=Formula3(constant=(1.0, 2.0, 3.0)))
+    u = sp.uniforms(0.0)
+    key = jax.random.key(0)
+    D = 8
+    cap, smax = 256, 64
+    st = ParticleState.empty(cap)
+    st = spawn(st, u, jnp.asarray(40), key, smax, sub_rings=D)
+    live = np.asarray(st.position[:, 3] > 0)
+    # 40 rounds to 40: spawned, 5 per segment at local cursor 0.
+    assert live.sum() == 40
+    per_seg = live.reshape(D, cap // D).sum(axis=1)
+    np.testing.assert_array_equal(per_seg, np.full(D, 5))
+    # Second spawn lands at the advanced local cursor, no overwrite.
+    st = spawn(st, u, jnp.asarray(24), jax.random.fold_in(key, 1), smax,
+               sub_rings=D)
+    live = np.asarray(st.position[:, 3] > 0)
+    assert live.sum() == 64
+    per_seg = live.reshape(D, cap // D).sum(axis=1)
+    np.testing.assert_array_equal(per_seg, np.full(D, 8))
+    # Count rounds DOWN to a multiple of D.
+    st2 = spawn(ParticleState.empty(cap), u, jnp.asarray(13), key, smax,
+                sub_rings=D)
+    assert int(np.asarray(st2.position[:, 3] > 0).sum()) == 8
+
+
+def test_sub_ring_sharded_matches_unsharded():
+    """The sub-ring flagship frame is numerically identical sharded vs
+    unsharded, AND its spawn write stays shard-local (the roll is along
+    the intra-segment axis)."""
+    from illuminant_tpu.scenes import build_flagship
+
+    sc = build_flagship(height=64, width=128, capacity=1 << 12,
+                        spawn_max=256, n_lights=4, bin_capacity=128,
+                        spawn_sub_rings=8)
+    fresh = lambda: jax.tree.map(jnp.copy, sc.system.state)  # noqa: E731
+    imgs_a, state_a, avg_a = _run(sc, fresh(), sharded=False)
+    imgs_b, state_b, avg_b = _run(sc, fresh(), sharded=True)
+    for a, b in zip(imgs_a, imgs_b):
+        diff = np.abs(a.astype(np.int32) - b.astype(np.int32))
+        assert diff.max() <= 1, diff.max()
+    np.testing.assert_allclose(
+        np.asarray(state_a.position), np.asarray(state_b.position),
+        rtol=1e-5, atol=1e-4,
+    )
+    assert abs(avg_a - avg_b) < 1e-4

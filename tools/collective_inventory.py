@@ -1,0 +1,90 @@
+"""Collective inventory of the sharded flagship frame (VERDICT r2 #5).
+
+Compiles the full frame over an 8-device CPU mesh at the requested shape
+and counts the collective ops XLA inserted (all-reduce, all-gather,
+collective-permute, all-to-all, reduce-scatter), for both the global
+spawn ring (sub_rings=1) and the per-shard sub-ring layout (sub_rings=8).
+
+Usage: python tools/collective_inventory.py [--full]   (--full = 1080p)
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+
+from illuminant_tpu.parallel import mesh as pmesh  # noqa: E402
+from illuminant_tpu.scenes import build_flagship  # noqa: E402
+
+COLLECTIVES = (
+    "all-reduce", "all-gather", "collective-permute", "all-to-all",
+    "reduce-scatter",
+)
+
+
+def inventory(height, width, capacity, spawn_max, sub_rings):
+    sc = build_flagship(height=height, width=width, capacity=capacity,
+                        spawn_max=spawn_max, bin_capacity=1016,
+                        spawn_sub_rings=sub_rings)
+    mesh = pmesh.make_mesh(8)
+    gbuffer = pmesh.shard_gbuffer(sc.gbuffer, mesh)
+    state = pmesh.shard_particles(sc.system.state, mesh)
+    volume = pmesh.replicate(sc.volume, mesh)
+    lights = pmesh.replicate(sc.sphere_lights, mesh)
+    env_u = pmesh.replicate(sc.environment.uniforms(), mesh)
+    args = (
+        state,
+        jax.device_put(jnp.float32(0.5), pmesh.replicated(mesh)),
+        jax.device_put(jax.random.key(0), pmesh.replicated(mesh)),
+        volume, gbuffer, lights, env_u,
+        jax.device_put(jnp.asarray(spawn_max, jnp.int32),
+                       pmesh.replicated(mesh)),
+    )
+    lowered = jax.jit(
+        sc.frame.__wrapped__, donate_argnums=(0,)
+    ).lower(*args)
+    compiled = lowered.compile()
+    hlo = compiled.as_text()
+    counts = {}
+    for op in COLLECTIVES:
+        # Count op INSTRUCTIONS (lines with `= opname(`), not calls.
+        counts[op] = len(
+            re.findall(rf"=\s+\S*\s*{op}(?:-start)?\(", hlo)
+        )
+    # Execute one step to prove it runs at this shape.
+    img, st, avg, drops = compiled(*args)
+    jax.block_until_ready(img)
+    return counts, img.shape
+
+
+def main():
+    full = "--full" in sys.argv
+    # Heights divisible by 8 (the row sharding).
+    shape = (1080, 1920, 1 << 20, 4096) if full else (272, 480, 1 << 16,
+                                                      1024)
+    h, w, cap, smax = shape
+    print(f"# sharded frame {w}x{h}, {cap} particles, 8-device mesh")
+    for d in (1, 8):
+        counts, img_shape = inventory(h, w, cap, smax, d)
+        total = sum(counts.values())
+        print(f"sub_rings={d}: total_collectives={total} {counts} "
+              f"(img {img_shape})")
+
+
+if __name__ == "__main__":
+    main()
