@@ -82,7 +82,7 @@ def _run_config(height, width, capacity, frames):
         "device": str(jax.devices()[0]),
     }
     # Reference-parity quality row (VERDICT r2 #1): collision substeps 3,
-    # full-res shadows + 2 refine samples, round disc kernel, full
+    # full-res shadows + march-equivalent refine, round disc kernel, full
     # payload. Benched at fewer frames (it is the slower row); a failure
     # here must not lose the fast row.
     try:
@@ -94,7 +94,7 @@ def _run_config(height, width, capacity, frames):
         result["parity_raster_dropped_max"] = parity["raster_dropped_max"]
         result["parity_unit"] = (
             "same frame at reference-parity quality: collision_substeps "
-            "3, shadow_scale 1.0, scan_refine_samples 2, round kernel, "
+            "3, shadow_scale 1.0, march-equivalent refine (A/B: test_refine_quality), round kernel, "
             "full-precision payload"
         )
     except Exception as e:  # noqa: BLE001

@@ -660,6 +660,283 @@ def scene_alpha_sprites():
     return (np.asarray(img) * 255).clip(0, 255).astype(np.uint8)
 
 
+def scene_line_light():
+    """LineLight (TestGame LineLight.cs analog): a colored segment light
+    with 3-anchor cone-traced shadows over occluders."""
+    from illuminant_tpu.lighting.line import LineLightSource
+
+    env = LightingEnvironment(
+        ground_z=0.0, maximum_z=128.0, ambient=(0.02, 0.02, 0.03, 1.0)
+    )
+    env.lights.append(LineLightSource(
+        start=(96.0, 150.0, 40.0), end=(416.0, 150.0, 40.0), radius=8.0,
+        color_start=(1.0, 0.25, 0.2, 1.0), color_end=(0.2, 0.4, 1.0, 1.0),
+    ))
+    env.obstructions += [
+        LightObstruction.box((200.0, 260.0, 22.0), (16.0, 16.0, 22.0)),
+        LightObstruction.cylinder((330.0, 240.0, 26.0),
+                                  (12.0, 12.0, 26.0)),
+        LightObstruction.ellipsoid((140.0, 330.0, 16.0),
+                                   (24.0, 12.0, 16.0)),
+    ]
+    config = RendererConfig(width=512, height=512)
+    r = LightingRenderer(config, env, None)
+    r.update_fields()
+    lightmap = r.render_lighting(shadow_mode="march")
+    img = r.resolve(lightmap, HDRConfig(mode=2, exposure=1.6,
+                                        white_point=4.0,
+                                        srgb_output=True))
+    return np.asarray(img)
+
+
+def scene_volumetric_light():
+    """Shadowed VolumetricLight (TestGame VolumetricLight.cs analog):
+    cone + ellipsoid volumes, one casting SDF shadows."""
+    from illuminant_tpu.lighting.volumetric import (
+        SHAPE_CONE, SHAPE_ELLIPSOID, VolumetricLightSource)
+
+    env = LightingEnvironment(
+        ground_z=0.0, maximum_z=128.0, ambient=(0.02, 0.02, 0.03, 1.0)
+    )
+    env.lights += [
+        VolumetricLightSource(
+            shape=SHAPE_CONE,
+            start_position=(140.0, 140.0, 80.0),
+            end_position=(260.0, 300.0, 0.0),
+            start_radius=10.0, end_radius=90.0,
+            volumetricity=0.9, color=(1.0, 0.9, 0.6, 0.9),
+            cast_shadows=True,
+        ),
+        VolumetricLightSource(
+            shape=SHAPE_ELLIPSOID,
+            start_position=(380.0, 360.0, 26.0),
+            end_position=(90.0, 70.0, 40.0),
+            start_radius=1.0,
+            volumetricity=0.6, color=(0.3, 0.6, 1.0, 0.7),
+        ),
+    ]
+    env.obstructions.append(
+        LightObstruction.box((215.0, 230.0, 20.0), (12.0, 12.0, 20.0))
+    )
+    config = RendererConfig(width=512, height=512)
+    r = LightingRenderer(config, env, None)
+    r.update_fields()
+    lightmap = r.render_lighting()
+    img = r.resolve(lightmap, HDRConfig(mode=2, exposure=1.6,
+                                        white_point=4.0,
+                                        srgb_output=True))
+    return np.asarray(img)
+
+
+def scene_light_probes():
+    """LightProbes (TestGame LightProbes.cs analog): a probe grid
+    evaluated with the lightmap's own light cores, drawn as discs over
+    the dimmed lightmap."""
+    import jax.numpy as jnp
+    from illuminant_tpu.core.config import QualitySettings
+    from illuminant_tpu.lighting.environment import pack_sphere_lights
+    from illuminant_tpu.lighting.probes import (LightProbe, evaluate_probes,
+                                                pack_probes)
+    from illuminant_tpu.sdf.analytic import pack_scene
+
+    env = LightingEnvironment(
+        ground_z=0.0, maximum_z=128.0, ambient=(0.02, 0.02, 0.03, 1.0)
+    )
+    env.lights += [
+        SphereLightSource(position=(140.0, 140.0, 40.0), radius=9.0,
+                          ramp_length=260.0, color=(1.0, 0.5, 0.3, 1.0)),
+        SphereLightSource(position=(380.0, 360.0, 40.0), radius=9.0,
+                          ramp_length=260.0, color=(0.3, 0.5, 1.0, 1.0)),
+    ]
+    env.obstructions.append(
+        LightObstruction.box((256.0, 256.0, 24.0), (16.0, 16.0, 24.0))
+    )
+    config = RendererConfig(width=512, height=512)
+    r = LightingRenderer(config, env, None)
+    r.update_fields()
+    lightmap = r.render_lighting(shadow_mode="march")
+    img = np.asarray(
+        r.resolve(lightmap, HDRConfig(mode=2, exposure=0.6,
+                                      white_point=4.0, srgb_output=True))
+    ).copy()
+
+    probes = [LightProbe(position=(64.0 + 48.0 * i, 64.0 + 48.0 * j,
+                                   24.0))
+              for i in range(9) for j in range(9)]
+    packed = pack_probes(probes)
+    scene = pack_scene(env.obstructions)
+    values = np.asarray(evaluate_probes(
+        scene, packed, env.uniforms(), QualitySettings(),
+        sphere_lights=pack_sphere_lights(env.lights),
+    ))
+    for p, v in zip(probes, values):
+        x, y = int(p.position[0]), int(p.position[1])
+        c = np.clip(v[:3] * 0.7, 0.0, 1.0)
+        img[y - 4:y + 4, x - 4:x + 4, :3] = c
+    return img
+
+
+def scene_gi_probes():
+    """GI probes: SH9 irradiance baked from a directional glow
+    (SphericalHarmonics.fxh analog) — left half shows irradiance for
+    +z normals, right half for normals facing the light."""
+    import jax.numpy as jnp
+    from illuminant_tpu.lighting.spherical_harmonics import (
+        bake_probe_from_lights, irradiance)
+
+    def radiance_fn(dirs):
+        w = jnp.clip(dirs[:, 0] * 0.8 + dirs[:, 2] * 0.6, 0.0,
+                     None)[:, None] ** 2
+        return w * jnp.asarray([1.8, 1.2, 0.5]) + jnp.asarray(
+            [0.05, 0.08, 0.2])
+
+    sh = bake_probe_from_lights((0, 0, 0), radiance_fn, n_samples=256)
+    ys, xs = np.meshgrid(np.linspace(-1, 1, 256),
+                         np.linspace(-1, 1, 512), indexing="ij")
+    # A hemisphere of normals per half.
+    r2 = np.clip(1 - (xs * np.where(xs < 0, 2, 0) + 1) ** 2 - ys**2, 0, 1)
+    nx = np.where(xs < 0, (xs + 0.5) * 2, (xs - 0.5) * 2)
+    r2 = np.clip(1 - nx**2 - ys**2, 0, 1)
+    nz = np.sqrt(r2)
+    normals = np.stack([nx, ys, nz], -1).astype(np.float32)
+    e = np.asarray(irradiance(sh, jnp.asarray(normals)))
+    mask = (r2 > 0)[..., None]
+    img = np.clip(e * 110.0, 0, 255).astype(np.uint8) * mask
+    return img.astype(np.uint8)
+
+
+def scene_vector_warp():
+    """VectorFieldTest (TestGame VectorFieldTest.cs analog): a rotational
+    vector field warping the multi-light scene."""
+    import jax.numpy as jnp
+    from illuminant_tpu.raster.warp import vector_warp
+
+    bg = np.asarray(scene_multi_light(), np.float32)  # f32 [0,1]
+    h, w = bg.shape[:2]
+    ys, xs = np.meshgrid(np.linspace(-1, 1, h), np.linspace(-1, 1, w),
+                         indexing="ij")
+    r = np.sqrt(xs**2 + ys**2)
+    swirl = np.exp(-((r - 0.55) ** 2) / 0.02)
+    field = np.stack([-ys * swirl, xs * swirl], -1).astype(np.float32)
+    # Field stored like a texture: 0.5 = zero displacement.
+    tex = np.concatenate([field * 0.5 + 0.5,
+                          np.zeros((h, w, 1), np.float32),
+                          np.ones((h, w, 1), np.float32)], -1)
+    out = vector_warp(jnp.asarray(bg), jnp.asarray(tex),
+                      intensity=(24.0, 24.0, 0.0))
+    return np.clip(np.asarray(out), 0.0, 1.0)
+
+
+def scene_composite_25d():
+    """SC3-style 2.5D composite (TestGame SC3.cs): height volumes +
+    billboards + particles + mixed lights in ONE frame."""
+    import math
+
+    import jax
+    import jax.numpy as jnp
+    from illuminant_tpu.lighting.billboard import (Billboard, TYPE_MASK,
+                                                   rasterize_billboards)
+    from illuminant_tpu.lighting.line import LineLightSource
+    from illuminant_tpu.sdf.height_volume import HeightVolume
+
+    env = LightingEnvironment(
+        ground_z=0.0, maximum_z=96.0, z_to_y_multiplier=1.0,
+        ambient=(0.02, 0.02, 0.04, 1.0),
+    )
+    for i in range(4):
+        a = 2 * math.pi * i / 4 + 0.4
+        env.lights.append(SphereLightSource(
+            position=(256 + 170 * math.cos(a), 256 + 170 * math.sin(a),
+                      40.0),
+            radius=9.0, ramp_length=240.0,
+            color=[(1.0, 0.6, 0.3, 1.0), (0.3, 0.9, 0.5, 1.0),
+                   (0.4, 0.5, 1.0, 1.0), (1.0, 0.9, 0.5, 1.0)][i],
+        ))
+    env.lights.append(LineLightSource(
+        start=(120.0, 80.0, 50.0), end=(400.0, 80.0, 50.0), radius=6.0,
+        color_start=(0.8, 0.3, 0.9, 0.7), color_end=(0.2, 0.8, 0.9, 0.7),
+    ))
+    env.height_volumes += [
+        HeightVolume(polygon=[(210.0, 210.0), (302.0, 210.0),
+                              (302.0, 302.0), (210.0, 302.0)],
+                     z_base=0.0, height=36.0),
+        HeightVolume(polygon=[(100.0, 340.0), (160.0, 330.0),
+                              (175.0, 395.0), (110.0, 405.0)],
+                     z_base=0.0, height=20.0),
+    ]
+    env.obstructions.append(
+        LightObstruction.cylinder((390.0, 150.0, 22.0),
+                                  (12.0, 12.0, 22.0)))
+    config = RendererConfig(width=512, height=512, two_point_five_d=True)
+    r = LightingRenderer(config, env, None)
+
+    # A billboard mask (a "tree") stamped into the G-buffer.
+    n = 48
+    yy, xx = np.meshgrid(np.linspace(-1, 1, n), np.linspace(-1, 1, n),
+                         indexing="ij")
+    blob_a = ((xx**2 + (yy * 1.4) ** 2) < 0.8).astype(np.float32)
+    blob = np.stack([blob_a] * 4, axis=-1)
+    def add_billboard(gb):
+        return rasterize_billboards(
+            gb,
+            [Billboard(screen_bounds=(330.0, 300.0, 394.0, 364.0),
+                       texture=blob, type=TYPE_MASK,
+                       cylinder_factor=0.6)],
+            env.uniforms(),
+        )
+    r.on_render_gbuffer.append(lambda gb, env_u: add_billboard(gb))
+    r.update_fields()
+    lightmap = r.render_lighting(shadow_mode="scan")
+
+    # Particles swirling through the scene, composited additively.
+    from illuminant_tpu.particles.formula import (FORMULA_SPHERICAL,
+                                                  Formula1, Formula3,
+                                                  Formula4)
+    from illuminant_tpu.particles.spawner import Spawner
+    from illuminant_tpu.particles.system import (ParticleSystem,
+                                                 ParticleSystemConfig)
+    from illuminant_tpu.particles import transforms as tx
+    from illuminant_tpu.raster.tiled import (TiledRasterConfig,
+                                             rasterize_tiled)
+    from illuminant_tpu.sdf.analytic import pack_scene
+
+    sys_cfg = ParticleSystemConfig(capacity=1 << 14,
+                                   updates_per_second=0.0,
+                                   life_decay_per_second=0.25,
+                                   friction=0.02, maximum_velocity=400.0)
+    spawner = Spawner(
+        min_rate=3000.0, max_rate=3000.0,
+        life=Formula1(constant=3.0, random_scale=1.0),
+        position=Formula3(constant=(256.0, 256.0, 30.0),
+                          offset=(170.0, 170.0, 6.0),
+                          random_scale=(50.0, 50.0, 6.0),
+                          type=FORMULA_SPHERICAL),
+        velocity=Formula3(random_scale=(30.0, 30.0, 4.0),
+                          type=FORMULA_SPHERICAL),
+        color=Formula4(constant=(0.7, 0.6, 0.3, 0.5),
+                       random_scale=(0.3, 0.3, 0.2, 0.2)),
+    )
+    grav = tx.Gravity(attractors=[
+        tx.Attractor(position=(256.0, 256.0, 20.0), radius=400.0,
+                     strength=30.0, falloff_type=tx.FALLOFF_LINEAR)])
+    system = ParticleSystem(sys_cfg, [spawner, grav],
+                            volume=pack_scene(env.obstructions))
+    for _ in range(90):
+        system.update(1.0 / 60.0)
+    rcfg = TiledRasterConfig(height=512, width=512, tile=32,
+                             bin_capacity=256, apron=4, kernel="gauss",
+                             rgba8_colors=False)
+    st = system.state
+    pimg, _ = rasterize_tiled(
+        rcfg, st.position[:, 0],
+        st.position[:, 1] - st.position[:, 2] * 1.0,
+        st.render_color, st.render_data[:, 0], st.live_mask())
+    hdr = lightmap[..., :4] + pimg
+    img = r.resolve(hdr, HDRConfig(mode=2, exposure=1.2, white_point=4.0,
+                                   srgb_output=True))
+    return np.asarray(img)
+
+
 def scene_flagship_frame():
     """One frame of the ACTUAL benchmark workload (config 5) at 480x270
     so the judge can eyeball what bench.py measures."""
@@ -812,6 +1089,12 @@ SCENES = {
     "heightmap_tools": scene_heightmap_tools,
     "jumpflood": scene_jumpflood,
     "directional_sun": scene_directional_sun,
+    "line_light": scene_line_light,
+    "volumetric_light": scene_volumetric_light,
+    "light_probes": scene_light_probes,
+    "gi_probes": scene_gi_probes,
+    "vector_warp": scene_vector_warp,
+    "composite_25d": scene_composite_25d,
 }
 
 

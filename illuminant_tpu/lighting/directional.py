@@ -166,6 +166,20 @@ def _scan_pseudo_centers(gbuffer: GBuffer, lights: DirectionalLights,
     return centers, trace_plane, dist
 
 
+def directional_scan_args(gbuffer: GBuffer, lights: DirectionalLights,
+                          env: EnvironmentUniforms):
+    """Radial-scan arguments for directional lights — (centers (L, 3),
+    radius (L,), ramp (L,), max_trace_distance (L,), trace_plane ()).
+    Mirrors the in-family scan branch so a fused multi-family scan
+    (scenes.py) can batch the sun with radial lights."""
+    centers, trace_plane, _ = _scan_pseudo_centers(gbuffer, lights, env)
+    ramp = jnp.maximum(lights.more[:, 1], 16.0) / jnp.maximum(
+        lights.properties[:, 3], 1e-3
+    )
+    return (centers, lights.properties[:, 2], ramp,
+            lights.properties[:, 1], trace_plane)
+
+
 def accumulate_directional_lights(
     volume,
     gbuffer: GBuffer,
@@ -173,8 +187,11 @@ def accumulate_directional_lights(
     env: EnvironmentUniforms,
     quality: QualitySettings,
     shadow_mode: str = "march",
+    scan_visibility_precomputed=None,
 ):
     """All directional lights -> (H, W, 4) additive HDR contribution.
+    `scan_visibility_precomputed` ((L, H, W)): visibility from a fused
+    radial scan over _scan_pseudo_centers; implies the scan path.
 
     `shadow_mode="scan"` replaces the per-pixel cone march (fx:76-83,
     ~64 dense plane evals per light) with the gather-free column scan
@@ -212,7 +229,12 @@ def accumulate_directional_lights(
     ramp = jnp.maximum(more[..., 1], 16.0) / jnp.maximum(
         props[..., 3], 1e-3
     )
-    if shadow_mode == "scan":
+    if scan_visibility_precomputed is not None:
+        cone = jnp.where(
+            trace_enable, scan_visibility_precomputed.astype(jnp.float32),
+            1.0,
+        )
+    elif shadow_mode == "scan":
         from .scan_shadows import scan_cone_visibility
 
         centers, trace_plane, _ = _scan_pseudo_centers(

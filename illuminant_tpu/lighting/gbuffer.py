@@ -26,7 +26,13 @@ from .environment import EnvironmentUniforms
 class GBuffer:
     """normal: (H, W, 3); an all-zero normal disables directional occlusion
     (LightCommon.fxh:129-131). relative_y/z: (H, W). enable_shadows /
-    fullbright: (H, W) f32 0/1 flags (LightCommon.fxh:83-94)."""
+    fullbright: (H, W) f32 0/1 flags (LightCommon.fxh:83-94).
+
+    `pixel_origin` ((2,) [ox, oy], possibly traced): the pixel coordinate
+    of this buffer's top-left corner in the FULL frame — nonzero for the
+    windowed views `window()` cuts for bounded lights (the TPU analog of
+    the reference's per-light instanced quads, LightingRenderer.cs:
+    1149-1166, which never shade pixels outside a light's bounds)."""
 
     normal: jnp.ndarray
     relative_y: jnp.ndarray
@@ -34,29 +40,58 @@ class GBuffer:
     enable_shadows: jnp.ndarray
     fullbright: jnp.ndarray
     render_scale: float = static_field(default=1.0)
+    pixel_origin: jnp.ndarray = None
+
+    def _origin(self):
+        if self.pixel_origin is None:
+            return jnp.zeros((2,), jnp.float32)
+        return self.pixel_origin.astype(jnp.float32)
 
     @property
     def shape(self):
         return self.z.shape
 
+    def _pixel_grid(self):
+        h, w = self.z.shape
+        o = self._origin()
+        ys = (jnp.arange(h, dtype=jnp.float32) + 0.5 + o[1]) \
+            / self.render_scale
+        xs = (jnp.arange(w, dtype=jnp.float32) + 0.5 + o[0]) \
+            / self.render_scale
+        return jnp.meshgrid(ys, xs, indexing="ij")
+
     def world_position(self):
         """Reconstruct shaded world positions (H, W, 3)
         (LightCommon.fxh:118-122 with viewport scale 1, position 0)."""
-        h, w = self.z.shape
-        ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) / self.render_scale
-        xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / self.render_scale
-        gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+        gy, gx = self._pixel_grid()
         return jnp.stack([gx, gy + self.relative_y, self.z], axis=-1)
 
     def camera_position(self, env: EnvironmentUniforms):
         """Approximate per-pixel camera position (LightCommon.fxh:98-99):
         straight above each pixel at maximum_z + 0.01."""
-        h, w = self.z.shape
-        ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) / self.render_scale
-        xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / self.render_scale
-        gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+        gy, gx = self._pixel_grid()
         cz = jnp.broadcast_to(env.maximum_z + 0.01, gx.shape)
         return jnp.stack([gx, gy, cz], axis=-1)
+
+    def window(self, oy, ox, win_h: int, win_w: int) -> "GBuffer":
+        """Cut a (win_h, win_w) view at traced pixel origin (oy, ox) —
+        the caller clamps the origin into bounds (window_origin)."""
+        import jax.lax as lax
+
+        def cut(a):
+            out = lax.dynamic_slice_in_dim(a, oy, win_h, 0)
+            return lax.dynamic_slice_in_dim(out, ox, win_w, 1)
+
+        return GBuffer(
+            normal=cut(self.normal),
+            relative_y=cut(self.relative_y),
+            z=cut(self.z),
+            enable_shadows=cut(self.enable_shadows),
+            fullbright=cut(self.fullbright),
+            render_scale=self.render_scale,
+            pixel_origin=self._origin()
+            + jnp.stack([ox, oy]).astype(jnp.float32),
+        )
 
 
 def flat_ground(height: int, width: int, env: EnvironmentUniforms,

@@ -165,6 +165,19 @@ def compute_line_light_opacity(world, normal, p0, p1, radius):
     return _saturate(illuminance + ill_sphere), sphere_pos, u
 
 
+def line_scan_anchors(lights: LineLights):
+    """Segment anchors as radial-scan centers: (3L, 3) positions (start,
+    midpoint, end — anchor-major), with tiled radii/ramps. Shared by the
+    in-family scan branch and fused multi-family scans (scenes.py)."""
+    anchors = jnp.concatenate(
+        [lights.start, (lights.start + lights.end) * 0.5, lights.end],
+        axis=0,
+    )
+    rad3 = jnp.tile(lights.properties[:, 0], 3)
+    ramp3 = jnp.tile(lights.properties[:, 1], 3)
+    return anchors, rad3, ramp3
+
+
 def accumulate_line_lights(
     volume,
     gbuffer: GBuffer,
@@ -172,8 +185,13 @@ def accumulate_line_lights(
     env: EnvironmentUniforms,
     quality: QualitySettings,
     shadow_mode: str = "march",
+    scan_visibility_precomputed=None,
 ):
     """All line lights -> (H, W, 4) additive HDR contribution.
+
+    `scan_visibility_precomputed` ((3L, H, W), anchor-major like
+    line_scan_anchors' order): per-anchor visibilities from a caller's
+    fused radial scan; implies the scan path.
 
     `shadow_mode="scan"` approximates the 3-ray march
     (LineLightCore.fxh:27-34) with three radial scans anchored at the
@@ -214,20 +232,17 @@ def accumulate_line_lights(
     )
     shaded = world_pos[None] + SELF_OCCLUSION_HACK * normal[None]
 
-    if shadow_mode == "scan":
-        from .scan_shadows import scan_cone_visibility
+    if shadow_mode == "scan" or scan_visibility_precomputed is not None:
+        if scan_visibility_precomputed is not None:
+            vis3 = scan_visibility_precomputed.astype(jnp.float32)
+        else:
+            from .scan_shadows import scan_cone_visibility
 
-        # Segment anchors as scan centers: (3L, 3) batched in one call.
-        anchors = jnp.concatenate(
-            [lights.start, (lights.start + lights.end) * 0.5, lights.end],
-            axis=0,
-        )
-        rad3 = jnp.tile(lights.properties[:, 0], 3)
-        ramp3 = jnp.tile(lights.properties[:, 1], 3)
-        vis3 = scan_cone_visibility(
-            volume, gbuffer, anchors, rad3, ramp3, quality,
-            self_occlusion_lift=SELF_OCCLUSION_HACK,
-        )
+            anchors, rad3, ramp3 = line_scan_anchors(lights)
+            vis3 = scan_cone_visibility(
+                volume, gbuffer, anchors, rad3, ramp3, quality,
+                self_occlusion_lift=SELF_OCCLUSION_HACK,
+            )
         vis3 = vis3.reshape(3, lights.capacity, *vis3.shape[1:])
         # Hat weights over u: anchor 0 at u=0, 1 at u=0.5, 2 at u=1.
         w0 = _saturate(1.0 - 2.0 * u)

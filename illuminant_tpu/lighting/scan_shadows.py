@@ -56,14 +56,19 @@ _BIG = 1e9
 
 
 def occlusion_image(scene, height: int, width: int, trace_z,
-                    render_scale: float = 1.0):
+                    render_scale: float = 1.0, world_offset=None):
     """Dense scene distance at every pixel center, at height trace_z.
 
     `scene` is any field queryable by scene_sample_p — the analytic scene
     (gather-free, the fast path) or a voxel SdfVolume (loaded/polygonal
-    fields; trilinear gathers, correct but slower)."""
+    fields; trilinear gathers, correct but slower). `world_offset`
+    ((2,) [x, y], world units): the top-left corner of a windowed view
+    (GBuffer.window)."""
     ys = (jnp.arange(height, dtype=jnp.float32) + 0.5) / render_scale
     xs = (jnp.arange(width, dtype=jnp.float32) + 0.5) / render_scale
+    if world_offset is not None:
+        xs = xs + world_offset[0]
+        ys = ys + world_offset[1]
     return scene_sample_p(scene, xs[None, :], ys[:, None], trace_z)
 
 
@@ -192,6 +197,7 @@ def scan_visibility(
     pixel_z=None,
     pixel_offset_xy=None,
     max_trace_distance=None,  # (L,) world units; None = to image edge
+    world_offset=None,  # (2,) world-unit window origin (GBuffer.window)
 ):
     """Cone-trace-equivalent visibility for all lights -> (L, H, W).
 
@@ -205,12 +211,17 @@ def scan_visibility(
     would self-shadow; their true rays clear the occluders, so visibility
     fades back to 1 as the surface rises past the trace plane (the 3D
     march has no such artifact — see PERF.md approximations)."""
-    lx = light_position[:, 0] * render_scale
-    ly = light_position[:, 1] * render_scale
+    if world_offset is None:
+        world_offset = jnp.zeros((2,), jnp.float32)
+    # Window-local pixel coordinates: shift the light into the window's
+    # frame so the column scan's dx math is unchanged.
+    lx = (light_position[:, 0] - world_offset[0]) * render_scale
+    ly = (light_position[:, 1] - world_offset[1]) * render_scale
     lz = light_position[:, 2]
     if trace_z is None:
         trace_z = jnp.mean(lz) * 0.4
-    occ = occlusion_image(scene, height, width, trace_z, render_scale)
+    occ = occlusion_image(scene, height, width, trace_z, render_scale,
+                          world_offset)
 
     (e_d, e_k, e_n), (w_d, w_k, w_n) = _bidirectional_scan(
         occ, lx, ly, light_radius
@@ -292,8 +303,8 @@ def scan_visibility(
     exit_frac = jnp.clip(
         jnp.maximum(neg_k, min_k) / major, 0.0, 1.0
     )
-    px_x = xs / jnp.maximum(render_scale, 1e-6)
-    px_y = ys / jnp.maximum(render_scale, 1e-6)
+    px_x = xs / jnp.maximum(render_scale, 1e-6) + world_offset[0]
+    px_y = ys / jnp.maximum(render_scale, 1e-6) + world_offset[1]
     # Ray endpoints: light (world) -> shaded surface. The self-occlusion
     # lift the march applies (SphereLightCore.fxh:151) must follow the
     # SURFACE NORMAL (callers pass pixel_z/pixel_offset_xy already
@@ -403,6 +414,10 @@ def scan_cone_visibility(
     """
     h, w = gbuffer.shape
     ss = quality.shadow_scale
+    world_off = (
+        gbuffer.pixel_origin / gbuffer.render_scale
+        if gbuffer.pixel_origin is not None else None
+    )
     lifted_z = gbuffer.z + self_occlusion_lift * gbuffer.normal[..., 2]
     offset_xy = self_occlusion_lift * gbuffer.normal[..., :2]
     offset_xy = jnp.stack(
@@ -419,6 +434,7 @@ def scan_cone_visibility(
             render_scale=gbuffer.render_scale * ss,
             pixel_z=pixel_z, pixel_offset_xy=off,
             max_trace_distance=max_trace_distance, trace_z=trace_z,
+            world_offset=world_off,
         )
         return upsample2x_bilinear(vis.astype(jnp.bfloat16))
     if ss != 1.0:
@@ -431,6 +447,7 @@ def scan_cone_visibility(
             render_scale=gbuffer.render_scale * ss,
             pixel_z=pixel_z, pixel_offset_xy=off,
             max_trace_distance=max_trace_distance, trace_z=trace_z,
+            world_offset=world_off,
         )
         return jax.image.resize(vis, (vis.shape[0], h, w), "linear")
     return scan_visibility(
@@ -438,4 +455,5 @@ def scan_cone_visibility(
         quality, render_scale=gbuffer.render_scale,
         pixel_z=lifted_z, pixel_offset_xy=offset_xy,
         max_trace_distance=max_trace_distance, trace_z=trace_z,
+        world_offset=world_off,
     )

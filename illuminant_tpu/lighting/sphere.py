@@ -160,8 +160,15 @@ def accumulate_sphere_lights(
     shadow_mode: str = "march",
     with_ao: bool = True,
     with_alpha: bool = True,
+    scan_visibility_precomputed=None,
 ):
     """Shade all sphere lights against the G-buffer -> (H, W, 4) HDR add.
+
+    `scan_visibility_precomputed` ((L, H, W)): a caller-supplied cone
+    visibility (usually a slice of ONE fused radial scan shared by
+    several light families — the scan's sequential column cost is
+    per-PASS, so batching more lights into one call is nearly free;
+    see scenes.py full-family frame). Implies the scan path.
 
     Equivalent to the instanced SphereLight.fx draws with additive blend:
     out.rgb = sum_l color_l.rgb * color_l.a * opacity_l (+ specular);
@@ -262,7 +269,12 @@ def accumulate_sphere_lights(
         & (pre_trace >= SHADOW_OPACITY_THRESHOLD)
         & (active > 0.0)
     )
-    if shadow_mode == "none":
+    if scan_visibility_precomputed is not None:
+        cone = jnp.where(
+            trace_enable, scan_visibility_precomputed.astype(jnp.float32),
+            1.0,
+        )
+    elif shadow_mode == "none":
         # Static skip when the HOST knows no light in the set casts
         # shadows (e.g. a shadowless ParticleLightSource template): both
         # the scan and the march run their full fixed-shape work even

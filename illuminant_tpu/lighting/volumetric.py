@@ -203,10 +203,17 @@ def volumetric_trace(volume, start4, end4, world_xy, world_z, env,
     ramp_length = props[..., 1]
     ramp_power = even_more[..., 1]
 
+    # Broadcast shape of (lights x pixels): with L > 1 the per-light z
+    # bounds are (L, 1, 1) while world_xy alone is (1, H, W, 2).
+    out_shape = jnp.broadcast_shapes(
+        world_xy.shape[:-1], start4.shape[:-1], props.shape[:-1]
+    )
+
     def body(i, hits):
         z = z1 - (i + 0.5) * step
         pos = jnp.concatenate(
-            [world_xy, jnp.broadcast_to(z, world_xy.shape[:-1])[..., None]],
+            [jnp.broadcast_to(world_xy, out_shape + world_xy.shape[-1:]),
+             jnp.broadcast_to(z[..., None], out_shape + (1,))],
             axis=-1,
         )
         sd = shape_distance(pos, start4, end4, shape)
@@ -247,7 +254,7 @@ def volumetric_trace(volume, start4, end4, world_xy, world_z, env,
         return hits + ramp * occ * valid
 
     hits = jax.lax.fori_loop(
-        0, steps, body, jnp.zeros(world_xy.shape[:-1], jnp.float32)
+        0, steps, body, jnp.zeros(out_shape, jnp.float32)
     )
     return _saturate(hits / steps / props[..., 0])
 
@@ -259,9 +266,22 @@ def accumulate_volumetric_lights(
     env: EnvironmentUniforms,
     quality: QualitySettings,
     shadowed: bool = False,
+    shadow_detail: str = "march",
 ):
     """All volumetric lights -> (H, W, 4) additive HDR contribution
-    (VolumetricLightPixelCore, fxh:411-516)."""
+    (VolumetricLightPixelCore, fxh:411-516).
+
+    `shadow_detail` selects the shadowed path's occlusion source:
+      * "march" — reference-exact per-(column-sample) inner sphere march
+        (fxh:358-392 projectFromOrigin): max_step_count x inner_steps
+        scene evals per pixel per light. The oracle; brutal at 1080p.
+      * "scan" — ONE radial scan from each light's origin modulates the
+        whole column integral by the pixel's 2D visibility. Deviation:
+        occlusion is evaluated once per pixel (at the surface endpoint)
+        instead of per column sample, so shadows inside the volume body
+        lose their vertical gradient; shadow FOOTPRINTS on surfaces
+        match. ~100x cheaper at 1080p.
+    """
     world_pos = gbuffer.world_position()
     normal = gbuffer.normal
 
@@ -281,10 +301,24 @@ def accumulate_volumetric_lights(
     ao = compute_ao(volume, world_pos[None], normal[None], ao_radius,
                     more[..., 3], visible)
 
+    scan_occ = None
+    if shadowed and shadow_detail == "scan":
+        from .scan_shadows import scan_cone_visibility
+
+        scan_occ = scan_cone_visibility(
+            volume, gbuffer, lights.start[:, :3],
+            jnp.maximum(lights.start[:, 3], 1.0),
+            jnp.maximum(lights.properties[:, 1], 16.0),
+            quality,
+        ).astype(jnp.float32)
+
     vol_opacity = volumetric_trace(
         volume, start4, end4, world_pos[None, ..., :2],
-        world_pos[None, ..., 2], env, props, even, quality, shadowed,
+        world_pos[None, ..., 2], env, props, even, quality,
+        shadowed and shadow_detail == "march",
     )
+    if scan_occ is not None:
+        vol_opacity = vol_opacity * scan_occ
     pre_trace = ao * vol_opacity
 
     # Diffuse surface term (fxh:462-494).

@@ -92,6 +92,8 @@ def build_flagship(
     shadow_mode: str = "scan",
     full_family: bool = False,
     spawn_sub_rings: int = 1,
+    collision_substeps: Optional[int] = None,
+    raster_preset: Optional[str] = None,
 ) -> FlagshipScene:
     """The full config-5 frame: see module docstring.
 
@@ -110,9 +112,15 @@ def build_flagship(
     if preset not in ("fast", "parity"):
         raise ValueError(f"unknown preset {preset!r}")
     parity = preset == "parity"
-    substeps = 3 if parity else 1
+    substeps = (collision_substeps if collision_substeps is not None
+                else (3 if parity else 1))
     if quality is None and parity:
-        quality = QualitySettings(shadow_scale=1.0, scan_refine_samples=2)
+        # refine=1, not 2: the recorded A/B (tests/test_refine_quality.py,
+        # native-res scan vs the exact march over tall/short/mixed scenes)
+        # shows the second refine sample changes mean |error| by < 0.006 —
+        # while at full res it costs ~5.6 ms/frame (tools/tune_parity.py:
+        # each sample is an 8-light x 2-Mpixel analytic scene eval).
+        quality = QualitySettings(shadow_scale=1.0, scan_refine_samples=1)
     env = LightingEnvironment(
         ground_z=0.0, maximum_z=128.0, ambient=(0.03, 0.03, 0.04, 1.0)
     )
@@ -175,7 +183,15 @@ def build_flagship(
     # LightingRenderer.cs:1004-1168): directional sun, line light,
     # shadowed volumetric, projector, particle lights.
     extra = None
-    if full_family:
+    # full_family: False | True (all) | iterable of family names from
+    # {"directional", "line", "volumetric", "projector", "particle"} —
+    # subsets exist for cost attribution (tools/tune_family.py).
+    fam_set = (
+        {"directional", "line", "volumetric", "projector", "particle"}
+        if full_family is True
+        else (set(full_family) if full_family else set())
+    )
+    if fam_set:
         from .lighting.directional import (
             DirectionalLightSource, pack_directional_lights)
         from .lighting.line import LineLightSource, pack_line_lights
@@ -230,13 +246,21 @@ def build_flagship(
             ),
             max_lights=32,
         )
-        extra = {
-            "directional": pack_directional_lights([sun]),
-            "line": pack_line_lights([line]),
-            "volumetric": pack_volumetric_lights([volum]),
-            "projector": pack_projector_lights([proj]),
-            "particle_light": plight,
-        }
+        extra = {}
+        if "directional" in fam_set:
+            extra["directional"] = pack_directional_lights([sun])
+        if "line" in fam_set:
+            extra["line"] = pack_line_lights([line])
+        if "volumetric" in fam_set:
+            extra["volumetric"] = pack_volumetric_lights([volum])
+        if "projector" in fam_set:
+            extra["projector"] = pack_projector_lights([proj])
+            # Projected-quad centers for the windowed evaluation.
+            extra["projector_centers"] = jnp.asarray(
+                [[proj.position[0] + proj.scale[0] * 0.5,
+                  proj.position[1] + proj.scale[1] * 0.5]], jnp.float32)
+        if "particle" in fam_set:
+            extra["particle_light"] = plight
 
     # Dynamic-occluder animation amplitudes per analytic group, aligned
     # with pack_scene's type-sorted group order. The ellipsoid orbits a
@@ -291,10 +315,13 @@ def build_flagship(
     # VelocityPostMatrix is Parameter<DynamicMatrix>, re-evaluated per
     # frame; BezierM angle interpolation, Bezier.cs:379-424), so the
     # orbit injection angle breathes.
+    # Wobble width is occupancy-bounded: below ~84 deg the injection
+    # spirals inward enough to overflow hot raster tiles (measured ~3k
+    # drops/frame at 75 deg; 0 at 84).
     rot90 = pack_bezier_matrix(
-        [DynamicMatrix.from_components(angle=75.0),
-         DynamicMatrix.from_components(angle=105.0),
-         DynamicMatrix.from_components(angle=75.0)],
+        [DynamicMatrix.from_components(angle=84.0),
+         DynamicMatrix.from_components(angle=96.0),
+         DynamicMatrix.from_components(angle=84.0)],
         min_value=0.0, max_value=4.0,
     )
     spawner = Spawner(
@@ -360,7 +387,7 @@ def build_flagship(
         min_value=0.0, max_value=6.0,
     )
 
-    if parity:
+    if (raster_preset or preset) == "parity":
         raster_config = TiledRasterConfig(
             height=height, width=width, tile=32,
             bin_capacity=bin_capacity, apron=4, kernel="round",
@@ -407,10 +434,73 @@ def build_flagship(
             env_u_.ambient[:3],
             (gbuffer_.z.shape[0], gbuffer_.z.shape[1], 3),
         ).astype(jnp.float32)
+
+        # Full-family frames fuse EVERY radial shadow query — 8 sphere
+        # lights, 3 line anchors, the directional pseudo-center — into
+        # ONE scan pass: the scan's cost is its sequential column walk,
+        # so extra lights ride the existing pass as vector width (the
+        # standalone line scan alone cost 6.5 ms; fused it is ~free).
+        # Deviations from the per-family calls, both sub-threshold: one
+        # shared self-occlusion lift (1.6; line/directional use 1.5
+        # standalone) and one shared trace plane (the sphere heuristic;
+        # over-nomination is corrected by the 3D refine).
+        fused_vis = None
+        if extra is not None and shadow_mode == "scan" and (
+            "line" in extra or "directional" in extra
+        ):
+            from .lighting.directional import directional_scan_args
+            from .lighting.line import line_scan_anchors
+            from .lighting.scan_shadows import scan_cone_visibility
+
+            _BIG_T = 1e9
+            pos_parts = [lights_i.position]
+            rad_parts = [lights_i.properties[:, 0]]
+            ramp_parts = [lights_i.properties[:, 1]]
+            mtd_parts = [jnp.full((lights_i.capacity,), _BIG_T)]
+            slices = {"sphere": (0, lights_i.capacity)}
+            cursor = lights_i.capacity
+            if "line" in extra:
+                anchors, rad3, ramp3 = line_scan_anchors(extra["line"])
+                pos_parts.append(anchors)
+                rad_parts.append(rad3)
+                ramp_parts.append(ramp3)
+                mtd_parts.append(jnp.full((anchors.shape[0],), _BIG_T))
+                slices["line"] = (cursor, cursor + anchors.shape[0])
+                cursor += anchors.shape[0]
+            if "directional" in extra:
+                (d_pos, d_rad, d_ramp, d_mtd,
+                 _d_plane) = directional_scan_args(
+                    gbuffer_, extra["directional"], env_u_)
+                pos_parts.append(d_pos)
+                rad_parts.append(d_rad)
+                ramp_parts.append(d_ramp)
+                mtd_parts.append(d_mtd)
+                slices["directional"] = (cursor,
+                                         cursor + d_pos.shape[0])
+                cursor += d_pos.shape[0]
+            # Shared trace plane: the sphere heuristic (mean light z *
+            # 0.4) — cuts through every flagship occluder.
+            fused_vis = scan_cone_visibility(
+                vol_t, gbuffer_,
+                jnp.concatenate(pos_parts, axis=0),
+                jnp.concatenate(rad_parts, axis=0),
+                jnp.concatenate(ramp_parts, axis=0),
+                config.quality,
+                max_trace_distance=jnp.concatenate(mtd_parts, axis=0),
+                trace_z=jnp.mean(lights_i.position[:, 2]) * 0.4,
+            )
+
+        def vis_slice(name):
+            if fused_vis is None:
+                return None
+            a, b = slices[name]
+            return fused_vis[a:b]
+
         lightmap = lightmap + accumulate_sphere_lights(
             vol_t, gbuffer_, lights_i, env_u_, config.quality,
             with_specular=False, shadow_mode=shadow_mode, with_ao=False,
             with_alpha=False,
+            scan_visibility_precomputed=vis_slice("sphere"),
         )
         if extra is not None:
             from .lighting.directional import accumulate_directional_lights
@@ -418,32 +508,54 @@ def build_flagship(
             from .lighting.volumetric import accumulate_volumetric_lights
             from .lighting.projector import accumulate_projector_lights
             from .lighting.particle_light import accumulate_particle_lights
+            from .lighting.windowed import accumulate_windowed
 
-            # Directional sun: the march beats the scan for few-primitive
-            # analytic scenes (PERF.md A/B — the scan pays 4 sector
-            # passes per call; the march 64 masked plane evals).
-            lightmap = lightmap + accumulate_directional_lights(
-                vol_t, gbuffer_, extra["directional"], env_u_,
-                config.quality, shadow_mode="march",
-            )[..., :3]
-            lightmap = lightmap + accumulate_line_lights(
-                vol_t, gbuffer_, extra["line"], env_u_, config.quality,
-                shadow_mode="march",
-            )[..., :3]
-            lightmap = lightmap + accumulate_volumetric_lights(
-                vol_t, gbuffer_, extra["volumetric"], env_u_,
-                config.quality, shadowed=True,
-            )[..., :3]
-            lightmap = lightmap + accumulate_projector_lights(
-                vol_t, gbuffer_, extra["projector"], env_u_,
-                config.quality,
-            )[..., :3]
+            def take_light(tree, i):
+                return jax.tree.map(lambda a: a[i:i + 1], tree)
+
+            if "directional" in extra:
+                lightmap = lightmap + accumulate_directional_lights(
+                    vol_t, gbuffer_, extra["directional"], env_u_,
+                    config.quality, shadow_mode="march",
+                    scan_visibility_precomputed=vis_slice("directional"),
+                )[..., :3]
+            if "line" in extra:
+                lightmap = lightmap + accumulate_line_lights(
+                    vol_t, gbuffer_, extra["line"], env_u_,
+                    config.quality, shadow_mode="march",
+                    scan_visibility_precomputed=vis_slice("line"),
+                )[..., :3]
+            # Volumetric + projector lights are spatially BOUNDED — they
+            # evaluate on fixed windows around their centers instead of
+            # the whole frame (lighting/windowed.py; the reference's
+            # per-light instanced quads do the same bounding).
+            win = 384
+            if "volumetric" in extra:
+                vl = extra["volumetric"]
+                lightmap = accumulate_windowed(
+                    lightmap, gbuffer_, vl.start[:, :2], win,
+                    lambda i, gbw: accumulate_volumetric_lights(
+                        vol_t, gbw, take_light(vl, i), env_u_,
+                        config.quality, shadowed=True,
+                        shadow_detail="scan",
+                    ),
+                )
+            if "projector" in extra:
+                pj = extra["projector"]
+                lightmap = accumulate_windowed(
+                    lightmap, gbuffer_, extra["projector_centers"], win,
+                    lambda i, gbw: accumulate_projector_lights(
+                        vol_t, gbw, take_light(pj, i), env_u_,
+                        config.quality,
+                    ),
+                )
             # Particle lights read the INCOMING state — the reference's
             # usePreviousData convention (LightingRenderer.cs:1138-43).
-            lightmap = lightmap + accumulate_particle_lights(
-                vol_t, gbuffer_, state, extra["particle_light"], env_u_,
-                config.quality, shadow_mode="scan",
-            )[..., :3]
+            if "particle_light" in extra:
+                lightmap = lightmap + accumulate_particle_lights(
+                    vol_t, gbuffer_, state, extra["particle_light"],
+                    env_u_, config.quality, shadow_mode="scan",
+                )[..., :3]
 
         # -- particles: bezier-path spawner, gravity, SDF collision --
         spawn_pos = evaluate_bezier(spawn_path_bezier, jnp.mod(t, 6.0))

@@ -22,3 +22,16 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
 assert jax.default_backend() == "cpu", jax.default_backend()
+
+# Persistent XLA compile cache for the suite: identical frame graphs
+# (rebuilt closures with the same shapes/config) compile ONCE per cache
+# lifetime instead of once per test — within a run and across runs. The
+# cache dir is gitignored; a cold CI run still dedupes within the run.
+_CACHE = os.path.join(os.path.dirname(__file__), ".jax_cache_cpu")
+try:
+    jax.config.update("jax_compilation_cache_dir", _CACHE)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # Cache even small-speedup entries: compile time dominates this suite.
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+except Exception:
+    pass

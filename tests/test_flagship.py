@@ -63,13 +63,13 @@ def test_flagship_frame_loop_matches_single_steps():
 
 def test_flagship_parity_preset():
     """Reference-parity quality row (VERDICT r2 #1): substeps 3, full-res
-    shadows + 2 refine samples, round kernel, full payload."""
+    shadows + march-equivalent refine, round kernel, full payload."""
     sc = build_flagship(height=96, width=128, capacity=1 << 12,
                         spawn_max=256, bin_capacity=256, preset="parity")
     assert sc.raster_config.kernel == "round"
     assert not sc.raster_config.compact_payload
     assert sc.config.quality.shadow_scale == 1.0
-    assert sc.config.quality.scan_refine_samples == 2
+    assert sc.config.quality.scan_refine_samples == 1  # A/B-justified (test_refine_quality)
     st = sc.system.state
     env_u = sc.environment.uniforms()
     avg = jnp.float32(0.5)

@@ -1,0 +1,84 @@
+"""Parity-knob cost isolation on the real chip (VERDICT r3 work).
+
+Measures the flagship fps with each reference-parity knob flipped ONE at
+a time from the fast baseline, so the parity row's optimization targets
+the biggest cost first.
+
+Usage: python tools/tune_parity.py [frames]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+_CACHE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".jax_cache")
+try:
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+from illuminant_tpu.core.config import QualitySettings  # noqa: E402
+from illuminant_tpu.scenes import build_flagship  # noqa: E402
+
+
+def fence(x):
+    return float(jnp.max(x[::257, 0].astype(jnp.float32)))
+
+
+def run(name, frames=200, **kw):
+    scene = build_flagship(height=1080, width=1920, capacity=1 << 20,
+                           **kw)
+    state = scene.system.state
+    key = jax.random.key(0)
+    env_u = scene.environment.uniforms()
+    avg = jnp.asarray(0.5, jnp.float32)
+    spawn = jnp.asarray(scene.spawner.spawn_max, jnp.int32)
+    chunk = frames
+
+    def go(st, av, i0):
+        return scene.frame_loop(st, av, key, scene.volume, scene.gbuffer,
+                                scene.sphere_lights, env_u, spawn,
+                                jnp.asarray(i0, jnp.int32), chunk)
+
+    img, state, avg, drops = go(state, avg, 0)
+    fence(img)
+    img, state, avg, drops = go(state, avg, chunk)
+    fence(img)
+    t0 = time.perf_counter()
+    img, state, avg, drops = go(state, avg, 2 * chunk)
+    fence(img)
+    dt = time.perf_counter() - t0
+    fps = chunk / dt
+    print(json.dumps({"variant": name, "fps": round(fps, 2),
+                      "ms_per_frame": round(1000.0 / fps, 2),
+                      "drops": int(drops)}), flush=True)
+    return fps
+
+
+def main():
+    frames = int(sys.argv[1]) if len(sys.argv) > 1 else 200
+    base = run("fast_baseline", frames)
+    run("substeps3", frames, collision_substeps=3)
+    run("raster_parity", frames, raster_preset="parity")
+    run("refine2", frames,
+        quality=QualitySettings(scan_refine_samples=2))
+    run("shadow_full_res", frames,
+        quality=QualitySettings(shadow_scale=1.0))
+    run("parity_full", frames, preset="parity")
+    print(f"# fast baseline {base:.1f} fps", flush=True)
+
+
+if __name__ == "__main__":
+    main()
