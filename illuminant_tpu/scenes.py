@@ -435,72 +435,10 @@ def build_flagship(
             (gbuffer_.z.shape[0], gbuffer_.z.shape[1], 3),
         ).astype(jnp.float32)
 
-        # Full-family frames fuse EVERY radial shadow query — 8 sphere
-        # lights, 3 line anchors, the directional pseudo-center — into
-        # ONE scan pass: the scan's cost is its sequential column walk,
-        # so extra lights ride the existing pass as vector width (the
-        # standalone line scan alone cost 6.5 ms; fused it is ~free).
-        # Deviations from the per-family calls, both sub-threshold: one
-        # shared self-occlusion lift (1.6; line/directional use 1.5
-        # standalone) and one shared trace plane (the sphere heuristic;
-        # over-nomination is corrected by the 3D refine).
-        fused_vis = None
-        if extra is not None and shadow_mode == "scan" and (
-            "line" in extra or "directional" in extra
-        ):
-            from .lighting.directional import directional_scan_args
-            from .lighting.line import line_scan_anchors
-            from .lighting.scan_shadows import scan_cone_visibility
-
-            _BIG_T = 1e9
-            pos_parts = [lights_i.position]
-            rad_parts = [lights_i.properties[:, 0]]
-            ramp_parts = [lights_i.properties[:, 1]]
-            mtd_parts = [jnp.full((lights_i.capacity,), _BIG_T)]
-            slices = {"sphere": (0, lights_i.capacity)}
-            cursor = lights_i.capacity
-            if "line" in extra:
-                anchors, rad3, ramp3 = line_scan_anchors(extra["line"])
-                pos_parts.append(anchors)
-                rad_parts.append(rad3)
-                ramp_parts.append(ramp3)
-                mtd_parts.append(jnp.full((anchors.shape[0],), _BIG_T))
-                slices["line"] = (cursor, cursor + anchors.shape[0])
-                cursor += anchors.shape[0]
-            if "directional" in extra:
-                (d_pos, d_rad, d_ramp, d_mtd,
-                 _d_plane) = directional_scan_args(
-                    gbuffer_, extra["directional"], env_u_)
-                pos_parts.append(d_pos)
-                rad_parts.append(d_rad)
-                ramp_parts.append(d_ramp)
-                mtd_parts.append(d_mtd)
-                slices["directional"] = (cursor,
-                                         cursor + d_pos.shape[0])
-                cursor += d_pos.shape[0]
-            # Shared trace plane: the sphere heuristic (mean light z *
-            # 0.4) — cuts through every flagship occluder.
-            fused_vis = scan_cone_visibility(
-                vol_t, gbuffer_,
-                jnp.concatenate(pos_parts, axis=0),
-                jnp.concatenate(rad_parts, axis=0),
-                jnp.concatenate(ramp_parts, axis=0),
-                config.quality,
-                max_trace_distance=jnp.concatenate(mtd_parts, axis=0),
-                trace_z=jnp.mean(lights_i.position[:, 2]) * 0.4,
-            )
-
-        def vis_slice(name):
-            if fused_vis is None:
-                return None
-            a, b = slices[name]
-            return fused_vis[a:b]
-
         lightmap = lightmap + accumulate_sphere_lights(
             vol_t, gbuffer_, lights_i, env_u_, config.quality,
             with_specular=False, shadow_mode=shadow_mode, with_ao=False,
             with_alpha=False,
-            scan_visibility_precomputed=vis_slice("sphere"),
         )
         if extra is not None:
             from .lighting.directional import accumulate_directional_lights
@@ -508,54 +446,82 @@ def build_flagship(
             from .lighting.volumetric import accumulate_volumetric_lights
             from .lighting.projector import accumulate_projector_lights
             from .lighting.particle_light import accumulate_particle_lights
+            from .lighting.scan_shadows import upsample2x_bilinear
             from .lighting.windowed import accumulate_windowed
 
             def take_light(tree, i):
                 return jax.tree.map(lambda a: a[i:i + 1], tree)
 
+            # The EXTRA families evaluate at HALF resolution and
+            # upsample together: the sun/line/volumetric/particle-light
+            # terms are band-limited on this flat scene, and the
+            # per-light resolution knob is the reference's own lever
+            # (LightSource.Quality + RendererConfiguration.RenderScale).
+            # Measured full-res marginals (tools/tune_family.py): line
+            # +6.0, directional +3.4, volumetric +1.7, particle +1.7 ms
+            # — half res quarters the (L, H, W) falloff/shadow chains.
+            # The projector keeps full res (projected texture detail).
+            h_, w_ = gbuffer_.shape
+            half_ok = h_ % 2 == 0 and w_ % 2 == 0
+            if half_ok:
+                gb_ex = gbuf.flat_ground(
+                    h_ // 2, w_ // 2, env_u_,
+                    render_scale=0.5 * gbuffer_.render_scale,
+                )
+            else:
+                gb_ex = gbuffer_
+            ex = jnp.zeros(gb_ex.shape + (3,), jnp.float32)
             if "directional" in extra:
-                lightmap = lightmap + accumulate_directional_lights(
-                    vol_t, gbuffer_, extra["directional"], env_u_,
+                # March, not scan: measured 2.8 vs 6.5 ms full-res for
+                # few-primitive analytic scenes (PERF.md round-3 log).
+                ex = ex + accumulate_directional_lights(
+                    vol_t, gb_ex, extra["directional"], env_u_,
                     config.quality, shadow_mode="march",
-                    scan_visibility_precomputed=vis_slice("directional"),
                 )[..., :3]
             if "line" in extra:
-                lightmap = lightmap + accumulate_line_lights(
-                    vol_t, gbuffer_, extra["line"], env_u_,
-                    config.quality, shadow_mode="march",
-                    scan_visibility_precomputed=vis_slice("line"),
+                ex = ex + accumulate_line_lights(
+                    vol_t, gb_ex, extra["line"], env_u_,
+                    config.quality, shadow_mode="scan",
                 )[..., :3]
-            # Volumetric + projector lights are spatially BOUNDED — they
-            # evaluate on fixed windows around their centers instead of
-            # the whole frame (lighting/windowed.py; the reference's
+            # Volumetric lights are spatially BOUNDED: fixed window
+            # around each center (lighting/windowed.py; the reference's
             # per-light instanced quads do the same bounding).
-            win = 384
+            win = 384 // (2 if half_ok else 1)
             if "volumetric" in extra:
                 vl = extra["volumetric"]
-                lightmap = accumulate_windowed(
-                    lightmap, gbuffer_, vl.start[:, :2], win,
+                ex = accumulate_windowed(
+                    ex, gb_ex,
+                    vl.start[:, :2] * (0.5 if half_ok else 1.0), win,
                     lambda i, gbw: accumulate_volumetric_lights(
                         vol_t, gbw, take_light(vl, i), env_u_,
                         config.quality, shadowed=True,
                         shadow_detail="scan",
                     ),
                 )
+            # Particle lights read the INCOMING state — the reference's
+            # usePreviousData convention (LightingRenderer.cs:1138-43).
+            if "particle_light" in extra:
+                ex = ex + accumulate_particle_lights(
+                    vol_t, gb_ex, state, extra["particle_light"],
+                    env_u_, config.quality, shadow_mode="scan",
+                )[..., :3]
+            if half_ok:
+                up = upsample2x_bilinear(
+                    jnp.moveaxis(ex, -1, 0).astype(jnp.bfloat16)
+                )
+                lightmap = lightmap + jnp.moveaxis(up, 0, -1).astype(
+                    jnp.float32)
+            else:
+                lightmap = lightmap + ex
             if "projector" in extra:
                 pj = extra["projector"]
                 lightmap = accumulate_windowed(
-                    lightmap, gbuffer_, extra["projector_centers"], win,
+                    lightmap, gbuffer_, extra["projector_centers"], 384,
                     lambda i, gbw: accumulate_projector_lights(
                         vol_t, gbw, take_light(pj, i), env_u_,
                         config.quality,
                     ),
                 )
-            # Particle lights read the INCOMING state — the reference's
-            # usePreviousData convention (LightingRenderer.cs:1138-43).
-            if "particle_light" in extra:
-                lightmap = lightmap + accumulate_particle_lights(
-                    vol_t, gbuffer_, state, extra["particle_light"],
-                    env_u_, config.quality, shadow_mode="scan",
-                )[..., :3]
 
         # -- particles: bezier-path spawner, gravity, SDF collision --
         spawn_pos = evaluate_bezier(spawn_path_bezier, jnp.mod(t, 6.0))

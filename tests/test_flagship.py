@@ -8,19 +8,23 @@ from illuminant_tpu.scenes import build_flagship
 
 
 def test_flagship_frame_composition():
-    sc = build_flagship(height=108, width=192, capacity=1 << 12,
-                        spawn_max=256, bin_capacity=256)
+    # Same build as test_multichip's fixture: the persistent compile
+    # cache dedupes the identical frame graph across test files.
+    sc = build_flagship(height=64, width=128, capacity=1 << 12,
+                        spawn_max=256, n_lights=4, bin_capacity=128)
     st = sc.system.state
     env_u = sc.environment.uniforms()
     avg = jnp.float32(0.5)
     img = None
-    for i in range(12):
+    # 6 frames at 128/spawn: stays inside the small test bin capacity
+    # (the tiny 8-tile image concentrates the orbit annulus).
+    for i in range(6):
         img, st, avg, drops = sc.frame(
             st, avg, jax.random.fold_in(jax.random.key(0), i), sc.volume,
             sc.gbuffer, sc.sphere_lights, env_u,
-            jnp.asarray(256, jnp.int32))
+            jnp.asarray(128, jnp.int32))
     img = np.asarray(img)
-    assert img.dtype == np.uint8 and img.shape == (108, 192, 3)
+    assert img.dtype == np.uint8 and img.shape == (64, 128, 3)
     assert int(drops) == 0
     # Lit scene: neither black nor blown out.
     assert 40 < img.mean() < 240, img.mean()
@@ -30,12 +34,12 @@ def test_flagship_frame_composition():
     # Auto-exposure carry is live and sane.
     assert 0.01 < float(avg) < 64.0
     # Particles actually advanced.
-    assert int(st.live_count()) > 1000
+    assert int(st.live_count()) > 600
 
 
 def test_flagship_frame_loop_matches_single_steps():
-    sc = build_flagship(height=54, width=96, capacity=1 << 10,
-                        spawn_max=128, bin_capacity=64)
+    sc = build_flagship(height=64, width=128, capacity=1 << 12,
+                        spawn_max=256, n_lights=4, bin_capacity=128)
     env_u = sc.environment.uniforms()
     key = jax.random.key(3)
 
