@@ -96,6 +96,14 @@ class TiledRasterConfig:
     # ONE operand through the sort. Requires channels == 3 (the alpha
     # byte holds the size) and rgba8 colors.
     compact_payload: bool = False
+    # int8 MXU splat (additive path): quantize the coverage factors and
+    # the rhs (coverage x color) to s8 and contract s8 x s8 -> s32. The
+    # splat is BANDWIDTH-bound on operand materialization (measured
+    # tools/microbench_int8.py: 1.06 -> 0.57 ms at flagship shapes), so
+    # halving operand bytes nearly halves it. Precision: coverage in
+    # 1/127 steps, colors in color_scale/127 steps — additive sums of
+    # many particles wash this out exactly like rgba8_colors.
+    int8_splat: bool = False
 
     @property
     def grid(self) -> Tuple[int, int]:
@@ -537,17 +545,46 @@ def rasterize_tiled(
     # and an einsum emitting (gy, win, gx, v) directly — placement then
     # needs only reshapes, no transposes, and no ch-wide minor dims
     # anywhere (both were measured multi-ms relayout costs on TPU).
-    rhs = jnp.concatenate(
-        [wx * (bins["color"][c] * valid).astype(jnp.bfloat16)
-         [:, :, None] for c in range(ch)],
-        axis=-1,
-    )  # (NT, K, ch*win)
-    tiles = jnp.einsum(
-        "abwk,abkv->awbv",
-        wy.reshape(gy, gx, win, k),
-        rhs.reshape(gy, gx, k, ch * win),
-        preferred_element_type=jnp.float32,
-    )  # (gy, win, gx, ch*win)
+    if cfg.int8_splat:
+        assert cfg.rgba8_colors, (
+            "int8 splat needs the bounded rgba8 color range "
+            "(arbitrary f32 HDR would clip at color_scale)"
+        )
+        # s8 x s8 -> s32 on the MXU: operand bytes halve and the splat
+        # is operand-bandwidth-bound (see TiledRasterConfig.int8_splat).
+        rscale = 127.0 / max(cfg.color_scale, 1e-6)
+        wy_q = jnp.round(wy.astype(jnp.float32) * 127.0).astype(jnp.int8)
+        rhs_q = jnp.concatenate(
+            [
+                jnp.clip(
+                    jnp.round(
+                        wx.astype(jnp.float32)
+                        * (bins["color"][c] * valid)[:, :, None] * rscale
+                    ),
+                    -127, 127,
+                ).astype(jnp.int8)
+                for c in range(ch)
+            ],
+            axis=-1,
+        )
+        tiles = jnp.einsum(
+            "abwk,abkv->awbv",
+            wy_q.reshape(gy, gx, win, k),
+            rhs_q.reshape(gy, gx, k, ch * win),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * (1.0 / (127.0 * rscale))
+    else:
+        rhs = jnp.concatenate(
+            [wx * (bins["color"][c] * valid).astype(jnp.bfloat16)
+             [:, :, None] for c in range(ch)],
+            axis=-1,
+        )  # (NT, K, ch*win)
+        tiles = jnp.einsum(
+            "abwk,abkv->awbv",
+            wy.reshape(gy, gx, win, k),
+            rhs.reshape(gy, gx, k, ch * win),
+            preferred_element_type=jnp.float32,
+        )  # (gy, win, gx, ch*win)
     dropped = bins["dropped"]
 
     if cfg.overflow_tiles > 0:

@@ -399,7 +399,7 @@ def build_flagship(
             height=height, width=width, tile=32,
             bin_capacity=bin_capacity, apron=4, kernel="gauss",
             rgba8_colors=True, color_scale=4.0, channels=3,
-            slots_per_row=16, compact_payload=True,
+            slots_per_row=16, compact_payload=True, int8_splat=True,
         )
     hist_bounds = jnp.asarray(bucket_boundaries(max_value=64.0))
 

@@ -252,3 +252,25 @@ def test_compact_payload_matches_full():
     assert abs(a.sum() - b.sum()) / a.sum() < 0.08
     corr = np.corrcoef(a.reshape(-1), b.reshape(-1))[0, 1]
     assert corr > 0.99, corr
+
+
+def test_int8_splat_matches_oracle():
+    """int8 MXU splat (TiledRasterConfig.int8_splat): coverage in 1/127
+    steps, colors in color_scale/127 steps — additive sums stay within
+    a slightly wider tolerance than the bf16 path."""
+    h, w, n = 96, 64, 1500
+    cfg = TiledRasterConfig(height=h, width=w, tile=32, bin_capacity=1024,
+                            apron=4, kernel=KERNEL_GAUSS,
+                            rgba8_colors=True, color_scale=2.0,
+                            int8_splat=True)
+    x, y, color, size, live = _random_particles(n, h, w, seed=3)
+    img, diag = rasterize_tiled(cfg, jnp.asarray(x), jnp.asarray(y),
+                                jnp.asarray(color), jnp.asarray(size),
+                                jnp.asarray(live))
+    assert int(diag["dropped"]) == 0
+    oracle = _oracle_additive(cfg, x, y, color, size, live)
+    img = np.asarray(img, np.float64)
+    scale = np.maximum(np.abs(oracle), 0.5)
+    rel = np.abs(img - oracle) / scale
+    assert rel.max() < 0.2, rel.max()
+    assert abs(img.sum() - oracle.sum()) / oracle.sum() < 0.04
