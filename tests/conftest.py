@@ -20,10 +20,9 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
-# Tests are COMPILE-bound on this 1-core CPU host (frame graphs compile
-# in ~10 s, run in ~15 ms). Trading runtime for compile time is a pure
-# win here: -33% compile, runtime 15 -> 53 ms per frame (measured).
-jax.config.update("jax_disable_most_optimizations", True)
+# NOTE: jax_disable_most_optimizations was tried for compile speed and
+# REVERTED — it cut frame compiles 33% but inflated execution-heavy
+# tests (SDF collision steps: 21 -> 111 s) for a net loss.
 
 assert jax.default_backend() == "cpu", jax.default_backend()
 

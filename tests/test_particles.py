@@ -230,7 +230,7 @@ def test_collision_keeps_particles_out_of_box(substeps):
         maximum_total=400,
     )
     system = ParticleSystem(cfg, [spn], volume=field)
-    for _ in range(120):  # 2 seconds: plenty to reach the wall at x=118
+    for _ in range(60):  # 1 second: wall at x=118 reached in ~0.5 s
         system.tick(1.0 / 60.0)
     live = np.asarray(system.state.live_mask())
     pos = np.asarray(system.state.position)[live]
