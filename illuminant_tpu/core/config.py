@@ -39,6 +39,17 @@ class QualitySettings:
     # usually by zero (tests/test_refine_quality.py) while costing
     # ~1.7 ms/frame at 1080p x 8 lights.
     scan_refine_samples: int = static_field(default=1)
+    # Scan NOMINATION resolution relative to the shadow resolution: the
+    # sequential column walk (the scan's dominant cost at full-res
+    # shadows) only NOMINATES each pixel's blocker; the per-pixel 3D
+    # refinement + cone visibility still evaluate at full shadow
+    # resolution. 0.5 halves the walk's grid (blocker positions
+    # quantize to 2 shadow px, flatland contact edges soften by one
+    # bilinear lobe) while penumbrae, refine samples, and cone radii
+    # stay full-res. Only 0.5 (even dims) takes effect; the parity
+    # preset uses it with shadow_scale 1.0 (error vs the exact march
+    # measured in tests/test_refine_quality.py).
+    scan_nomination_scale: float = static_field(default=1.0)
 
 
 @pytree_dataclass

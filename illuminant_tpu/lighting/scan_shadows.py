@@ -76,11 +76,18 @@ def _default_unroll() -> int:
     """Scan unroll: 32 amortizes per-step overhead on TPU, but makes the
     XLA *CPU* compile pathologically slow (minutes for a 256-column scan —
     the round-1 test suite was un-runnable because of it). CPU tests are
-    about semantics, not throughput, so don't unroll there."""
+    about semantics, not throughput, so don't unroll there.
+    ILLUM_SCAN_UNROLL overrides (perf sweeps — tools/microbench_scan2)."""
+    import os
+
+    env = os.environ.get("ILLUM_SCAN_UNROLL")
+    if env:
+        return int(env)
     return 32 if jax.default_backend() != "cpu" else 1
 
 
-def _bidirectional_scan(occ, light_x, light_y, light_radius, unroll=None):
+def _bidirectional_scan(occ, light_x, light_y, light_radius, unroll=None,
+                        raw=False):
     """Both half-plane passes in ONE lax.scan (the reverse pass runs on the
     flipped image as a batch row — halves the sequential op count; unroll
     amortizes per-step overhead). occ: (H, W); light_x/y/radius: (L,).
@@ -88,6 +95,12 @@ def _bidirectional_scan(occ, light_x, light_y, light_radius, unroll=None):
     Returns ((e_d, e_k), (w_d, w_k)): (L, H, W) pre-merge carries — the min
     scene distance along each pixel's ray (excluding the pixel's own
     column) and the horizontal distance from the light where it occurred.
+
+    raw=True returns the scan outputs in their NATIVE (W, 2, L, H) f16
+    layout (forward-pass x-mirror NOT undone) — the caller does its
+    sector select in that layout and transposes only the 3 selected
+    arrays (see scan_visibility; measured cheaper than transposing all
+    six per scan pair).
     """
     H, W = occ.shape
     L = light_x.shape[0]
@@ -111,6 +124,11 @@ def _bidirectional_scan(occ, light_x, light_y, light_radius, unroll=None):
     # and subtract k_off back at readout.
     k_off = jnp.minimum(lx, 0.0)
 
+    # NOTE (measured negative): stacking the three carries into ONE
+    # (3, 2, L, H) array to share the fan-resample rolls (2 rolls + 1
+    # lerp instead of 6 + 3) made S0 12.1 ms vs 7.3 at 1080p — the
+    # leading stack dim wrecks the (2, L, H) layout. Three separate
+    # carries stay.
     def step(carry, inputs):
         min_d, min_k, neg_k = carry  # (2, L, H) each
         x, occ_col = inputs  # (), (2, H)
@@ -173,6 +191,8 @@ def _bidirectional_scan(occ, light_x, light_y, light_radius, unroll=None):
         step, init, (cols, occ_both),
         unroll=_default_unroll() if unroll is None else unroll,
     )
+    if raw:
+        return pre_d, pre_k, pre_n
     # (W, 2, L, H) -> (2, L, H, W).
     pre_d = jnp.moveaxis(pre_d, 0, 3)
     pre_k = jnp.moveaxis(pre_k, 0, 3)
@@ -213,15 +233,31 @@ def scan_visibility(
     march has no such artifact — see PERF.md approximations)."""
     if world_offset is None:
         world_offset = jnp.zeros((2,), jnp.float32)
-    # Window-local pixel coordinates: shift the light into the window's
-    # frame so the column scan's dx math is unchanged.
-    lx = (light_position[:, 0] - world_offset[0]) * render_scale
-    ly = (light_position[:, 1] - world_offset[1]) * render_scale
     lz = light_position[:, 2]
     if trace_z is None:
         trace_z = jnp.mean(lz) * 0.4
-    occ = occlusion_image(scene, height, width, trace_z, render_scale,
-                          world_offset)
+
+    # --- NOMINATION: the sequential column walks + sector merge. Its
+    # outputs are per-pixel, resolution-INDEPENDENT quantities — min
+    # scene distance along the ray (world units) and the blocker entry/
+    # exit positions as FRACTIONS of the ray — so the walk (the scan's
+    # dominant sequential cost) can run on a coarser grid than the
+    # refine/cone readout below (QualitySettings.scan_nomination_scale):
+    # blocker positions then quantize to 1/scale shadow px and flatland
+    # contact edges soften by one bilinear lobe, while the per-pixel 3D
+    # refinement, cone radii and penumbra thresholds all stay at the
+    # full shadow resolution.
+    nm = quality.scan_nomination_scale
+    use_nom = nm == 0.5 and height % 2 == 0 and width % 2 == 0
+    if use_nom:
+        nh, nw, nscale = height // 2, width // 2, render_scale * 0.5
+    else:
+        nh, nw, nscale = height, width, render_scale
+    # Window-local pixel coordinates: shift the light into the window's
+    # frame so the column scan's dx math is unchanged.
+    lx = (light_position[:, 0] - world_offset[0]) * nscale
+    ly = (light_position[:, 1] - world_offset[1]) * nscale
+    occ = occlusion_image(scene, nh, nw, trace_z, nscale, world_offset)
 
     (e_d, e_k, e_n), (w_d, w_k, w_n) = _bidirectional_scan(
         occ, lx, ly, light_radius
@@ -234,18 +270,16 @@ def scan_visibility(
     s_k = jnp.swapaxes(s_tuple[1], 1, 2)
     s_n = jnp.swapaxes(s_tuple[2], 1, 2)
 
-    ys = jnp.arange(height, dtype=jnp.float32)[None, :, None]
-    xs = jnp.arange(width, dtype=jnp.float32)[None, None, :]
-    dx = xs - lx[:, None, None]
-    dy = ys - ly[:, None, None]
-    adx = jnp.abs(dx)
-    ady = jnp.abs(dy)
+    ys_n = jnp.arange(nh, dtype=jnp.float32)[None, :, None]
+    xs_n = jnp.arange(nw, dtype=jnp.float32)[None, None, :]
+    dx_n = xs_n - lx[:, None, None]
+    dy_n = ys_n - ly[:, None, None]
 
     # Sector select: E/W own |dy| <= |dx|, N/S the rest.
-    horiz = adx >= ady
-    east = horiz & (dx >= 0.0)
-    west = horiz & (dx < 0.0)
-    north = (~horiz) & (dy >= 0.0)
+    horiz = jnp.abs(dx_n) >= jnp.abs(dy_n)
+    east = horiz & (dx_n >= 0.0)
+    west = horiz & (dx_n < 0.0)
+    north = (~horiz) & (dy_n >= 0.0)
 
     min_d = jnp.where(
         east, e_d,
@@ -262,9 +296,9 @@ def scan_visibility(
     # Undo the f16-range k offset (see _bidirectional_scan): each sector
     # pass measured k from its own (possibly mirrored) light coordinate.
     off_e = jnp.minimum(lx, 0.0)[:, None, None]
-    off_w = jnp.minimum((width - 1.0) - lx, 0.0)[:, None, None]
+    off_w = jnp.minimum((nw - 1.0) - lx, 0.0)[:, None, None]
     off_n = jnp.minimum(ly, 0.0)[:, None, None]
-    off_s = jnp.minimum((height - 1.0) - ly, 0.0)[:, None, None]
+    off_s = jnp.minimum((nh - 1.0) - ly, 0.0)[:, None, None]
     k_off = jnp.where(
         east, off_e,
         jnp.where(west, off_w, jnp.where(north, off_n, off_s)),
@@ -272,14 +306,50 @@ def scan_visibility(
     min_k = min_k - k_off
     neg_k = neg_k - k_off
 
+    major_n = jnp.maximum(
+        jnp.maximum(jnp.abs(dx_n), jnp.abs(dy_n)), 1e-3
+    )
+    k_frac = jnp.clip(min_k / major_n, 0.0, 1.0)  # 0 at light, 1 at px
+    exit_frac = jnp.clip(jnp.maximum(neg_k, min_k) / major_n, 0.0, 1.0)
+    has_blocker = min_d < 1e8
+    if use_nom:
+        # Upsample the three nominated fields to the readout grid. f16
+        # keeps the HBM cost of the extra materialization at half
+        # (fractions keep ~0.05% of ray length, min_d ~0.06 world
+        # units); the no-blocker sentinel is clamped out of min_d first
+        # so bilinear edges don't smear 1e9 into real distances, and
+        # the mask is upsampled separately (>= 0.5: a blocker wins the
+        # 2x2 vote).
+        min_d = jnp.minimum(min_d, 8192.0)
+        k_frac = upsample2x_bilinear(k_frac.astype(jnp.float16))
+        exit_frac = upsample2x_bilinear(exit_frac.astype(jnp.float16))
+        min_d = upsample2x_bilinear(min_d.astype(jnp.float16))
+        has_blocker = (
+            upsample2x_bilinear(has_blocker.astype(jnp.float16)) >= 0.5
+        )
+        k_frac = k_frac.astype(jnp.float32)
+        exit_frac = exit_frac.astype(jnp.float32)
+        min_d = min_d.astype(jnp.float32)
+
+    # --- READOUT at full shadow resolution.
+    lx = (light_position[:, 0] - world_offset[0]) * render_scale
+    ly = (light_position[:, 1] - world_offset[1]) * render_scale
+    ys = jnp.arange(height, dtype=jnp.float32)[None, :, None]
+    xs = jnp.arange(width, dtype=jnp.float32)[None, None, :]
+    dx = xs - lx[:, None, None]
+    dy = ys - ly[:, None, None]
+    adx = jnp.abs(dx)
+    ady = jnp.abs(dy)
+
     # Convert horizontal distances to along-ray distances (the scan walks
     # the major axis; the ray is longer by sec = ray_len / major_extent).
     major = jnp.maximum(jnp.maximum(adx, ady), 1e-3)
-    pz = (
-        pixel_z[None]
-        if pixel_z is not None
-        else jnp.zeros((1,) + min_d.shape[1:], jnp.float32)
-    )
+    # pixel_z is (H, W) shared, or (L, H, W) per-light (fused multi-
+    # family calls lift the shading endpoint by each family's constant).
+    if pixel_z is None:
+        pz = jnp.zeros((1,) + min_d.shape[1:], jnp.float32)
+    else:
+        pz = pixel_z if pixel_z.ndim == 3 else pixel_z[None]
     dz = pz - lz[:, None, None]
     ray_len = jnp.sqrt(dx * dx + dy * dy + dz * dz)
     sec = ray_len / major
@@ -299,10 +369,6 @@ def scan_visibility(
     # This restores 3D behavior — short obstructions don't shadow pixels
     # whose rays pass over them, elevated pixels' rays clear ground
     # obstructions — at the cost of K analytic evals per (light, pixel).
-    k_frac = jnp.clip(min_k / major, 0.0, 1.0)  # 0 at light, 1 at pixel
-    exit_frac = jnp.clip(
-        jnp.maximum(neg_k, min_k) / major, 0.0, 1.0
-    )
     px_x = xs / jnp.maximum(render_scale, 1e-6) + world_offset[0]
     px_y = ys / jnp.maximum(render_scale, 1e-6) + world_offset[1]
     # Ray endpoints: light (world) -> shaded surface. The self-occlusion
@@ -312,22 +378,23 @@ def scan_visibility(
     # their own volume and blackens them.
     pz_lift = pz
     if pixel_offset_xy is not None:
-        px_x = px_x + pixel_offset_xy[None, ..., 0]
-        px_y = px_y + pixel_offset_xy[None, ..., 1]
+        off = (pixel_offset_xy if pixel_offset_xy.ndim == 4
+               else pixel_offset_xy[None])
+        px_x = px_x + off[..., 0]
+        px_y = px_y + off[..., 1]
     lx_w = light_position[:, 0][:, None, None]
     ly_w = light_position[:, 1][:, None, None]
-    has_blocker = min_d < 1e8
     if max_trace_distance is not None:
         # Blocker distance from the pixel along the ray, in world units.
         u_blocker = jnp.maximum(
-            (major - min_k) * sec, 0.0
+            (1.0 - k_frac) * major * sec, 0.0
         ) / jnp.maximum(render_scale, 1e-6)
         has_blocker = has_blocker & (
             u_blocker <= max_trace_distance[:, None, None]
         )
     if quality.scan_refine_samples <= 0:
         # Pure flatland: use the scan's own 2D min directly.
-        u0 = jnp.maximum((major - min_k) * sec, 0.0)
+        u0 = jnp.maximum((1.0 - k_frac) * major * sec, 0.0)
         radius0 = jnp.minimum(growth * u0 + MIN_CONE_RADIUS, max_radius)
         vis = jnp.minimum(
             (min_d + HACK_DISTANCE_OFFSET) / radius0, 1.0
@@ -372,7 +439,7 @@ def scan_visibility(
             pz_lift - lz[:, None, None]
         ) * k_frac
         low_ray = ray_z_at_k <= trace_z + 0.5
-        u0 = jnp.maximum((major - min_k) * sec, 0.0)
+        u0 = jnp.maximum((1.0 - k_frac) * major * sec, 0.0)
         radius0 = jnp.minimum(growth * u0 + MIN_CONE_RADIUS, max_radius)
         flat_vis = jnp.minimum(
             (min_d + HACK_DISTANCE_OFFSET) / radius0, 1.0
@@ -421,7 +488,8 @@ def scan_cone_visibility(
     quality: QualitySettings,
     max_trace_distance=None,  # (L,) or None
     trace_z=None,
-    self_occlusion_lift: float = 1.6,
+    self_occlusion_lift=1.6,
+    upsample: bool = True,
 ):
     """Shadow-scale-aware scan visibility over a G-buffer -> (L, H, W).
 
@@ -433,7 +501,14 @@ def scan_cone_visibility(
     `self_occlusion_lift` is the family's SELF_OCCLUSION_HACK constant —
     1.6 for sphere lights (SphereLightCore.fxh:151), 1.5 for
     directional/line (LineLightCore.fxh:10) — so the scan shades the same
-    endpoint as the march it replaces.
+    endpoint as the march it replaces. A MULTI-FAMILY fused call (one
+    scan pass carrying several families' anchors on the L axis — the
+    scan's sequential column cost is per-pass, so extra lights are
+    nearly free) passes an (L,) array of per-light lifts.
+
+    `upsample=False` returns the scan-resolution (L, sh, sw) visibility
+    (fused callers slice per family and upsample to each consumer's
+    resolution themselves).
     """
     h, w = gbuffer.shape
     ss = quality.shadow_scale
@@ -441,42 +516,48 @@ def scan_cone_visibility(
         gbuffer.pixel_origin / gbuffer.render_scale
         if gbuffer.pixel_origin is not None else None
     )
-    lifted_z = gbuffer.z + self_occlusion_lift * gbuffer.normal[..., 2]
-    offset_xy = self_occlusion_lift * gbuffer.normal[..., :2]
-    offset_xy = jnp.stack(
-        [offset_xy[..., 0], offset_xy[..., 1] + gbuffer.relative_y],
-        axis=-1,
-    )
+    lift = jnp.asarray(self_occlusion_lift, jnp.float32)
+    if lift.ndim == 0:
+        lifted_z = gbuffer.z + lift * gbuffer.normal[..., 2]
+        off_x = lift * gbuffer.normal[..., 0]
+        off_y = lift * gbuffer.normal[..., 1] + gbuffer.relative_y
+    else:
+        li = lift[:, None, None]
+        lifted_z = gbuffer.z[None] + li * gbuffer.normal[None, ..., 2]
+        off_x = li * gbuffer.normal[None, ..., 0]
+        off_y = li * gbuffer.normal[None, ..., 1] + gbuffer.relative_y
+    offset_xy = jnp.stack([off_x, off_y], axis=-1)
+
+    def _resize(arr, sh, sw, channels=0):
+        # arr is (..., H, W) when channels == 0, (..., H, W, C) when
+        # channels == C; leading dims (the per-light axis of a fused
+        # multi-family call) resize as identity.
+        spatial_at = arr.ndim - 2 - (1 if channels else 0)
+        shape = (arr.shape[:spatial_at] + (sh, sw)
+                 + ((channels,) if channels else ()))
+        return jax.image.resize(arr, shape, "linear")
+
     if ss == 0.5 and h % 2 == 0 and w % 2 == 0:
         sh, sw = h // 2, w // 2
-        pixel_z = jax.image.resize(lifted_z, (sh, sw), "linear")
-        off = jax.image.resize(offset_xy, (sh, sw, 2), "linear")
-        vis = scan_visibility(
-            scene, sh, sw, light_position, light_radius,
-            light_ramp_length, quality,
-            render_scale=gbuffer.render_scale * ss,
-            pixel_z=pixel_z, pixel_offset_xy=off,
-            max_trace_distance=max_trace_distance, trace_z=trace_z,
-            world_offset=world_off,
-        )
-        return upsample2x_bilinear(vis.astype(jnp.bfloat16))
-    if ss != 1.0:
+    elif ss != 1.0:
         sh, sw = max(int(h * ss), 8), max(int(w * ss), 8)
-        pixel_z = jax.image.resize(lifted_z, (sh, sw), "linear")
-        off = jax.image.resize(offset_xy, (sh, sw, 2), "linear")
-        vis = scan_visibility(
-            scene, sh, sw, light_position, light_radius,
-            light_ramp_length, quality,
-            render_scale=gbuffer.render_scale * ss,
-            pixel_z=pixel_z, pixel_offset_xy=off,
-            max_trace_distance=max_trace_distance, trace_z=trace_z,
-            world_offset=world_off,
-        )
-        return jax.image.resize(vis, (vis.shape[0], h, w), "linear")
-    return scan_visibility(
-        scene, h, w, light_position, light_radius, light_ramp_length,
-        quality, render_scale=gbuffer.render_scale,
-        pixel_z=lifted_z, pixel_offset_xy=offset_xy,
+    else:
+        sh, sw = h, w
+    if (sh, sw) != (h, w):
+        pixel_z = _resize(lifted_z, sh, sw)
+        off = _resize(offset_xy, sh, sw, channels=2)
+    else:
+        pixel_z, off = lifted_z, offset_xy
+    vis = scan_visibility(
+        scene, sh, sw, light_position, light_radius,
+        light_ramp_length, quality,
+        render_scale=gbuffer.render_scale * (sh / h if sh != h else 1.0),
+        pixel_z=pixel_z, pixel_offset_xy=off,
         max_trace_distance=max_trace_distance, trace_z=trace_z,
         world_offset=world_off,
     )
+    if not upsample or (sh, sw) == (h, w):
+        return vis
+    if (sh * 2, sw * 2) == (h, w):
+        return upsample2x_bilinear(vis.astype(jnp.bfloat16))
+    return jax.image.resize(vis, (vis.shape[0], h, w), "linear")

@@ -120,7 +120,14 @@ def build_flagship(
         # shows the second refine sample changes mean |error| by < 0.006 —
         # while at full res it costs ~5.6 ms/frame (tools/tune_parity.py:
         # each sample is an 8-light x 2-Mpixel analytic scene eval).
-        quality = QualitySettings(shadow_scale=1.0, scan_refine_samples=1)
+        quality = QualitySettings(shadow_scale=1.0, scan_refine_samples=1,
+                                  # Half-res blocker NOMINATION under the
+                                  # full-res refine/cone readout: measured
+                                  # CLOSER to the exact march than the
+                                  # full-res walk on all three scene
+                                  # classes (test_refine_quality.py::
+                                  # test_nomination_half_scale...).
+                                  scan_nomination_scale=0.5)
     env = LightingEnvironment(
         ground_z=0.0, maximum_z=128.0, ambient=(0.03, 0.03, 0.04, 1.0)
     )
@@ -391,7 +398,7 @@ def build_flagship(
         raster_config = TiledRasterConfig(
             height=height, width=width, tile=32,
             bin_capacity=bin_capacity, apron=4, kernel="round",
-            rgba8_colors=False, channels=4, slots_per_row=16,
+            rgba8_colors=False, channels=3, slots_per_row=16,
             compact_payload=False,
         )
     else:
@@ -435,10 +442,54 @@ def build_flagship(
             (gbuffer_.z.shape[0], gbuffer_.z.shape[1], 3),
         ).astype(jnp.float32)
 
+        sphere_vis = None
+        line_vis = None
+        if extra is not None and "line" in extra and shadow_mode == "scan":
+            # FUSED multi-family radial scan: the line light's 3 anchors
+            # ride the sphere lights' scan pass as extra lanes on the L
+            # axis (the scan's sequential column walk is per-PASS —
+            # L=1 -> 8 measured +0.8 ms at 1080p, so a few more lights
+            # are nearly free) — one scan pass instead of two, and the
+            # line shadows land at the sphere pass's scan resolution
+            # instead of the quarter-res extra-family buffer's.
+            from .lighting.line import line_scan_anchors
+            from .lighting.scan_shadows import (
+                scan_cone_visibility,
+                upsample2x_bilinear as _up2,
+            )
+
+            anchors, rad3, ramp3 = line_scan_anchors(extra["line"])
+            ns = lights_i.position.shape[0]
+            pos_all = jnp.concatenate([lights_i.position, anchors], 0)
+            rad_all = jnp.concatenate([lights_i.properties[:, 0], rad3])
+            ramp_all = jnp.concatenate(
+                [lights_i.properties[:, 1], ramp3])
+            lifts = jnp.concatenate([
+                # Per-family self-occlusion lifts: SphereLightCore.fxh
+                # :151 (1.6) vs LineLightCore.fxh:10 (1.5).
+                jnp.full((ns,), 1.6, jnp.float32),
+                jnp.full((rad3.shape[0],), 1.5, jnp.float32),
+            ])
+            vis_all = scan_cone_visibility(
+                vol_t, gbuffer_, pos_all, rad_all, ramp_all,
+                config.quality, self_occlusion_lift=lifts,
+                upsample=False,
+            )
+            sh_, sw_ = vis_all.shape[1:]
+            gh_, gw_ = gbuffer_.shape
+            if (sh_, sw_) == (gh_, gw_):
+                sphere_vis = vis_all[:ns]
+            elif (sh_ * 2, sw_ * 2) == (gh_, gw_):
+                sphere_vis = _up2(vis_all[:ns].astype(jnp.bfloat16))
+            else:
+                sphere_vis = jax.image.resize(
+                    vis_all[:ns], (ns, gh_, gw_), "linear")
+            line_vis = vis_all[ns:]
+
         lightmap = lightmap + accumulate_sphere_lights(
             vol_t, gbuffer_, lights_i, env_u_, config.quality,
             with_specular=False, shadow_mode=shadow_mode, with_ao=False,
-            with_alpha=False,
+            with_alpha=False, scan_visibility_precomputed=sphere_vis,
         )
         if extra is not None:
             from .lighting.directional import accumulate_directional_lights
@@ -479,9 +530,14 @@ def build_flagship(
                     config.quality, shadow_mode="march",
                 )[..., :3]
             if "line" in extra:
+                lv = line_vis
+                if lv is not None and lv.shape[1:] != gb_ex.shape:
+                    lv = jax.image.resize(
+                        lv, (lv.shape[0],) + gb_ex.shape, "linear")
                 ex = ex + accumulate_line_lights(
                     vol_t, gb_ex, extra["line"], env_u_,
                     config.quality, shadow_mode="scan",
+                    scan_visibility_precomputed=lv,
                 )[..., :3]
             # Volumetric lights are spatially BOUNDED: fixed window
             # around each center (lighting/windowed.py; the reference's

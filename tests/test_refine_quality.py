@@ -53,6 +53,46 @@ def _errors(obs):
     return out
 
 
+def test_nomination_half_scale_tracks_full_scale():
+    """scan_nomination_scale=0.5 runs the sequential walk on a half-res
+    grid but keeps refine + cone readout at full shadow resolution; the
+    visibility must stay close to the full-scale scan AND not lose
+    ground against the exact march (the parity preset's cheap-walk
+    justification)."""
+    for name, obs in SCENES.items():
+        scene = pack_scene(obs, group_capacity_round=1)
+        lights = jnp.asarray([[30.0, 48.0, 24.0], [120.0, 20.0, 60.0]],
+                             jnp.float32)
+        radii = jnp.asarray([6.0, 5.0])
+        ramps = jnp.asarray([200.0, 200.0])
+        ys, xs = np.meshgrid(np.arange(H) + 0.5, np.arange(W) + 0.5,
+                             indexing="ij")
+        shaded = np.stack([xs, ys, np.zeros_like(xs)], -1)
+        march = np.stack([
+            np.asarray(ct.cone_trace(scene, lights[i], radii[i], ramps[i],
+                                     jnp.asarray(shaded.astype(np.float32)),
+                                     jnp.ones((H, W), bool),
+                                     QualitySettings()))
+            for i in range(2)
+        ])
+        vis = {}
+        for nom in (1.0, 0.5):
+            q = QualitySettings(scan_refine_samples=1,
+                                scan_nomination_scale=nom)
+            vis[nom] = np.asarray(scan_visibility(
+                scene, H, W, lights, radii, ramps, q,
+                pixel_z=jnp.zeros((H, W))))
+        direct = np.abs(vis[0.5] - vis[1.0]).mean()
+        assert direct < 0.03, (name, direct)
+        # Against the exact march the half-scale nomination must not
+        # lose ground (measured: it is slightly CLOSER on all three
+        # scene classes — the coarse walk's bilinear k smooths the
+        # arg-min's nearest-column quantization).
+        err_full = np.abs(vis[1.0] - march).mean()
+        err_nom = np.abs(vis[0.5] - march).mean()
+        assert err_nom <= err_full + 0.01, (name, err_full, err_nom)
+
+
 def test_refine_one_is_march_equivalent_to_two():
     for name, obs in SCENES.items():
         err = _errors(obs)
