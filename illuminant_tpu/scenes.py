@@ -444,35 +444,77 @@ def build_flagship(
 
         sphere_vis = None
         line_vis = None
-        if extra is not None and "line" in extra and shadow_mode == "scan":
+        dir_vis = None
+        fuse_line = extra is not None and "line" in extra
+        fuse_dir = extra is not None and "directional" in extra
+        if (fuse_line or fuse_dir) and shadow_mode == "scan":
             # FUSED multi-family radial scan: the line light's 3 anchors
-            # ride the sphere lights' scan pass as extra lanes on the L
-            # axis (the scan's sequential column walk is per-PASS —
-            # L=1 -> 8 measured +0.8 ms at 1080p, so a few more lights
-            # are nearly free) — one scan pass instead of two, and the
-            # line shadows land at the sphere pass's scan resolution
-            # instead of the quarter-res extra-family buffer's.
-            from .lighting.line import line_scan_anchors
+            # and the directional sun's far pseudo-center ride the
+            # sphere lights' scan pass as extra lanes on the L axis (the
+            # scan's sequential column walk is per-PASS — L=1 -> 8
+            # measured +0.8 ms at 1080p, so a few more lights are nearly
+            # free) — one scan pass instead of three, and the extra
+            # families' shadows land at the sphere pass's scan
+            # resolution instead of the quarter-res extra-family
+            # buffer's. (Standalone, the directional MARCH beats the
+            # directional scan for few-primitive scenes — PERF.md
+            # round-3 log — but fused, the sun's marginal scan cost is
+            # one lane + one refine eval, well under the march's
+            # ~2.8 ms.) The directional pseudo-center sits thousands of
+            # units out, so the shared trace plane must be pinned to the
+            # radial lights' height (over-nomination is safe for the
+            # sun: its 3D refine rejects blockers the climbing ray
+            # clears; under-nomination — a plane above the occluder
+            # tops — would erase its shadows).
             from .lighting.scan_shadows import (
                 scan_cone_visibility,
                 upsample2x_bilinear as _up2,
             )
 
-            anchors, rad3, ramp3 = line_scan_anchors(extra["line"])
             ns = lights_i.position.shape[0]
-            pos_all = jnp.concatenate([lights_i.position, anchors], 0)
-            rad_all = jnp.concatenate([lights_i.properties[:, 0], rad3])
-            ramp_all = jnp.concatenate(
-                [lights_i.properties[:, 1], ramp3])
-            lifts = jnp.concatenate([
-                # Per-family self-occlusion lifts: SphereLightCore.fxh
-                # :151 (1.6) vs LineLightCore.fxh:10 (1.5).
-                jnp.full((ns,), 1.6, jnp.float32),
-                jnp.full((rad3.shape[0],), 1.5, jnp.float32),
-            ])
+            pos_parts = [lights_i.position]
+            rad_parts = [lights_i.properties[:, 0]]
+            ramp_parts = [lights_i.properties[:, 1]]
+            # Per-family self-occlusion lifts: SphereLightCore.fxh:151
+            # (1.6) vs LineLightCore.fxh:10 / DirectionalLight.fx:13
+            # (1.5).
+            lift_parts = [jnp.full((ns,), 1.6, jnp.float32)]
+            # Spheres trace to the light (no cap): a cap beyond any
+            # screen diagonal is a no-op in the readout.
+            mtd_parts = [jnp.full((ns,), 1e8, jnp.float32)]
+            nd = 0
+            if fuse_dir:
+                from .lighting.directional import directional_scan_args
+
+                (dcen, drad, dramp, dtrace, _dplane) = (
+                    directional_scan_args(
+                        gbuffer_, extra["directional"], env_u_))
+                nd = dcen.shape[0]
+                pos_parts.append(dcen)
+                rad_parts.append(drad)
+                ramp_parts.append(dramp)
+                lift_parts.append(jnp.full((nd,), 1.5, jnp.float32))
+                mtd_parts.append(dtrace)
+            if fuse_line:
+                from .lighting.line import line_scan_anchors
+
+                anchors, rad3, ramp3 = line_scan_anchors(extra["line"])
+                pos_parts.append(anchors)
+                rad_parts.append(rad3)
+                ramp_parts.append(ramp3)
+                lift_parts.append(
+                    jnp.full((rad3.shape[0],), 1.5, jnp.float32))
+                mtd_parts.append(
+                    jnp.full((rad3.shape[0],), 1e8, jnp.float32))
             vis_all = scan_cone_visibility(
-                vol_t, gbuffer_, pos_all, rad_all, ramp_all,
-                config.quality, self_occlusion_lift=lifts,
+                vol_t, gbuffer_,
+                jnp.concatenate(pos_parts, 0),
+                jnp.concatenate(rad_parts),
+                jnp.concatenate(ramp_parts),
+                config.quality,
+                self_occlusion_lift=jnp.concatenate(lift_parts),
+                max_trace_distance=jnp.concatenate(mtd_parts),
+                trace_z=jnp.mean(lights_i.position[:, 2]) * 0.4,
                 upsample=False,
             )
             sh_, sw_ = vis_all.shape[1:]
@@ -484,7 +526,8 @@ def build_flagship(
             else:
                 sphere_vis = jax.image.resize(
                     vis_all[:ns], (ns, gh_, gw_), "linear")
-            line_vis = vis_all[ns:]
+            dir_vis = vis_all[ns:ns + nd] if fuse_dir else None
+            line_vis = vis_all[ns + nd:] if fuse_line else None
 
         lightmap = lightmap + accumulate_sphere_lights(
             vol_t, gbuffer_, lights_i, env_u_, config.quality,
@@ -523,11 +566,19 @@ def build_flagship(
                 gb_ex = gbuffer_
             ex = jnp.zeros(gb_ex.shape + (3,), jnp.float32)
             if "directional" in extra:
-                # March, not scan: measured 2.8 vs 6.5 ms full-res for
-                # few-primitive analytic scenes (PERF.md round-3 log).
+                dv = dir_vis
+                if dv is not None and dv.shape[1:] != gb_ex.shape:
+                    dv = jax.image.resize(
+                        dv, (dv.shape[0],) + gb_ex.shape, "linear")
                 ex = ex + accumulate_directional_lights(
                     vol_t, gb_ex, extra["directional"], env_u_,
-                    config.quality, shadow_mode="march",
+                    config.quality,
+                    # Fused-scan visibility when the sphere pass runs
+                    # the scan; the standalone march otherwise (faster
+                    # than a standalone scan for few-primitive scenes,
+                    # PERF.md round-3 log).
+                    shadow_mode="march" if dv is None else "scan",
+                    scan_visibility_precomputed=dv,
                 )[..., :3]
             if "line" in extra:
                 lv = line_vis

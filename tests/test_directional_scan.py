@@ -111,6 +111,35 @@ def test_directional_ambient_no_direction_unshadowed():
     assert a.min() > 0.9
 
 
+def test_directional_fused_shared_trace_plane():
+    """The fused multi-family scan (scenes.py) runs the sun's pseudo-
+    center lane on a SHARED trace plane pinned to the radial lights'
+    height instead of the directional family's own plane. Over-
+    nomination is safe (the 3D refine rejects blockers the climbing ray
+    clears) — the classification must still agree with the march."""
+    from illuminant_tpu.lighting.directional import directional_scan_args
+    from illuminant_tpu.lighting.scan_shadows import scan_cone_visibility
+
+    scene, gb, lights, env, q = _setup()
+    centers, rad, ramp, mtd, _plane = directional_scan_args(
+        gb, lights, env)
+    # Sphere-style shared plane: lights at z=40 -> plane 16 (well below
+    # the box top at 40; the directional's own plane would sit higher).
+    vis = np.asarray(scan_cone_visibility(
+        scene, gb, centers, rad, ramp, q,
+        max_trace_distance=mtd, trace_z=jnp.asarray(16.0),
+        self_occlusion_lift=jnp.asarray([1.5], jnp.float32),
+    )[0])
+    a_march = _shadow_map("march")
+    # Dark core west of the box, lit on the light side (the march's
+    # classification test).
+    assert vis[120:136, 70:110].max() < 0.15, vis[120:136, 70:110].max()
+    assert vis[120:136, 150:200].min() > 0.5
+    open_lvl = a_march[20:60, 20:60].mean()
+    cls = (a_march > 0.5 * open_lvl) != (vis > 0.5)
+    assert cls.mean() < 0.03, cls.mean()
+
+
 def test_line_light_scan_matches_march():
     """Line-light scan mode (3 anchors blended by u) agrees with the
     3-ray march on lit/shadow classification."""
