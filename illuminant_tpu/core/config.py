@@ -40,16 +40,19 @@ class QualitySettings:
     # ~1.7 ms/frame at 1080p x 8 lights.
     scan_refine_samples: int = static_field(default=1)
     # Scan NOMINATION resolution relative to the shadow resolution: the
-    # sequential column walk (the scan's dominant cost at full-res
-    # shadows) only NOMINATES each pixel's blocker; the per-pixel 3D
-    # refinement + cone visibility still evaluate at full shadow
-    # resolution. 0.5 halves the walk's grid (blocker positions
-    # quantize to 2 shadow px, flatland contact edges soften by one
-    # bilinear lobe) while penumbrae, refine samples, and cone radii
-    # stay full-res. Only 0.5 (even dims) takes effect; the parity
-    # preset uses it with shadow_scale 1.0 (error vs the exact march
-    # measured in tests/test_refine_quality.py).
-    scan_nomination_scale: float = static_field(default=1.0)
+    # sequential column walk (the scan's dominant cost) only NOMINATES
+    # each pixel's blocker; the per-pixel 3D refinement + cone
+    # visibility still evaluate at full shadow resolution. 0.5 halves
+    # the walk's grid (blocker positions quantize to 2 shadow px,
+    # flatland contact edges soften by one bilinear lobe) while
+    # penumbrae, refine samples, and cone radii stay full-res. Library
+    # default 0.5: measured AT OR BELOW the full-res walk's error vs
+    # the exact march on every test scene class — the coarse walk's
+    # bilinear k smooths the arg-min's nearest-column quantization
+    # (tests/test_refine_quality.py, tests/test_scan_shadows.py) — and
+    # saves ~1.5 ms/frame on the 1080p flagship. Only 0.5 (even dims)
+    # takes effect; set 1.0 for a grid-exact walk.
+    scan_nomination_scale: float = static_field(default=0.5)
 
 
 @pytree_dataclass

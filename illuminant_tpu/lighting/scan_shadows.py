@@ -311,25 +311,25 @@ def scan_visibility(
     )
     k_frac = jnp.clip(min_k / major_n, 0.0, 1.0)  # 0 at light, 1 at px
     exit_frac = jnp.clip(jnp.maximum(neg_k, min_k) / major_n, 0.0, 1.0)
-    has_blocker = min_d < 1e8
     if use_nom:
         # Upsample the three nominated fields to the readout grid. f16
         # keeps the HBM cost of the extra materialization at half
         # (fractions keep ~0.05% of ray length, min_d ~0.06 world
-        # units); the no-blocker sentinel is clamped out of min_d first
-        # so bilinear edges don't smear 1e9 into real distances, and
-        # the mask is upsampled separately (>= 0.5: a blocker wins the
-        # 2x2 vote).
+        # units). The no-blocker sentinel is clamped to 8192 first so
+        # bilinear edges don't smear 1e9 into real distances; real
+        # scene distances are <= maximum_distance (~128), so
+        # "bilinear min_d < 4096" IS the 2x2 majority vote on the
+        # blocker mask — no separate mask upsample needed.
         min_d = jnp.minimum(min_d, 8192.0)
         k_frac = upsample2x_bilinear(k_frac.astype(jnp.float16))
         exit_frac = upsample2x_bilinear(exit_frac.astype(jnp.float16))
-        min_d = upsample2x_bilinear(min_d.astype(jnp.float16))
-        has_blocker = (
-            upsample2x_bilinear(has_blocker.astype(jnp.float16)) >= 0.5
-        )
+        min_d = upsample2x_bilinear(
+            min_d.astype(jnp.float16)).astype(jnp.float32)
+        has_blocker = min_d < 4096.0
         k_frac = k_frac.astype(jnp.float32)
         exit_frac = exit_frac.astype(jnp.float32)
-        min_d = min_d.astype(jnp.float32)
+    else:
+        has_blocker = min_d < 1e8
 
     # --- READOUT at full shadow resolution.
     lx = (light_position[:, 0] - world_offset[0]) * render_scale

@@ -207,7 +207,9 @@ def integrate_with_distance_field(
     no_norm = r_len < NO_NORMAL_THRESHOLD
     rdx = jnp.where(no_norm, fbx, nx)
     rdy = jnp.where(no_norm, fby, ny)
-    rd_len = _len3(rdx, rdy, jnp.zeros_like(rdx))
+    # |rd| is r_len on the normal branch and exactly 1 on the (unit)
+    # hash-fallback branch — reuse instead of a third sqrt chain.
+    rd_len = jnp.where(no_norm, 1.0, jnp.maximum(r_len, 1e-6))
     r_speed = escape_speed * INITIAL_ESCAPE_SPEED
     r_vx = rdx / rd_len * r_speed
     r_vy = rdy / rd_len * r_speed

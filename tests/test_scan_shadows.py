@@ -64,6 +64,51 @@ def test_scan_matches_march_classification():
     assert shadow_width(250) >= shadow_width(150) - 1
 
 
+def test_fast_stack_quarter_res_nomination_tracks_march():
+    """The fast-preset shadow stack (shadow_scale 0.5 + nomination 0.5:
+    the walk runs at QUARTER of the lightmap grid) must stay close to
+    the exact march — the bound that justifies the library-default
+    quality point."""
+    from illuminant_tpu.lighting.gbuffer import flat_ground
+    from illuminant_tpu.lighting.environment import EnvironmentUniforms
+    from illuminant_tpu.lighting.scan_shadows import scan_cone_visibility
+
+    scene, _, light = _setup()
+    H = W = 256
+    env = EnvironmentUniforms.make()
+    gb = flat_ground(H, W, env)
+
+    vis = {}
+    for nom in (1.0, 0.5):
+        q = QualitySettings(shadow_scale=0.5, scan_refine_samples=1,
+                            scan_nomination_scale=nom)
+        vis[nom] = np.asarray(scan_cone_visibility(
+            scene, gb, jnp.asarray(light), jnp.asarray([8.0]),
+            jnp.asarray([200.0]), q, trace_z=jnp.float32(16.0),
+        )[0], np.float32)
+
+    ys, xs = np.meshgrid(np.arange(H, dtype=np.float32) + 0.5,
+                         np.arange(W, dtype=np.float32) + 0.5,
+                         indexing="ij")
+    # march at the same lifted endpoints as the gbuffer path (flat
+    # ground: normal +z, z = ground).
+    shaded = np.stack([xs, ys, np.full_like(xs, 1.6)], -1)
+    vis_march = np.asarray(ct.cone_trace(
+        scene, jnp.asarray(light[0]), jnp.float32(8.0),
+        jnp.float32(200.0), jnp.asarray(shaded.astype(np.float32)),
+        jnp.ones((H, W), bool), QualitySettings(),
+    ))
+    err_half = np.abs(vis[1.0] - vis_march).mean()
+    err_quarter = np.abs(vis[0.5] - vis_march).mean()
+    # Quarter-res nomination adds at most a small increment over the
+    # half-res stack's existing march error.
+    assert err_quarter <= err_half + 0.01, (err_half, err_quarter)
+    assert err_quarter < 0.05, err_quarter
+    # Hard core still dark, open field still lit.
+    assert vis[0.5][120:136, 170:220].max() < 0.1
+    assert vis[0.5][30:60, 30:60].min() > 0.9
+
+
 def test_scan_no_occluder_is_fully_lit():
     scene = pack_scene([])
     q = QualitySettings()
