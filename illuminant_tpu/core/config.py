@@ -50,8 +50,10 @@ class QualitySettings:
     # the exact march on every test scene class — the coarse walk's
     # bilinear k smooths the arg-min's nearest-column quantization
     # (tests/test_refine_quality.py, tests/test_scan_shadows.py) — and
-    # saves ~1.5 ms/frame on the 1080p flagship. Only 0.5 (even dims)
-    # takes effect; set 1.0 for a grid-exact walk.
+    # saves ~1.5 ms/frame on the 1080p flagship. Power-of-two scales
+    # (0.5, 0.25, ...) halve while dims stay even; set 1.0 for a
+    # grid-exact walk. The parity preset uses 0.25 under its full-res
+    # readout (error measured at the full-res walk's level).
     scan_nomination_scale: float = static_field(default=0.5)
 
 

@@ -248,11 +248,17 @@ def scan_visibility(
     # refinement, cone radii and penumbra thresholds all stay at the
     # full shadow resolution.
     nm = quality.scan_nomination_scale
-    use_nom = nm == 0.5 and height % 2 == 0 and width % 2 == 0
-    if use_nom:
-        nh, nw, nscale = height // 2, width // 2, render_scale * 0.5
-    else:
-        nh, nw, nscale = height, width, render_scale
+    # Power-of-two nomination scales only (each halving is one exact
+    # 2x bilinear upsample at readout); dims must stay even.
+    halvings = 0
+    nh, nw, nscale = height, width, render_scale
+    nm_left = nm
+    while (nm_left <= 0.5 + 1e-6 and nh % 2 == 0 and nw % 2 == 0
+           and min(nh, nw) >= 16):
+        nh, nw, nscale = nh // 2, nw // 2, nscale * 0.5
+        nm_left *= 2.0
+        halvings += 1
+    use_nom = halvings > 0
     # Window-local pixel coordinates: shift the light into the window's
     # frame so the column scan's dx math is unchanged.
     lx = (light_position[:, 0] - world_offset[0]) * nscale
@@ -321,10 +327,14 @@ def scan_visibility(
         # "bilinear min_d < 4096" IS the 2x2 majority vote on the
         # blocker mask — no separate mask upsample needed.
         min_d = jnp.minimum(min_d, 8192.0)
-        k_frac = upsample2x_bilinear(k_frac.astype(jnp.float16))
-        exit_frac = upsample2x_bilinear(exit_frac.astype(jnp.float16))
-        min_d = upsample2x_bilinear(
-            min_d.astype(jnp.float16)).astype(jnp.float32)
+        k_frac = k_frac.astype(jnp.float16)
+        exit_frac = exit_frac.astype(jnp.float16)
+        min_d = min_d.astype(jnp.float16)
+        for _ in range(halvings):
+            k_frac = upsample2x_bilinear(k_frac)
+            exit_frac = upsample2x_bilinear(exit_frac)
+            min_d = upsample2x_bilinear(min_d)
+        min_d = min_d.astype(jnp.float32)
         has_blocker = min_d < 4096.0
         k_frac = k_frac.astype(jnp.float32)
         exit_frac = exit_frac.astype(jnp.float32)

@@ -121,13 +121,19 @@ def build_flagship(
         # while at full res it costs ~5.6 ms/frame (tools/tune_parity.py:
         # each sample is an 8-light x 2-Mpixel analytic scene eval).
         quality = QualitySettings(shadow_scale=1.0, scan_refine_samples=1,
-                                  # Half-res blocker NOMINATION under the
-                                  # full-res refine/cone readout: measured
-                                  # CLOSER to the exact march than the
-                                  # full-res walk on all three scene
-                                  # classes (test_refine_quality.py::
-                                  # test_nomination_half_scale...).
-                                  scan_nomination_scale=0.5)
+                                  # Quarter-res blocker NOMINATION under
+                                  # the full-res refine/cone readout:
+                                  # every shadow pixel still gets its own
+                                  # 3D scene evaluation and cone radius;
+                                  # only the walk that PICKS the blocker
+                                  # is coarse. Error vs the exact march
+                                  # measured AT the full-res walk's level
+                                  # on all three scene classes at the
+                                  # same grid/nomination ratio
+                                  # (test_refine_quality.py); the walk is
+                                  # the dominant full-res scan cost
+                                  # (PERF.md round-3 log #10).
+                                  scan_nomination_scale=0.25)
     env = LightingEnvironment(
         ground_z=0.0, maximum_z=128.0, ambient=(0.03, 0.03, 0.04, 1.0)
     )

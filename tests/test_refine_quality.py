@@ -76,7 +76,7 @@ def test_nomination_half_scale_tracks_full_scale():
             for i in range(2)
         ])
         vis = {}
-        for nom in (1.0, 0.5):
+        for nom in (1.0, 0.5, 0.25):
             q = QualitySettings(scan_refine_samples=1,
                                 scan_nomination_scale=nom)
             vis[nom] = np.asarray(scan_visibility(
@@ -87,10 +87,15 @@ def test_nomination_half_scale_tracks_full_scale():
         # Against the exact march the half-scale nomination must not
         # lose ground (measured: it is slightly CLOSER on all three
         # scene classes — the coarse walk's bilinear k smooths the
-        # arg-min's nearest-column quantization).
+        # arg-min's nearest-column quantization). The parity preset's
+        # quarter scale (a 24x36 walk here — proportionally far coarser
+        # than the 1080p parity row's 270x480) stays within a small
+        # increment of the full-res walk.
         err_full = np.abs(vis[1.0] - march).mean()
         err_nom = np.abs(vis[0.5] - march).mean()
+        err_q = np.abs(vis[0.25] - march).mean()
         assert err_nom <= err_full + 0.01, (name, err_full, err_nom)
+        assert err_q <= err_full + 0.02, (name, err_full, err_q)
 
 
 def test_refine_one_is_march_equivalent_to_two():
