@@ -41,12 +41,20 @@ def _setup(trace_length=300.0, direction=(-1.0, 0.0, -0.3)):
     return scene, gb, lights, env, q
 
 
+_MAP_CACHE = {}
+
+
 def _shadow_map(shadow_mode, **kw):
-    scene, gb, lights, env, q = _setup(**kw)
-    out = accumulate_directional_lights(
-        scene, gb, lights, env, q, shadow_mode=shadow_mode
-    )
-    return np.asarray(out[..., 3])
+    # The default-args march/scan maps are reused by several tests —
+    # cache them (the 256^2 march is the file's dominant cost).
+    key = (shadow_mode, tuple(sorted(kw.items())))
+    if key not in _MAP_CACHE:
+        scene, gb, lights, env, q = _setup(**kw)
+        out = accumulate_directional_lights(
+            scene, gb, lights, env, q, shadow_mode=shadow_mode
+        )
+        _MAP_CACHE[key] = np.asarray(out[..., 3])
+    return _MAP_CACHE[key]
 
 
 def test_directional_scan_matches_march_classification():
@@ -97,10 +105,10 @@ def test_directional_ambient_no_direction_unshadowed():
     """direction=None is a pure ambient term: no shadowing on either
     path (trace_enable gates on the has-direction flag)."""
     scene = pack_scene(
-        [LightObstruction.box((128.0, 128.0, 16.0), (10.0, 40.0, 24.0))]
+        [LightObstruction.box((48.0, 48.0, 16.0), (10.0, 20.0, 24.0))]
     )
     env = EnvironmentUniforms.make()
-    gb = flat_ground(128, 128, env)
+    gb = flat_ground(64, 64, env)
     lights = pack_directional_lights(
         [DirectionalLightSource(direction=None)]
     )

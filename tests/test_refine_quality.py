@@ -26,23 +26,34 @@ SCENES = {
               LightObstruction.box((80, 70, 5), (6, 16, 5))],
 }
 
+_MARCH_CACHE = {}
 
-def _errors(obs):
+
+def _march_for(name, scene, lights, radii, ramps):
+    """The exact march oracle is the expensive part of every test here;
+    both tests march the same scenes — compute once per scene."""
+    if name not in _MARCH_CACHE:
+        ys, xs = np.meshgrid(np.arange(H) + 0.5, np.arange(W) + 0.5,
+                             indexing="ij")
+        shaded = np.stack(
+            [xs, ys, np.zeros_like(xs)], -1).astype(np.float32)
+        _MARCH_CACHE[name] = np.stack([
+            np.asarray(ct.cone_trace(scene, lights[i], radii[i], ramps[i],
+                                     jnp.asarray(shaded),
+                                     jnp.ones((H, W), bool),
+                                     QualitySettings()))
+            for i in range(2)
+        ])
+    return _MARCH_CACHE[name]
+
+
+def _errors(name, obs):
     scene = pack_scene(obs, group_capacity_round=1)
     lights = jnp.asarray([[30.0, 48.0, 24.0], [120.0, 20.0, 60.0]],
                          jnp.float32)
     radii = jnp.asarray([6.0, 5.0])
     ramps = jnp.asarray([200.0, 200.0])
-    ys, xs = np.meshgrid(np.arange(H) + 0.5, np.arange(W) + 0.5,
-                         indexing="ij")
-    shaded = np.stack([xs, ys, np.zeros_like(xs)], -1).astype(np.float32)
-    march = np.stack([
-        np.asarray(ct.cone_trace(scene, lights[i], radii[i], ramps[i],
-                                 jnp.asarray(shaded),
-                                 jnp.ones((H, W), bool),
-                                 QualitySettings()))
-        for i in range(2)
-    ])
+    march = _march_for(name, scene, lights, radii, ramps)
     out = {}
     for r in (0, 1, 2):
         q = QualitySettings(scan_refine_samples=r)
@@ -65,16 +76,7 @@ def test_nomination_half_scale_tracks_full_scale():
                              jnp.float32)
         radii = jnp.asarray([6.0, 5.0])
         ramps = jnp.asarray([200.0, 200.0])
-        ys, xs = np.meshgrid(np.arange(H) + 0.5, np.arange(W) + 0.5,
-                             indexing="ij")
-        shaded = np.stack([xs, ys, np.zeros_like(xs)], -1)
-        march = np.stack([
-            np.asarray(ct.cone_trace(scene, lights[i], radii[i], ramps[i],
-                                     jnp.asarray(shaded.astype(np.float32)),
-                                     jnp.ones((H, W), bool),
-                                     QualitySettings()))
-            for i in range(2)
-        ])
+        march = _march_for(name, scene, lights, radii, ramps)
         vis = {}
         for nom in (1.0, 0.5, 0.25):
             q = QualitySettings(scan_refine_samples=1,
@@ -100,7 +102,7 @@ def test_nomination_half_scale_tracks_full_scale():
 
 def test_refine_one_is_march_equivalent_to_two():
     for name, obs in SCENES.items():
-        err = _errors(obs)
+        err = _errors(name, obs)
         assert err[1] <= err[2] + 0.006, (name, err)
         # Refinement exists for 3D correctness: on SHORT obstructions the
         # flatland scan must be strictly worse than refined.
