@@ -1070,6 +1070,235 @@ def scene_directional_sun():
     return np.concatenate(halves, axis=1)
 
 
+def scene_scrolling_geo():
+    """ScrollingGeo (TestGame ScrollingGeo.cs analog): a world larger
+    than the viewport rendered through two scrolled 256x256 G-buffer
+    WINDOWS (GBuffer.window + pixel_origin): the scan shadows shift
+    their light coordinates into each window's frame, so both crops
+    agree with the world exactly. Output: the two crops side by side."""
+    import jax.numpy as jnp
+    from illuminant_tpu.core.config import QualitySettings
+    from illuminant_tpu.lighting.environment import pack_sphere_lights
+    from illuminant_tpu.lighting.gbuffer import flat_ground
+    from illuminant_tpu.lighting.sphere import accumulate_sphere_lights
+    from illuminant_tpu.raster.resolve import resolve
+    from illuminant_tpu.sdf.analytic import pack_scene
+
+    env = LightingEnvironment(
+        ground_z=0.0, maximum_z=128.0, ambient=(0.02, 0.02, 0.03, 1.0)
+    )
+    env.lights += [
+        SphereLightSource(position=(180.0, 200.0, 40.0), radius=9.0,
+                          ramp_length=300.0, color=(1.0, 0.7, 0.4, 1.0)),
+        SphereLightSource(position=(420.0, 330.0, 40.0), radius=9.0,
+                          ramp_length=300.0, color=(0.4, 0.6, 1.0, 1.0)),
+    ]
+    env.obstructions += [
+        LightObstruction.box((260.0, 250.0, 22.0), (14.0, 30.0, 22.0)),
+        LightObstruction.cylinder((360.0, 210.0, 24.0), (10.0, 10.0, 24.0)),
+    ]
+    scene = pack_scene(env.obstructions)
+    env_u = env.uniforms()
+    lights = pack_sphere_lights(env.lights)
+    q = QualitySettings()
+    world = flat_ground(512, 512, env_u)
+    crops = []
+    for oy, ox in ((96, 64), (160, 240)):  # two scroll positions
+        gbw = world.window(jnp.asarray(oy), jnp.asarray(ox), 256, 256)
+        lm = accumulate_sphere_lights(scene, gbw, lights, env_u, q,
+                                      with_specular=False,
+                                      shadow_mode="scan", with_ao=False)
+        crops.append(np.asarray(resolve(
+            lm[..., :3] + jnp.asarray(env_u.ambient[:3]),
+            HDRConfig(mode=2, exposure=1.3, white_point=4.0,
+                      srgb_output=True))))
+    return np.concatenate(crops, axis=1)
+
+
+def scene_particle_lights():
+    """ParticleLights (TestGame ParticleLights.cs analog): orbiting
+    sparks each act as a small sphere light (strided subset + energy
+    compensation) shading the ground past an occluder, composited with
+    the additive particle splat itself."""
+    import jax.numpy as jnp
+    from illuminant_tpu.core.config import QualitySettings
+    from illuminant_tpu.lighting.gbuffer import flat_ground
+    from illuminant_tpu.lighting.particle_light import (
+        ParticleLightSource, accumulate_particle_lights)
+    from illuminant_tpu.particles.formula import (FORMULA_SPHERICAL,
+                                                  Formula1, Formula3,
+                                                  Formula4)
+    from illuminant_tpu.particles.spawner import Spawner
+    from illuminant_tpu.particles.system import (ParticleSystem,
+                                                 ParticleSystemConfig)
+    from illuminant_tpu.particles import transforms as tx
+    from illuminant_tpu.raster.particles import splat_additive
+    from illuminant_tpu.raster.resolve import resolve
+    from illuminant_tpu.sdf.analytic import pack_scene
+
+    cfg = ParticleSystemConfig(capacity=1 << 12, updates_per_second=0.0,
+                               life_decay_per_second=0.2, friction=0.1,
+                               maximum_velocity=300.0)
+    spawner = Spawner(
+        min_rate=600.0, max_rate=600.0,
+        life=Formula1(constant=4.0, random_scale=1.0),
+        position=Formula3(constant=(256.0, 200.0, 30.0),
+                          offset=(90.0, 90.0, 0.0),
+                          random_scale=(30.0, 30.0, 4.0),
+                          type=FORMULA_SPHERICAL),
+        velocity=Formula3(random_scale=(50.0, 50.0, 0.0),
+                          type=FORMULA_SPHERICAL),
+        color=Formula4(constant=(1.0, 0.7, 0.3, 1.0),
+                       random_scale=(0.0, 0.3, 0.2, 0.0)),
+        spawn_max=256, axis_mask=(1.0, 1.0, 0.0),
+    )
+    grav = tx.Gravity(attractors=[
+        tx.Attractor(position=(256.0, 220.0, 30.0), radius=400.0,
+                     strength=90.0, falloff_type=tx.FALLOFF_LINEAR),
+    ], maximum_acceleration=1000.0)
+    system = ParticleSystem(cfg, [spawner, grav])
+    for _ in range(200):
+        system.tick(1.0 / 60.0)
+
+    env = LightingEnvironment(
+        ground_z=0.0, maximum_z=128.0, ambient=(0.015, 0.015, 0.02, 1.0)
+    )
+    env.obstructions.append(
+        LightObstruction.box((256.0, 300.0, 18.0), (40.0, 8.0, 18.0))
+    )
+    scene = pack_scene(env.obstructions)
+    env_u = env.uniforms()
+    gb = flat_ground(512, 512, env_u)
+    plight = ParticleLightSource(
+        template=SphereLightSource(
+            position=(0.0, 0.0, 0.0), radius=4.0, ramp_length=120.0,
+            color=(1.0, 0.8, 0.5, 0.035), cast_shadows=True,
+        ),
+        max_lights=16,
+    )
+    lm = accumulate_particle_lights(scene, gb, system.state, plight,
+                                    env_u, QualitySettings())
+    sparks = splat_additive(system.state, 512, 512)
+    hdr = lm[..., :3] + sparks[..., :3] * 0.25 + jnp.asarray(
+        env_u.ambient[:3])
+    print(f"  live particles: {system.live_count}")
+    return np.asarray(resolve(hdr, HDRConfig(
+        mode=2, exposure=0.9, white_point=4.0, srgb_output=True)))
+
+
+def scene_billboards():
+    """BitmapBillboards (TestGame analog): mask billboards stand up in
+    the G-buffer (silhouettes shade like geometry and receive the 2.5D
+    y-fold), one normal-billboard adds surface detail; two colored
+    lights rake across them."""
+    import jax.numpy as jnp
+    from illuminant_tpu.core.config import QualitySettings
+    from illuminant_tpu.lighting.billboard import (Billboard, TYPE_MASK,
+                                                   TYPE_NORMAL_BILLBOARD,
+                                                   rasterize_billboards)
+    from illuminant_tpu.lighting.environment import pack_sphere_lights
+    from illuminant_tpu.lighting.gbuffer import flat_ground
+    from illuminant_tpu.lighting.sphere import accumulate_sphere_lights
+    from illuminant_tpu.raster.resolve import resolve
+    from illuminant_tpu.sdf.analytic import pack_scene
+
+    env = LightingEnvironment(
+        ground_z=0.0, maximum_z=128.0, ambient=(0.02, 0.02, 0.03, 1.0)
+    )
+    env.lights += [
+        SphereLightSource(position=(150.0, 150.0, 46.0), radius=9.0,
+                          ramp_length=320.0, color=(1.0, 0.6, 0.35, 1.0)),
+        SphereLightSource(position=(400.0, 340.0, 46.0), radius=9.0,
+                          ramp_length=320.0, color=(0.35, 0.55, 1.0, 1.0)),
+    ]
+    env_u = env.uniforms()
+    gb = flat_ground(512, 512, env_u)
+
+    # A tree-ish alpha silhouette for the mask billboards.
+    ty, txx = np.meshgrid(np.linspace(-1, 1, 48), np.linspace(-1, 1, 48),
+                          indexing="ij")
+    canopy = (txx ** 2 + (ty + 0.3) ** 2) < 0.55
+    trunk = (np.abs(txx) < 0.12) & (ty > 0.1)
+    alpha = (canopy | trunk).astype(np.float32)
+    tex = np.stack([alpha * 0.2, alpha * 0.5, alpha * 0.2, alpha], -1)
+    # A bump normal map for the normal billboard (cylinder shading).
+    nx = np.clip(txx, -1, 1)
+    ny = np.zeros_like(nx)
+    nz = np.sqrt(np.maximum(1.0 - nx * nx, 0.0))
+    ntex = np.stack([nx * 0.5 + 0.5, ny * 0.5 + 0.5, nz,
+                     np.ones_like(nx)], -1).astype(np.float32)
+
+    bbs = [
+        Billboard(screen_bounds=(160.0, 180.0, 256.0, 276.0), texture=tex,
+                  type=TYPE_MASK, data_scale=0.5),
+        Billboard(screen_bounds=(300.0, 240.0, 396.0, 336.0), texture=tex,
+                  type=TYPE_MASK, data_scale=0.5),
+        Billboard(screen_bounds=(120.0, 330.0, 220.0, 430.0), texture=ntex,
+                  type=TYPE_NORMAL_BILLBOARD, world_elevation=0.0),
+    ]
+    gb = rasterize_billboards(gb, bbs, env_u)
+    scene = pack_scene(env.obstructions)
+    lm = accumulate_sphere_lights(scene, gb, pack_sphere_lights(env.lights),
+                                  env_u, QualitySettings(),
+                                  with_specular=False, shadow_mode="scan",
+                                  with_ao=False)
+    hdr = lm[..., :3] + jnp.asarray(env_u.ambient[:3])
+    return np.asarray(resolve(hdr, HDRConfig(
+        mode=2, exposure=1.4, white_point=4.0, srgb_output=True)))
+
+
+def scene_dithering():
+    """DitheringTest (TestGame analog): a dim HDR gradient resolved to
+    uint8 with ordered dithering OFF (left) and ON (right) — banding on
+    the left dissolves into the dither pattern on the right."""
+    import jax.numpy as jnp
+    from illuminant_tpu.raster.resolve import resolve
+
+    h, w = 256, 256
+    ramp = jnp.linspace(0.0, 0.18, w)[None, :, None]
+    tint = jnp.asarray([1.0, 0.9, 0.7])[None, None, :]
+    hdr = jnp.broadcast_to(ramp * tint, (h, w, 3))
+    off = np.asarray(resolve(hdr, HDRConfig(mode=1, gamma=2.2,
+                                            srgb_output=False,
+                                            dithering=False)))
+    on = np.asarray(resolve(hdr, HDRConfig(mode=1, gamma=2.2,
+                                           srgb_output=False,
+                                           dithering=True)))
+    return np.concatenate([off, on], axis=1)
+
+
+def scene_compiled_model():
+    """LoadCompiledModel (TestGame analog): SaveAsCode emits plain
+    constructor source from an EngineModel; exec'ing it builds the
+    systems with no JSON at load. The compiled engine renders a frame —
+    and must land bit-identically on the JSON-loaded view's state."""
+    from illuminant_tpu.models.codegen import save_as_code
+    from illuminant_tpu.models.model import EngineModel
+    from illuminant_tpu.models.view import EngineView
+    from illuminant_tpu.raster.particles import splat_additive
+    from illuminant_tpu.raster.resolve import resolve
+    from tests.test_codegen import MODEL_JSON
+
+    model = EngineModel.loads(MODEL_JSON)
+    src = save_as_code(model)
+    ns: dict = {}
+    exec(compile(src, "<generated>", "exec"), ns)
+    systems = ns["build_systems"](capacity=1 << 14)
+    view = EngineView(model, capacity=1 << 14)
+    for _ in range(240):
+        for s in systems:
+            s.update(1.0 / 60.0)
+        view.update(1.0 / 60.0)
+    drift = float(np.abs(
+        np.asarray(systems[0].state.position)
+        - np.asarray(view.systems[0].system.state.position)).max())
+    print(f"  compiled-vs-json drift: {drift} (must be 0.0)")
+    assert drift == 0.0
+    img = splat_additive(systems[0].state, 256, 320)
+    return np.asarray(resolve(img * 2.0, HDRConfig(
+        mode=2, exposure=2.2, white_point=3.0, srgb_output=True)))
+
+
 SCENES = {
     "single_light_box": scene_single_light_box,
     "multi_light": scene_multi_light,
@@ -1088,6 +1317,11 @@ SCENES = {
     "hdr_histogram": scene_hdr_histogram,
     "heightmap_tools": scene_heightmap_tools,
     "jumpflood": scene_jumpflood,
+    "scrolling_geo": scene_scrolling_geo,
+    "particle_lights": scene_particle_lights,
+    "billboards": scene_billboards,
+    "dithering": scene_dithering,
+    "compiled_model": scene_compiled_model,
     "directional_sun": scene_directional_sun,
     "line_light": scene_line_light,
     "volumetric_light": scene_volumetric_light,
