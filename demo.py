@@ -432,6 +432,48 @@ def scene_visualize_sdf():
 
 
 
+def scene_distance_field_editor():
+    """DistanceFieldEditor (TestGame DistanceFieldEditor.cs analog):
+    2x2 panel — surfaces raymarch | ground-plane outlines over the same
+    scene, then the scene AFTER an edit (one obstruction moved, one
+    added) in both modes: the editor's core loop of sculpting the field
+    and inspecting it. The edit keeps the same type set and padded
+    group capacities (pack_scene group_capacity_round), and the
+    visualizer is jitted with the scene as an ARGUMENT — both frames
+    of each mode share one compile."""
+    import jax
+    from illuminant_tpu.sdf.analytic import pack_scene
+    from illuminant_tpu.sdf.height_volume import HeightVolume
+    from illuminant_tpu.utils.visualize import visualize_distance_field
+
+    def build(edited):
+        obs = [
+            LightObstruction.ellipsoid((90.0, 110.0, 30.0),
+                                       (40.0, 28.0, 30.0)),
+            LightObstruction.box(
+                (250.0, 70.0, 24.0) if edited else (190.0, 70.0, 24.0),
+                (24.0, 24.0, 24.0)),
+            LightObstruction.cylinder((170.0, 180.0, 30.0),
+                                      (18.0, 18.0, 30.0)),
+        ]
+        if edited:  # same type group as the existing box -> same shapes
+            obs.append(LightObstruction.box((90.0, 220.0, 18.0),
+                                            (26.0, 26.0, 18.0)))
+        return pack_scene(obs, group_capacity_round=2, height_volumes=[
+            HeightVolume(polygon=[(30.0, 190.0), (90.0, 210.0),
+                                  (70.0, 250.0), (20.0, 235.0)],
+                         z_base=0.0, height=20.0)])
+
+    vis = jax.jit(visualize_distance_field,
+                  static_argnames=("height", "width", "mode"))
+    panels = []
+    for edited in (False, True):
+        scene = build(edited)
+        row = [np.asarray(vis(scene, 256, 288, mode=m)) for m in (0, 1)]
+        panels.append(np.concatenate(row, axis=1))
+    return np.concatenate(panels, axis=0)
+
+
 def scene_dynamic_obstructions():
     """DynamicObstructions (TestGame scene): DynamicDistanceField
     static/dynamic split + auto-invalidation + budgeted regeneration —
@@ -793,12 +835,25 @@ def scene_gi_probes():
     sh = bake_probe_from_lights((0, 0, 0), radiance_fn, n_samples=256)
     ys, xs = np.meshgrid(np.linspace(-1, 1, 256),
                          np.linspace(-1, 1, 512), indexing="ij")
-    # A hemisphere of normals per half.
-    r2 = np.clip(1 - (xs * np.where(xs < 0, 2, 0) + 1) ** 2 - ys**2, 0, 1)
+    # A hemisphere of normals per half: left faces the camera (+z),
+    # right is rotated so its pole faces the bake's light direction —
+    # the right sphere should peak at its center.
     nx = np.where(xs < 0, (xs + 0.5) * 2, (xs - 0.5) * 2)
     r2 = np.clip(1 - nx**2 - ys**2, 0, 1)
     nz = np.sqrt(r2)
     normals = np.stack([nx, ys, nz], -1).astype(np.float32)
+    light = np.asarray([0.8, 0.0, 0.6], np.float32)
+    light /= np.linalg.norm(light)
+    # Rotation taking +z to `light` (Rodrigues about z x light).
+    axis = np.cross([0.0, 0.0, 1.0], light)
+    s = np.linalg.norm(axis)
+    c = light[2]
+    kmat = np.asarray([[0, -axis[2], axis[1]],
+                       [axis[2], 0, -axis[0]],
+                       [-axis[1], axis[0], 0]], np.float32)
+    rot = np.eye(3, dtype=np.float32) + kmat + kmat @ kmat * (
+        (1 - c) / max(s * s, 1e-8))
+    normals = np.where((xs < 0)[..., None], normals, normals @ rot.T)
     e = np.asarray(irradiance(sh, jnp.asarray(normals)))
     mask = (r2 > 0)[..., None]
     img = np.clip(e * 110.0, 0, 255).astype(np.uint8) * mask
@@ -1307,6 +1362,7 @@ SCENES = {
     "config3_multilight_25d": scene_config3_multilight_25d,
     "config4_vectorfield_collision": scene_config4_vectorfield_collision,
     "visualize_sdf": scene_visualize_sdf,
+    "distance_field_editor": scene_distance_field_editor,
     "dynamic_obstructions": scene_dynamic_obstructions,
     "feedback_pattern_spawners": scene_feedback_pattern_spawners,
     "projector_lut": scene_projector_lut,

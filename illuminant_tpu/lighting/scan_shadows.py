@@ -318,26 +318,9 @@ def scan_visibility(
     k_frac = jnp.clip(min_k / major_n, 0.0, 1.0)  # 0 at light, 1 at px
     exit_frac = jnp.clip(jnp.maximum(neg_k, min_k) / major_n, 0.0, 1.0)
     if use_nom:
-        # Upsample the three nominated fields to the readout grid. f16
-        # keeps the HBM cost of the extra materialization at half
-        # (fractions keep ~0.05% of ray length, min_d ~0.06 world
-        # units). The no-blocker sentinel is clamped to 8192 first so
-        # bilinear edges don't smear 1e9 into real distances; real
-        # scene distances are <= maximum_distance (~128), so
-        # "bilinear min_d < 4096" IS the 2x2 majority vote on the
-        # blocker mask — no separate mask upsample needed.
-        min_d = jnp.minimum(min_d, 8192.0)
-        k_frac = k_frac.astype(jnp.float16)
-        exit_frac = exit_frac.astype(jnp.float16)
-        min_d = min_d.astype(jnp.float16)
-        for _ in range(halvings):
-            k_frac = upsample2x_bilinear(k_frac)
-            exit_frac = upsample2x_bilinear(exit_frac)
-            min_d = upsample2x_bilinear(min_d)
-        min_d = min_d.astype(jnp.float32)
-        has_blocker = min_d < 4096.0
-        k_frac = k_frac.astype(jnp.float32)
-        exit_frac = exit_frac.astype(jnp.float32)
+        min_d, k_frac, exit_frac, has_blocker = _upsample_nominated(
+            min_d, k_frac, exit_frac, halvings
+        )
     else:
         has_blocker = min_d < 1e8
 
@@ -467,6 +450,39 @@ def scan_visibility(
         ** quality.occlusion_to_opacity_power
     )
     return final
+
+
+def _upsample_nominated(min_d, k_frac, exit_frac, halvings: int):
+    """Upsample the three nominated fields to the readout grid. f16
+    keeps the HBM cost of the extra materialization at half (fractions
+    keep ~0.05% of ray length, min_d ~0.06 world units). The no-blocker
+    sentinel is clamped to 8192 first so bilinear edges don't smear 1e9
+    into real distances; real scene distances are <= maximum_distance
+    (~128), so "bilinear min_d < 4096" IS the 2x2 majority vote on the
+    blocker mask. The FRACTIONS are upsampled as a NORMALIZED
+    CONVOLUTION weighted by that mask: a plain bilinear would blend the
+    no-blocker pixels' meaningless fraction values (0 after the k-offset
+    round-trip for on-screen lights) into real ones at mask edges,
+    decaying the refine sample toward the light along umbra boundaries.
+    Returns (min_d, k_frac, exit_frac, has_blocker) at 2^halvings x the
+    input resolution."""
+    nom_mask = min_d < 4096.0
+    min_d = jnp.minimum(min_d, 8192.0)
+    k_frac = jnp.where(nom_mask, k_frac, 0.0).astype(jnp.float16)
+    exit_frac = jnp.where(nom_mask, exit_frac, 0.0).astype(jnp.float16)
+    wgt = nom_mask.astype(jnp.float16)
+    min_d = min_d.astype(jnp.float16)
+    for _ in range(halvings):
+        k_frac = upsample2x_bilinear(k_frac)
+        exit_frac = upsample2x_bilinear(exit_frac)
+        min_d = upsample2x_bilinear(min_d)
+        wgt = upsample2x_bilinear(wgt)
+    min_d = min_d.astype(jnp.float32)
+    has_blocker = min_d < 4096.0
+    wgt = jnp.maximum(wgt.astype(jnp.float32), 1e-3)
+    k_frac = jnp.clip(k_frac.astype(jnp.float32) / wgt, 0.0, 1.0)
+    exit_frac = jnp.clip(exit_frac.astype(jnp.float32) / wgt, 0.0, 1.0)
+    return min_d, k_frac, exit_frac, has_blocker
 
 
 def upsample2x_bilinear(v):

@@ -77,10 +77,12 @@ def spawn(
     blocks, every segment's rolled window write is shard-LOCAL — the
     global ring's cross-shard window traffic disappears (the future
     layout named in parallel/mesh.py round 2). Requires spawn_max and
-    capacity divisible by sub_rings; per-tick spawn count rounds down to
-    a multiple of sub_rings (the < sub_rings remainder re-enters through
-    the host rate-error accumulator on later ticks at most one frame
-    late). sub_rings=1 is the reference-exact contiguous window."""
+    capacity divisible by sub_rings; the device side rounds the spawn
+    count down to a multiple of sub_rings — pass
+    `Spawner.begin_tick(..., granularity=sub_rings)` on the host so the
+    rounded remainder re-enters the rate-error accumulator instead of
+    being silently dropped. sub_rings=1 is the reference-exact
+    contiguous window."""
     n = state.capacity
     rel = jnp.arange(spawn_max, dtype=jnp.int32)
     if sub_rings > 1:
@@ -188,7 +190,20 @@ def spawn(
     # and back (and a scatter here costs ~44 ns/row on v5e). Masked rows
     # (count gate or attribute discard, SpawnerCommon.fxh:185-188) keep
     # their old values.
-    if sub_rings > 1:
+    if sub_rings > 1 and spawn_max > n:
+        # Each segment's window self-overlaps its block (seg > block):
+        # fall back to a scatter with drop semantics, like the
+        # sub_rings=1 overflow path but with per-segment ring indices.
+        seg = spawn_max // sub_rings
+        block = n // sub_rings
+        local_cursor = jnp.mod(state.write_cursor // sub_rings, block)
+        seg_id = rel // seg
+        idx = seg_id * block + jnp.mod(local_cursor + rel % seg, block)
+        safe_idx = jnp.where(mask, idx, n)
+
+        def window_write(arr, new_rows):
+            return arr.at[safe_idx].set(new_rows, mode="drop")
+    elif sub_rings > 1:
         seg = spawn_max // sub_rings
         block = n // sub_rings
         local_cursor = jnp.mod(state.write_cursor // sub_rings, block)
@@ -293,9 +308,15 @@ class Spawner:
         if hasattr(other, "read_cursor") and hasattr(self, "read_cursor"):
             self.read_cursor = other.read_cursor
 
-    def begin_tick(self, now: float, dt: float) -> int:
+    def begin_tick(self, now: float, dt: float,
+                   granularity: int = 1) -> int:
         """BeginTick (ParticleSpawner.cs:152-196): stochastic count with
-        error carry."""
+        error carry.
+
+        `granularity` > 1 rounds the count down to a multiple (the
+        device-side `spawn(..., sub_rings=D)` only writes multiples of
+        D); the remainder re-enters the rate-error accumulator so the
+        long-run emission rate is exact."""
         min_rate = min(self.min_rate, self.max_rate)
         max_rate = self.max_rate
         current = (
@@ -315,6 +336,10 @@ class Spawner:
                 count = max(remaining, 0)
                 self.rate_error = 0.0
         count = min(count, self.spawn_max)
+        if granularity > 1:
+            rem = count % granularity
+            count -= rem
+            self.rate_error += rem
         self.total_spawned += count
         return count
 

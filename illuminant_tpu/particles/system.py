@@ -48,8 +48,8 @@ class ParticleSystemConfig:
     z_to_y: float = 0.0
     # Render-Z controls (ParticleConfiguration.cs:282-287): screen_z =
     # dot(z_formula, (x, y, z, 1)) depth-orders alpha compositing;
-    # size *= max(0, 1 + z * size_from_z). Consumed by
-    # raster/render.py:render_particles.
+    # size *= max(0, 1 + z * size_from_z). Fed to raster/render.py's
+    # render_particles by ParticleSystem.render().
     z_formula: tuple = None
     size_from_z: float = 0.0
     # ParticleCollision (ParticleConfiguration.cs:8-40).
@@ -296,6 +296,20 @@ class ParticleSystem:
     @property
     def live_count(self) -> int:
         return int(self.state.live_count())
+
+    def render(self, raster_config, **kwargs):
+        """ParticleSystem.Render (ParticleSystem.cs:943): rasterize the
+        current state with this system's configured appearance knobs —
+        z_to_y projection, ZFormula depth ordering and SizeFromZ scaling
+        (ParticleConfiguration.cs:282-287) — feeding raster/render.py's
+        render_particles. Any kwarg overrides the config value."""
+        from ..raster.render import render_particles
+
+        cfg = self.config
+        kwargs.setdefault("z_to_y", cfg.z_to_y)
+        kwargs.setdefault("z_formula", cfg.z_formula)
+        kwargs.setdefault("size_from_z", cfg.size_from_z)
+        return render_particles(self.state, raster_config, **kwargs)
 
 
 @dataclasses.dataclass

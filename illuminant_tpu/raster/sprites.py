@@ -28,7 +28,6 @@ from __future__ import annotations
 from typing import Optional, Tuple
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from ..core.pytree import pytree_dataclass, static_field
@@ -37,6 +36,7 @@ from .tiled import (
     _overlap_add,
     _tile_origins,
     bin_particles,
+    composite_over_tiles,
 )
 
 
@@ -352,53 +352,20 @@ def rasterize_sprites_alpha(
     bins, wys, wxs = _sprite_bins_and_factors(
         cfg, table, x, y, color, size, live, rotation, frame
     )
-    nt = bins["valid"].shape[0]
     valid = bins["valid"]
-    k = cfg.bin_capacity
-    win = cfg.window
-
-    bayer4 = jnp.asarray(
-        [[0, 8, 2, 10], [12, 4, 14, 6], [3, 11, 1, 9], [15, 7, 13, 5]],
-        jnp.float32,
-    ) / 16.0
-    ys = jnp.arange(win) % 4
-    xs = jnp.arange(win) % 4
-    bayer = bayer4[ys[:, None], xs[None, :]]  # (win, win)
-
     cb = [c * valid for c in bins["color"]]  # planar premult channels
-    src_a = jnp.maximum(cb[3], 1e-6)
-    straight_rgb = jnp.stack(
-        [cb[0] / src_a, cb[1] / src_a, cb[2] / src_a], axis=-1
-    )  # (NT, K, 3)
     # Stack ranks once: (R, NT, win, K) / (R, NT, K, win) — the scan body
     # slices slot j from every rank.
     wy_all = jnp.stack(wys, axis=0).astype(jnp.float32)
     wx_all = jnp.stack(wxs, axis=0).astype(jnp.float32)
 
-    def over(img, j):
+    def coverage(j):
         # Slot j's sprite coverage: sum_r wy_r[:, :, j] ⊗ wx_r[:, j, :].
         cov = jnp.einsum(
             "rtw,rtv->twv", wy_all[:, :, :, j], wx_all[:, :, j, :]
         )
         # SVD ringing can push the reconstruction slightly out of [0, 1].
-        cov = jnp.clip(cov, 0.0, 1.0)
-        a_eff = cov * cb[3][:, j][:, None, None]  # (NT, win, win)
-        if dither:
-            a_eff = jnp.where(
-                (a_eff > bayer[None]) & (a_eff > 0.0), 1.0, 0.0
-            )
-        rgb = img[..., :3] * (1.0 - a_eff[..., None]) + \
-            straight_rgb[:, j][:, None, None, :] * a_eff[..., None]
-        acc_a = img[..., 3] * (1.0 - a_eff) + a_eff
-        return jnp.concatenate([rgb, acc_a[..., None]], axis=-1), None
+        return jnp.clip(cov, 0.0, 1.0)
 
-    init = jnp.zeros((nt, win, win, 4), jnp.float32)
-    tiles, _ = jax.lax.scan(over, init,
-                            jnp.arange(k, dtype=jnp.int32))
-    img = _overlap_add(cfg, tiles.reshape(nt, win, win * 4))
-    if background is not None:
-        acc_a = jnp.clip(img[..., 3:4], 0.0, 1.0)
-        img = jnp.concatenate(
-            [img[..., :3] + background[..., :3] * (1.0 - acc_a),
-             jnp.maximum(acc_a, background[..., 3:4])], axis=-1)
+    img = composite_over_tiles(cfg, cb, coverage, background, dither)
     return img, dict(dropped=bins["dropped"], residual=table.residual)

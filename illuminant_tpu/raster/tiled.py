@@ -684,32 +684,22 @@ def _overlap_add_gxv(cfg: TiledRasterConfig, tiles):
     return jnp.stack(planes, axis=-1)
 
 
-def rasterize_tiled_alpha(
-    cfg: TiledRasterConfig,
-    x, y, color, size, live,
-    background=None,
-    dither: bool = False,
-    opacity=None,
-):
-    """Ordered 'over' compositing path.
+def composite_over_tiles(cfg: TiledRasterConfig, color_bins,
+                         coverage_fn, background=None,
+                         dither: bool = False):
+    """Shared ordered-'over' per-tile scan (the compositing core of both
+    the analytic and the textured-sprite alpha paths).
 
-    Composites bin slots in slot order per tile via lax.scan (the sort is
-    stable, so order == state index order == reference draw order).
-    `color` must be premultiplied; alpha channel = coverage opacity.
-    `dither`: dithered-opacity discard (fx:158-175) with a 4x4 Bayer
-    threshold per pixel instead of partial opacity.
-
-    O(K) sequential per tile — use for the (typically much smaller)
-    alpha-blended systems; additive systems take rasterize_tiled.
+    `color_bins`: 4 planar (NT, K) PREMULTIPLIED channels, already
+    masked by bin validity. `coverage_fn(j) -> (NT, win, win)` coverage
+    in [0, 1] for slot j. `dither`: dithered-opacity discard
+    (RasterizeParticleSystem.fx:158-175) with a 4x4 Bayer threshold per
+    pixel instead of partial opacity. Returns the (H, W, 4) image
+    (premultiplied rgb + accumulated alpha), composited over
+    `background` if given.
     """
-    assert not cfg.compact_payload, (
-        "alpha compositing needs the alpha channel — compact payload "
-        "repurposes it for size"
-    )
-    bins = bin_particles(cfg, x, y, color, size, live)
-    wy, wx = _coverage_factors(cfg, bins)
-    valid = bins["valid"]
-    nt = wy.shape[0]
+    cb = color_bins
+    nt = cb[0].shape[0]
     k = cfg.bin_capacity
     win = cfg.window
 
@@ -721,19 +711,16 @@ def rasterize_tiled_alpha(
     xs = jnp.arange(win) % 4
     bayer = bayer4[ys[:, None], xs[None, :]]  # (win, win)
 
-    cb = [c * valid for c in bins["color"]]  # planar premult channels
     src_a = jnp.maximum(cb[3], 1e-6)
     straight_rgb = jnp.stack(
         [cb[0] / src_a, cb[1] / src_a, cb[2] / src_a], axis=-1
     )  # (NT, K, 3)
 
     def over(img, j):
-        cov = wy[:, :, j][:, :, None] * wx[:, j, :][:, None, :]
-        a_eff = cov * cb[3][:, j][:, None, None]  # (NT, win, win)
+        a_eff = coverage_fn(j) * cb[3][:, j][:, None, None]
         if dither:
-            # Dithered opacity discard (fx:158-175): fragments become
-            # fully opaque where the effective alpha beats the Bayer
-            # threshold, discarded elsewhere.
+            # Fragments become fully opaque where the effective alpha
+            # beats the Bayer threshold, discarded elsewhere.
             a_eff = jnp.where(
                 (a_eff > bayer[None]) & (a_eff > 0.0), 1.0, 0.0
             )
@@ -752,4 +739,40 @@ def rasterize_tiled_alpha(
         img = jnp.concatenate(
             [img[..., :3] + background[..., :3] * (1.0 - acc_a),
              jnp.maximum(acc_a, background[..., 3:4])], axis=-1)
+    return img
+
+
+def rasterize_tiled_alpha(
+    cfg: TiledRasterConfig,
+    x, y, color, size, live,
+    background=None,
+    dither: bool = False,
+    opacity=None,
+):
+    """Ordered 'over' compositing path.
+
+    Composites bin slots in slot order per tile via lax.scan (the sort is
+    stable, so order == state index order == reference draw order).
+    `color` must be premultiplied; alpha channel = coverage opacity.
+
+    O(K) sequential per tile — use for the (typically much smaller)
+    alpha-blended systems; additive systems take rasterize_tiled.
+    """
+    assert not cfg.compact_payload, (
+        "alpha compositing needs the alpha channel — compact payload "
+        "repurposes it for size"
+    )
+    assert cfg.channels == 4, (
+        "alpha compositing needs the alpha channel — channels=3 packs "
+        "(b, size) into one operand and carries no alpha"
+    )
+    bins = bin_particles(cfg, x, y, color, size, live)
+    wy, wx = _coverage_factors(cfg, bins)
+    valid = bins["valid"]
+    cb = [c * valid for c in bins["color"]]  # planar premult channels
+
+    def coverage(j):
+        return wy[:, :, j][:, :, None] * wx[:, j, :][:, None, :]
+
+    img = composite_over_tiles(cfg, cb, coverage, background, dither)
     return img, dict(dropped=bins["dropped"])

@@ -604,7 +604,7 @@ def build_flagship(
                 vl = extra["volumetric"]
                 ex = accumulate_windowed(
                     ex, gb_ex,
-                    vl.start[:, :2] * (0.5 if half_ok else 1.0), win,
+                    vl.start[:, :2] * gb_ex.render_scale, win,
                     lambda i, gbw: accumulate_volumetric_lights(
                         vol_t, gbw, take_light(vl, i), env_u_,
                         config.quality, shadowed=True,
