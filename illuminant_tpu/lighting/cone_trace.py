@@ -146,3 +146,9 @@ def cone_trace(
         ** quality.occlusion_to_opacity_power
     )
     return jnp.where(enable, final, 1.0)
+
+
+# Convenience jitted alias (see scan_shadows.scan_visibility_jit): one
+# whole-graph, persistent-cache-eligible compile for eager callers —
+# tests use it as the march oracle at many scene/shape combos.
+cone_trace_jit = jax.jit(cone_trace, static_argnames=("quality", "raw"))

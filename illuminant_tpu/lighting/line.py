@@ -15,6 +15,7 @@ import dataclasses
 from typing import List, Optional, Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..core.config import QualitySettings
@@ -289,3 +290,10 @@ def accumulate_line_lights(
     out_rgb = jnp.sum(rgb, axis=0)
     out_a = jnp.sum(light_opacity, axis=0)
     return jnp.concatenate([out_rgb, out_a[..., None]], axis=-1)
+
+
+# Convenience jitted alias (see scan_shadows.scan_visibility_jit): one
+# whole-graph, persistent-cache-eligible compile for eager callers.
+accumulate_line_lights_jit = jax.jit(
+    accumulate_line_lights,
+    static_argnames=("quality", "shadow_mode"))

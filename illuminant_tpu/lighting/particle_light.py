@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 
 from ..core.config import QualitySettings
@@ -138,3 +139,42 @@ def accumulate_particle_lights(
         with_specular=False, shadow_mode=shadow_mode,
         with_ao=source.template.ambient_occlusion_radius > 0.0,
     )
+
+
+# Convenience jitted alias (see scan_shadows.scan_visibility_jit): one
+# whole-graph, persistent-cache-eligible compile for eager callers.
+# ParticleLightSource is a host-side mutable config (not a pytree), so
+# the wrapper freezes it into a hashable static key per call.
+def _rebuild_source(key) -> ParticleLightSource:
+    tpl_vals, stipple, max_lights = key
+    return ParticleLightSource(
+        template=SphereLightSource(*tpl_vals),
+        stipple_factor=stipple, max_lights=max_lights,
+    )
+
+
+def _apl_keyed_py(volume, gbuffer, state, env, quality, source_key,
+                  shadow_mode):
+    return accumulate_particle_lights(
+        volume, gbuffer, state, _rebuild_source(source_key), env,
+        quality, shadow_mode,
+    )
+
+
+_apl_keyed = jax.jit(
+    _apl_keyed_py,
+    static_argnames=("quality", "source_key", "shadow_mode"),
+)
+
+
+def accumulate_particle_lights_jit(volume, gbuffer, state,
+                                   source: ParticleLightSource, env,
+                                   quality, shadow_mode="scan"):
+    tpl = source.template
+    if tpl.ramp_texture is not None:  # array field -> not freezable
+        return accumulate_particle_lights(
+            volume, gbuffer, state, source, env, quality, shadow_mode)
+    key = (dataclasses.astuple(tpl), source.stipple_factor,
+           source.max_lights)
+    return _apl_keyed(volume, gbuffer, state, env, quality=quality,
+                      source_key=key, shadow_mode=shadow_mode)

@@ -18,6 +18,7 @@ import dataclasses
 from typing import List, Optional, Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..core.config import QualitySettings
@@ -237,3 +238,9 @@ def evaluate_probes(
             )[:, 0, :]
 
     return value * probes.active[:, None]
+
+
+# Convenience jitted alias (see scan_shadows.scan_visibility_jit): one
+# whole-graph, persistent-cache-eligible compile for eager callers.
+evaluate_probes_jit = jax.jit(
+    evaluate_probes, static_argnames=("quality",))

@@ -18,6 +18,7 @@ import dataclasses
 from typing import List, Optional, Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..core.config import QualitySettings
@@ -298,3 +299,9 @@ def accumulate_projector_lights(
         rgb = color[..., :3] * color[..., 3:4] * opacity[..., None]
         out = out + jnp.concatenate([rgb, opacity[..., None]], axis=-1)
     return out
+
+
+# Convenience jitted alias (see scan_shadows.scan_visibility_jit): one
+# whole-graph, persistent-cache-eligible compile for eager callers.
+accumulate_projector_lights_jit = jax.jit(
+    accumulate_projector_lights, static_argnames=("quality",))

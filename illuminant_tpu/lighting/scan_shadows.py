@@ -505,6 +505,16 @@ def upsample2x_bilinear(v):
     return axis_up(axis_up(v, v.ndim - 2), v.ndim - 1)
 
 
+# Convenience jitted alias: interactive callers and tests hit ONE
+# whole-graph compile (persistent-compile-cache eligible) instead of
+# hundreds of per-op eager compiles. Production frames trace
+# scan_visibility inline inside their own jit and don't need this.
+scan_visibility_jit = jax.jit(
+    scan_visibility,
+    static_argnames=("height", "width", "quality", "render_scale"),
+)
+
+
 def scan_cone_visibility(
     scene,
     gbuffer,

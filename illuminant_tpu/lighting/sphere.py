@@ -373,3 +373,11 @@ def accumulate_sphere_lights(
     out_a = jnp.sum(opacity.astype(jnp.bfloat16), axis=0,
                     dtype=jnp.float32)
     return jnp.concatenate([out_rgb, out_a[..., None]], axis=-1)
+
+
+# Convenience jitted alias (see scan_shadows.scan_visibility_jit): one
+# whole-graph, persistent-cache-eligible compile for eager callers.
+accumulate_sphere_lights_jit = jax.jit(
+    accumulate_sphere_lights,
+    static_argnames=("quality", "with_specular", "shadow_mode",
+                     "with_ao", "with_alpha"))

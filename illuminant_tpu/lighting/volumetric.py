@@ -373,3 +373,10 @@ def accumulate_volumetric_lights(
     out_rgb = jnp.sum(rgb, axis=0)
     out_a = jnp.sum(jnp.maximum(opacity, 0.0), axis=0)
     return jnp.concatenate([out_rgb, out_a[..., None]], axis=-1)
+
+
+# Convenience jitted alias (see scan_shadows.scan_visibility_jit): one
+# whole-graph, persistent-cache-eligible compile for eager callers.
+accumulate_volumetric_lights_jit = jax.jit(
+    accumulate_volumetric_lights,
+    static_argnames=("quality", "shadowed", "shadow_detail"))

@@ -28,6 +28,7 @@ from __future__ import annotations
 from typing import Optional, Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..core.pytree import pytree_dataclass, static_field
@@ -369,3 +370,10 @@ def rasterize_sprites_alpha(
 
     img = composite_over_tiles(cfg, cb, coverage, background, dither)
     return img, dict(dropped=bins["dropped"], residual=table.residual)
+
+
+# Convenience jitted aliases (see scan_shadows.scan_visibility_jit).
+rasterize_sprites_jit = jax.jit(
+    rasterize_sprites, static_argnames=("cfg",))
+rasterize_sprites_alpha_jit = jax.jit(
+    rasterize_sprites_alpha, static_argnames=("cfg", "dither"))

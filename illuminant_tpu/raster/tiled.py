@@ -776,3 +776,11 @@ def rasterize_tiled_alpha(
 
     img = composite_over_tiles(cfg, cb, coverage, background, dither)
     return img, dict(dropped=bins["dropped"])
+
+
+# Convenience jitted aliases (see scan_shadows.scan_visibility_jit):
+# one whole-graph, persistent-cache-eligible compile for eager callers.
+rasterize_tiled_jit = jax.jit(
+    rasterize_tiled, static_argnames=("cfg", "stipple_factor"))
+rasterize_tiled_alpha_jit = jax.jit(
+    rasterize_tiled_alpha, static_argnames=("cfg", "dither"))

@@ -17,8 +17,8 @@ from illuminant_tpu.lighting.scan_shadows import _bidirectional_scan
 from illuminant_tpu.raster.tiled import (
     KERNEL_QUAD,
     TiledRasterConfig,
-    rasterize_tiled,
-    rasterize_tiled_alpha,
+    rasterize_tiled_jit as rasterize_tiled,
+    rasterize_tiled_alpha_jit as rasterize_tiled_alpha,
 )
 from illuminant_tpu.utils.histogram import bucket_boundaries, \
     compute_histogram

@@ -12,7 +12,7 @@ import jax.numpy as jnp
 from illuminant_tpu.core.config import QualitySettings
 from illuminant_tpu.lighting.directional import (
     DirectionalLightSource,
-    accumulate_directional_lights,
+    accumulate_directional_lights_jit as accumulate_directional_lights,
     pack_directional_lights,
 )
 from illuminant_tpu.lighting.environment import (
@@ -153,7 +153,7 @@ def test_line_light_scan_matches_march():
     3-ray march on lit/shadow classification."""
     from illuminant_tpu.lighting.line import (
         LineLightSource,
-        accumulate_line_lights,
+        accumulate_line_lights_jit,
         pack_line_lights,
     )
 
@@ -167,9 +167,9 @@ def test_line_light_scan_matches_march():
                         radius=8.0)
     ])
     q = QualitySettings()
-    a_m = np.asarray(accumulate_line_lights(
+    a_m = np.asarray(accumulate_line_lights_jit(
         scene, gb, lights, env, q, shadow_mode="march")[..., 3])
-    a_s = np.asarray(accumulate_line_lights(
+    a_s = np.asarray(accumulate_line_lights_jit(
         scene, gb, lights, env, q, shadow_mode="scan")[..., 3])
 
     # Shadow south of the bar in both; lit next to the segment.

@@ -92,7 +92,7 @@ def test_cone_trace_shadow_vs_open():
     )
     enable = np.asarray([True, True])
     vis = np.asarray(
-        ct.cone_trace(
+        ct.cone_trace_jit(
             volume, light, np.float32(8.0), np.float32(200.0), shaded,
             enable, q,
         )
@@ -107,7 +107,7 @@ def test_cone_trace_disabled_is_one():
     light = np.asarray([60.0, 128.0, 32.0], np.float32)
     shaded = np.asarray([[200.0, 128.0, 1.0]], np.float32)
     vis = np.asarray(
-        ct.cone_trace(
+        ct.cone_trace_jit(
             volume, light, np.float32(8.0), np.float32(200.0), shaded,
             np.asarray([False]), q,
         )

@@ -22,9 +22,9 @@ from illuminant_tpu.lighting import cone_trace as ct
 from illuminant_tpu.lighting import gbuffer as gbuf
 from illuminant_tpu.lighting.particle_light import (
     ParticleLightSource,
-    accumulate_particle_lights,
+    accumulate_particle_lights_jit,
 )
-from illuminant_tpu.lighting.scan_shadows import scan_visibility
+from illuminant_tpu.lighting.scan_shadows import scan_visibility_jit as scan_visibility
 from illuminant_tpu.particles.state import ParticleState
 from illuminant_tpu.sdf.analytic import pack_scene
 
@@ -54,7 +54,7 @@ def test_particle_light_subset_error_bounded():
 
     def render(max_lights):
         src = ParticleLightSource(template=template, max_lights=max_lights)
-        return np.asarray(accumulate_particle_lights(
+        return np.asarray(accumulate_particle_lights_jit(
             None, gb, state, src, env.uniforms(), q,
             shadow_mode="march"))
 
@@ -92,7 +92,7 @@ def test_scan_trace_plane_mixed_height_lights():
     for li, z in ((0, 14.0), (1, 80.0)):
         for x in (110, 130, 160, 185):
             shaded = jnp.asarray([[x + 0.5, 64.5, 0.0]])
-            march = float(ct.cone_trace(
+            march = float(ct.cone_trace_jit(
                 scene, lights[li], radii[li], ramps[li], shaded,
                 jnp.asarray([True]), q)[0])
             got = vis[li, 64, x]

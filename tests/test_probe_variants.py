@@ -16,20 +16,20 @@ from illuminant_tpu.lighting.environment import (
 )
 from illuminant_tpu.lighting import gbuffer as gbuf
 from illuminant_tpu.lighting.line import LineLightSource, pack_line_lights
-from illuminant_tpu.lighting.line import accumulate_line_lights
+from illuminant_tpu.lighting.line import accumulate_line_lights_jit as accumulate_line_lights
 from illuminant_tpu.lighting.probes import (
     LightProbe,
-    evaluate_probes,
+    evaluate_probes_jit as evaluate_probes,
     pack_probes,
 )
 from illuminant_tpu.lighting.projector import (
     ProjectorLightSource,
-    accumulate_projector_lights,
+    accumulate_projector_lights_jit,
     pack_projector_lights,
 )
 from illuminant_tpu.lighting.volumetric import (
     VolumetricLightSource,
-    accumulate_volumetric_lights,
+    accumulate_volumetric_lights_jit,
     pack_volumetric_lights,
 )
 from illuminant_tpu.sdf.analytic import pack_scene
@@ -89,7 +89,7 @@ def test_volumetric_light_probe_matches_lightmap():
     ])
     gb = gbuf.flat_ground(H, W, env.uniforms())
     lm = np.asarray(
-        accumulate_volumetric_lights(scene, gb, lights, env.uniforms(), q)
+        accumulate_volumetric_lights_jit(scene, gb, lights, env.uniforms(), q)
     )
     pix, probes = _probe_pixels()
     vals = np.asarray(
@@ -114,7 +114,7 @@ def test_projector_light_probe_matches_lightmap():
     ])
     gb = gbuf.flat_ground(H, W, env.uniforms())
     lm = np.asarray(
-        accumulate_projector_lights(scene, gb, lights, env.uniforms(), q)
+        accumulate_projector_lights_jit(scene, gb, lights, env.uniforms(), q)
     )
     pix, probes = _probe_pixels()
     vals = np.asarray(

@@ -12,11 +12,11 @@ from illuminant_tpu.lighting.environment import (
 from illuminant_tpu.lighting.gbuffer import flat_ground
 from illuminant_tpu.lighting.particle_light import (
     ParticleLightSource,
-    accumulate_particle_lights,
+    accumulate_particle_lights_jit,
 )
 from illuminant_tpu.lighting.probes import (
     LightProbe,
-    evaluate_probes,
+    evaluate_probes_jit,
     pack_probes,
 )
 from illuminant_tpu.sdf.analytic import pack_scene
@@ -43,7 +43,7 @@ def test_probes_match_falloff_and_shadow():
     )
     env = LightingEnvironment().uniforms()
     values = np.asarray(
-        evaluate_probes(scene, probes, env, QualitySettings(),
+        evaluate_probes_jit(scene, probes, env, QualitySettings(),
                         sphere_lights=lights)
     )
     assert values.shape == (3, 4)
@@ -66,7 +66,7 @@ def test_probe_normal_masks_backfacing_light():
     )
     env = LightingEnvironment().uniforms()
     v = np.asarray(
-        evaluate_probes(None, probes, env, QualitySettings(),
+        evaluate_probes_jit(None, probes, env, QualitySettings(),
                         sphere_lights=lights)
     )
     assert v[0, 0] > 0.3
@@ -101,7 +101,7 @@ def test_particle_lights_illuminate():
         max_lights=64,
     )
     out = np.asarray(
-        accumulate_particle_lights(
+        accumulate_particle_lights_jit(
             None, gb, system.state, src, env.uniforms(),
             QualitySettings(), shadow_mode="march",
         )

@@ -12,7 +12,7 @@ import jax.numpy as jnp
 from illuminant_tpu.core.config import QualitySettings
 from illuminant_tpu.lighting import cone_trace as ct
 from illuminant_tpu.lighting.environment import LightObstruction
-from illuminant_tpu.lighting.scan_shadows import scan_visibility
+from illuminant_tpu.lighting.scan_shadows import scan_visibility_jit
 from illuminant_tpu.sdf.analytic import pack_scene
 
 H, W = 96, 144
@@ -38,7 +38,7 @@ def _march_for(name, scene, lights, radii, ramps):
         shaded = np.stack(
             [xs, ys, np.zeros_like(xs)], -1).astype(np.float32)
         _MARCH_CACHE[name] = np.stack([
-            np.asarray(ct.cone_trace(scene, lights[i], radii[i], ramps[i],
+            np.asarray(ct.cone_trace_jit(scene, lights[i], radii[i], ramps[i],
                                      jnp.asarray(shaded),
                                      jnp.ones((H, W), bool),
                                      QualitySettings()))
@@ -57,7 +57,7 @@ def _errors(name, obs):
     out = {}
     for r in (0, 1, 2):
         q = QualitySettings(scan_refine_samples=r)
-        vis = np.asarray(scan_visibility(scene, H, W, lights, radii,
+        vis = np.asarray(scan_visibility_jit(scene, H, W, lights, radii,
                                          ramps, q,
                                          pixel_z=jnp.zeros((H, W))))
         out[r] = np.abs(vis - march).mean()
@@ -81,7 +81,7 @@ def test_nomination_half_scale_tracks_full_scale():
         for nom in (1.0, 0.5, 0.25):
             q = QualitySettings(scan_refine_samples=1,
                                 scan_nomination_scale=nom)
-            vis[nom] = np.asarray(scan_visibility(
+            vis[nom] = np.asarray(scan_visibility_jit(
                 scene, H, W, lights, radii, ramps, q,
                 pixel_z=jnp.zeros((H, W))))
         direct = np.abs(vis[0.5] - vis[1.0]).mean()

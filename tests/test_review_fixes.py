@@ -13,9 +13,9 @@ from illuminant_tpu.lighting.environment import (
 from illuminant_tpu.lighting import gbuffer as gbuf
 from illuminant_tpu.lighting.particle_light import (
     ParticleLightSource,
-    accumulate_particle_lights,
+    accumulate_particle_lights_jit,
 )
-from illuminant_tpu.lighting.scan_shadows import scan_visibility
+from illuminant_tpu.lighting.scan_shadows import scan_visibility_jit as scan_visibility
 from illuminant_tpu.particles.formula import Formula1, Formula3
 from illuminant_tpu.particles.spawner import FeedbackSpawner, PatternSpawner
 from illuminant_tpu.particles.state import ParticleState
@@ -123,11 +123,11 @@ def test_particle_light_stipple_preserves_energy():
     template = SphereLightSource(radius=3.0, ramp_length=40.0,
                                  color=(1.0, 1.0, 1.0, 0.05),
                                  cast_shadows=False)
-    full = np.asarray(accumulate_particle_lights(
+    full = np.asarray(accumulate_particle_lights_jit(
         None, gb, st, ParticleLightSource(template=template,
                                           max_lights=n),
         env.uniforms(), QualitySettings(), shadow_mode="march"))
-    half = np.asarray(accumulate_particle_lights(
+    half = np.asarray(accumulate_particle_lights_jit(
         None, gb, st, ParticleLightSource(template=template,
                                           max_lights=n,
                                           stipple_factor=0.5),

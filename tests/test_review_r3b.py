@@ -21,7 +21,7 @@ import pytest
 
 from illuminant_tpu.core.config import QualitySettings
 from illuminant_tpu.lighting.environment import LightObstruction
-from illuminant_tpu.lighting.scan_shadows import scan_visibility
+from illuminant_tpu.lighting.scan_shadows import scan_visibility_jit as scan_visibility
 from illuminant_tpu.sdf.analytic import pack_scene
 
 

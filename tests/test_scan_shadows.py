@@ -5,7 +5,7 @@ import jax.numpy as jnp
 
 from illuminant_tpu.core.config import QualitySettings
 from illuminant_tpu.lighting import cone_trace as ct
-from illuminant_tpu.lighting.scan_shadows import scan_visibility
+from illuminant_tpu.lighting.scan_shadows import scan_visibility_jit as scan_visibility
 from illuminant_tpu.sdf.analytic import pack_scene
 from illuminant_tpu.lighting.environment import LightObstruction
 
@@ -40,7 +40,7 @@ def test_scan_matches_march_classification():
         [xs, ys, np.full_like(xs, 16.0)], axis=-1
     ).astype(np.float32)
     vis_march = np.asarray(
-        ct.cone_trace(
+        ct.cone_trace_jit(
             scene, jnp.asarray(light[0]), jnp.float32(8.0),
             jnp.float32(200.0), jnp.asarray(shaded),
             jnp.ones((H, W), bool), q,
@@ -93,7 +93,7 @@ def test_fast_stack_quarter_res_nomination_tracks_march():
     # march at the same lifted endpoints as the gbuffer path (flat
     # ground: normal +z, z = ground).
     shaded = np.stack([xs, ys, np.full_like(xs, 1.6)], -1)
-    vis_march = np.asarray(ct.cone_trace(
+    vis_march = np.asarray(ct.cone_trace_jit(
         scene, jnp.asarray(light[0]), jnp.float32(8.0),
         jnp.float32(200.0), jnp.asarray(shaded.astype(np.float32)),
         jnp.ones((H, W), bool), QualitySettings(),
@@ -167,7 +167,7 @@ def test_scan_3d_short_obstruction_rays_pass_over():
     shaded = np.zeros((1, 3), np.float32)
     shaded[0] = [125.0, 64.0, 0.0]
     march = float(
-        ct.cone_trace(scene, light[0], jnp.float32(6.0),
+        ct.cone_trace_jit(scene, light[0], jnp.float32(6.0),
                       jnp.float32(300.0), jnp.asarray(shaded),
                       jnp.asarray([True]), q)[0]
     )

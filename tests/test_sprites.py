@@ -8,7 +8,7 @@ from illuminant_tpu.raster.sprites import (
     _render_variant,
     animation_frame,
     build_sprite_table,
-    rasterize_sprites,
+    rasterize_sprites_jit as rasterize_sprites,
     select_bins,
 )
 from illuminant_tpu.raster.tiled import TiledRasterConfig
@@ -134,7 +134,7 @@ def test_sprites_alpha_matches_oracle():
     compositing with the sprite's factored coverage as opacity. Oracle
     composites the SAME factored variants in draw order, isolating the
     compositing logic from the (already-bounded) SVD error."""
-    from illuminant_tpu.raster.sprites import rasterize_sprites_alpha
+    from illuminant_tpu.raster.sprites import rasterize_sprites_alpha_jit as rasterize_sprites_alpha
 
     tex = _glow_texture()
     support = 11
@@ -182,7 +182,7 @@ def test_sprites_alpha_matches_oracle():
 
 
 def test_sprites_alpha_draw_order_last_on_top():
-    from illuminant_tpu.raster.sprites import rasterize_sprites_alpha
+    from illuminant_tpu.raster.sprites import rasterize_sprites_alpha_jit as rasterize_sprites_alpha
 
     tex = np.ones((8, 8), np.float32)  # solid square sprite
     support = 9

@@ -8,8 +8,8 @@ from illuminant_tpu.raster.tiled import (
     KERNEL_POINT,
     KERNEL_QUAD,
     TiledRasterConfig,
-    rasterize_tiled,
-    rasterize_tiled_alpha,
+    rasterize_tiled_jit as rasterize_tiled,
+    rasterize_tiled_alpha_jit as rasterize_tiled_alpha,
 )
 
 

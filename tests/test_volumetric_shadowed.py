@@ -17,7 +17,7 @@ from illuminant_tpu.lighting import gbuffer as gbuf
 from illuminant_tpu.lighting.volumetric import (
     SHAPE_ELLIPSOID,
     VolumetricLightSource,
-    accumulate_volumetric_lights,
+    accumulate_volumetric_lights_jit,
     pack_volumetric_lights,
 )
 from illuminant_tpu.sdf.analytic import pack_scene
@@ -69,9 +69,9 @@ def test_shadowed_volumetric_matches_march_oracle():
     lights = pack_volumetric_lights([src])
     gb = gbuf.flat_ground(64, 96, env.uniforms())
 
-    lm_open = np.asarray(accumulate_volumetric_lights(
+    lm_open = np.asarray(accumulate_volumetric_lights_jit(
         scene, gb, lights, env.uniforms(), q, shadowed=False))
-    lm_shadow = np.asarray(accumulate_volumetric_lights(
+    lm_shadow = np.asarray(accumulate_volumetric_lights_jit(
         scene, gb, lights, env.uniforms(), q, shadowed=True))
 
     # Behind the wall (east side): the origin->sample rays pass through

@@ -9,7 +9,7 @@ from illuminant_tpu.lighting.environment import (
     LightingEnvironment,
     LightObstruction,
 )
-from illuminant_tpu.lighting.scan_shadows import scan_visibility
+from illuminant_tpu.lighting.scan_shadows import scan_visibility_jit as scan_visibility
 from illuminant_tpu.sdf import volume as vol
 from illuminant_tpu.sdf.analytic import pack_scene
 
