@@ -238,15 +238,15 @@ def accumulate_directional_lights(
     elif shadow_mode == "scan":
         from .scan_shadows import scan_cone_visibility
 
-        centers, trace_plane, _ = _scan_pseudo_centers(
-            gbuffer, lights, env
+        # One source of truth for the scan argument set (pseudo-centers,
+        # radius, ramp, trace cap, trace plane) — the fused multi-family
+        # path in scenes.py consumes the same helper.
+        centers, radius, scan_ramp, mtd, trace_plane = (
+            directional_scan_args(gbuffer, lights, env)
         )
         vis = scan_cone_visibility(
-            volume, gbuffer, centers,
-            lights.properties[:, 2],
-            ramp[:, 0, 0],
-            quality,
-            max_trace_distance=lights.properties[:, 1],
+            volume, gbuffer, centers, radius, scan_ramp, quality,
+            max_trace_distance=mtd,
             trace_z=trace_plane,
             self_occlusion_lift=SELF_OCCLUSION_HACK,
         )

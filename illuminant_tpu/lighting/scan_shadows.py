@@ -265,10 +265,16 @@ def scan_visibility(
     ly = (light_position[:, 1] - world_offset[1]) * nscale
     occ = occlusion_image(scene, nh, nw, trace_z, nscale, world_offset)
 
+    # The near-light sample skip inside the walk (dx > radius — the trace
+    # stops `radius` short of the light, ConeTrace.fxh:46) compares dx in
+    # NOMINATION-GRID pixels, so the world-unit radius must be rescaled;
+    # unscaled it would carve a radius/nscale dead zone in which occluders
+    # near a light cast no shadow at all (4x radius at the defaults).
+    lr_n = light_radius * nscale
     (e_d, e_k, e_n), (w_d, w_k, w_n) = _bidirectional_scan(
-        occ, lx, ly, light_radius
+        occ, lx, ly, lr_n
     )
-    (n_tuple, s_tuple) = _bidirectional_scan(occ.T, ly, lx, light_radius)
+    (n_tuple, s_tuple) = _bidirectional_scan(occ.T, ly, lx, lr_n)
     n_d = jnp.swapaxes(n_tuple[0], 1, 2)
     n_k = jnp.swapaxes(n_tuple[1], 1, 2)
     n_n = jnp.swapaxes(n_tuple[2], 1, 2)
@@ -553,16 +559,6 @@ def scan_cone_visibility(
         if gbuffer.pixel_origin is not None else None
     )
     lift = jnp.asarray(self_occlusion_lift, jnp.float32)
-    if lift.ndim == 0:
-        lifted_z = gbuffer.z + lift * gbuffer.normal[..., 2]
-        off_x = lift * gbuffer.normal[..., 0]
-        off_y = lift * gbuffer.normal[..., 1] + gbuffer.relative_y
-    else:
-        li = lift[:, None, None]
-        lifted_z = gbuffer.z[None] + li * gbuffer.normal[None, ..., 2]
-        off_x = li * gbuffer.normal[None, ..., 0]
-        off_y = li * gbuffer.normal[None, ..., 1] + gbuffer.relative_y
-    offset_xy = jnp.stack([off_x, off_y], axis=-1)
 
     def _resize(arr, sh, sw, channels=0):
         # arr is (..., H, W) when channels == 0, (..., H, W, C) when
@@ -579,11 +575,35 @@ def scan_cone_visibility(
         sh, sw = max(int(h * ss), 8), max(int(w * ss), 8)
     else:
         sh, sw = h, w
-    if (sh, sw) != (h, w):
-        pixel_z = _resize(lifted_z, sh, sw)
-        off = _resize(offset_xy, sh, sw, channels=2)
+    # Lift-then-resize == resize-then-lift (both linear). For a SCALAR
+    # lift, lifting first is cheaper (3 planes through the resize: z +
+    # 2 offsets, vs z + 3 normals + relative_y). For a fused multi-
+    # family ARRAY lift, lifting first would materialize 3L full-res
+    # planes (~300 MB of HBM traffic for a 12-lane 1080p call) — resize
+    # the 5 shared G-buffer planes once and lift per light at scan
+    # resolution instead.
+    if lift.ndim == 0:
+        lifted_z = gbuffer.z + lift * gbuffer.normal[..., 2]
+        off_x = lift * gbuffer.normal[..., 0]
+        off_y = lift * gbuffer.normal[..., 1] + gbuffer.relative_y
+        offset_xy = jnp.stack([off_x, off_y], axis=-1)
+        if (sh, sw) != (h, w):
+            pixel_z = _resize(lifted_z, sh, sw)
+            off = _resize(offset_xy, sh, sw, channels=2)
+        else:
+            pixel_z, off = lifted_z, offset_xy
     else:
-        pixel_z, off = lifted_z, offset_xy
+        if (sh, sw) != (h, w):
+            z_s = _resize(gbuffer.z, sh, sw)
+            n_s = _resize(gbuffer.normal, sh, sw, channels=3)
+            ry_s = _resize(gbuffer.relative_y, sh, sw)
+        else:
+            z_s, n_s, ry_s = gbuffer.z, gbuffer.normal, gbuffer.relative_y
+        li = lift[:, None, None]
+        pixel_z = z_s[None] + li * n_s[None, ..., 2]
+        off_x = li * n_s[None, ..., 0]
+        off_y = li * n_s[None, ..., 1] + ry_s[None]
+        off = jnp.stack([off_x, off_y], axis=-1)
     vis = scan_visibility(
         scene, sh, sw, light_position, light_radius,
         light_ramp_length, quality,

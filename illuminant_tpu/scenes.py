@@ -628,8 +628,11 @@ def build_flagship(
                 lightmap = lightmap + ex
             if "projector" in extra:
                 pj = extra["projector"]
+                # accumulate_windowed takes PIXEL centers (the volumetric
+                # call above scales the same way).
                 lightmap = accumulate_windowed(
-                    lightmap, gbuffer_, extra["projector_centers"], 384,
+                    lightmap, gbuffer_,
+                    extra["projector_centers"] * gbuffer_.render_scale, 384,
                     lambda i, gbw: accumulate_projector_lights(
                         vol_t, gbw, take_light(pj, i), env_u_,
                         config.quality,
