@@ -87,7 +87,7 @@ def _default_unroll() -> int:
 
 
 def _bidirectional_scan(occ, light_x, light_y, light_radius, unroll=None,
-                        raw=False):
+                        raw=False, exit_band=1.0):
     """Both half-plane passes in ONE lax.scan (the reverse pass runs on the
     flipped image as a batch row — halves the sequential op count; unroll
     amortizes per-step overhead). occ: (H, W); light_x/y/radius: (L,).
@@ -169,9 +169,16 @@ def _bidirectional_scan(occ, light_x, light_y, light_radius, unroll=None,
         d_here = jnp.where(sample_valid, occ_col[:, None, :], _BIG)
         new_min_d = jnp.minimum(res_d, d_here)
         new_min_k = jnp.where(d_here < res_d, dx, res_k)
-        # Blocker EXIT point: the farthest-from-light negative sample —
-        # the ray is lowest there, so it's the second 3D-refine candidate.
-        new_neg_k = jnp.where(d_here < 0.0, dx, res_n)
+        # Blocker EXIT point: the farthest-from-light NEAR-SURFACE sample
+        # — the ray is lowest there, so it's the second 3D-refine
+        # candidate. The threshold is a small positive band, not 0: a
+        # blocker whose top sits exactly at the trace plane grazes the
+        # flatland ray with d ~ 0 and never negative; a strict d < 0
+        # left the exit empty, collapsed the refine span onto its start
+        # (where the descending true ray is still above the blocker) and
+        # erased the whole shadow (measured p99 = 1.0 slivers on the
+        # 3-occluder scene, tools/approx_artifacts.py).
+        new_neg_k = jnp.where(d_here < exit_band, dx, res_n)
         # Per-column outputs are the scan's big materialization
         # (3 x (W, 2, L, H) per pass); store them f16 — d <= 128 keeps
         # ~0.06 precision, k <= W keeps ~1 shadow-res px — and upcast at
@@ -271,10 +278,19 @@ def scan_visibility(
     # unscaled it would carve a radius/nscale dead zone in which occluders
     # near a light cast no shadow at all (4x radius at the defaults).
     lr_n = light_radius * nscale
+    # Exit-nomination band: the last sample within this SDF distance of
+    # a surface marks the blocker exit (a blocker whose top sits exactly
+    # at the trace plane grazes the ray with d ~ 0 and never negative —
+    # a strict d < 0 collapsed the refine span and erased its shadow).
+    # Scaled to the grid: at coarse nomination the ray-fan resample
+    # smears a wide band across neighboring rays and pushes exits past
+    # their blockers (measured on the 'tall' scene at nomination 0.25).
+    band = float(min(1.0, max(nscale, 0.25)))
     (e_d, e_k, e_n), (w_d, w_k, w_n) = _bidirectional_scan(
-        occ, lx, ly, lr_n
+        occ, lx, ly, lr_n, exit_band=band
     )
-    (n_tuple, s_tuple) = _bidirectional_scan(occ.T, ly, lx, lr_n)
+    (n_tuple, s_tuple) = _bidirectional_scan(occ.T, ly, lx, lr_n,
+                                             exit_band=band)
     n_d = jnp.swapaxes(n_tuple[0], 1, 2)
     n_k = jnp.swapaxes(n_tuple[1], 1, 2)
     n_n = jnp.swapaxes(n_tuple[2], 1, 2)
@@ -401,19 +417,40 @@ def scan_visibility(
         if max_trace_distance is not None:
             vis = jnp.where(has_blocker, vis, 1.0)
         candidates = ()
-    elif quality.scan_refine_samples == 1:
-        vis = jnp.ones(min_d.shape, jnp.float32)
-        candidates = ((k_frac + exit_frac) * 0.5,)
-    elif quality.scan_refine_samples == 2:
-        vis = jnp.ones(min_d.shape, jnp.float32)
-        candidates = ((k_frac + exit_frac) * 0.5, exit_frac)
     else:
+        # Primary candidate: the arg-min itself when the flatland
+        # interior is DEEP (a real footprint crossing — probing the span
+        # middle instead reads the shallower off-center distance and the
+        # +HACK_DISTANCE_OFFSET washes the umbra: measured 0.39 vs the
+        # march's 0.0 across a whole shadow at nomination 0.25, where
+        # the exit lands 1-2 coarse-grid px past the surface and drags
+        # the midpoint with it). For SHALLOW minima (a blocker whose top
+        # grazes the trace plane, d ~ 0 along the crossing) the arg-min
+        # position within the flat span is arbitrary and the descending
+        # true ray is lowest midway — probe the span middle there.
+        # Probing slightly FORWARD of the arg-min (toward the exit) is
+        # still better than the arg-min itself at fine grids — the ray
+        # descends, so a small step gains depth in z — but the step must
+        # be capped in WORLD units: at coarse grids the half-span is
+        # several world units and overshoots the footprint. major/
+        # render_scale converts ray fractions to world units in xy.
+        fwd = jnp.minimum(
+            (exit_frac - k_frac) * 0.5,
+            1.5 * render_scale / major,
+        )
+        t_star = jnp.where(min_d < -1.0, k_frac + fwd,
+                           (k_frac + exit_frac) * 0.5)
         vis = jnp.ones(min_d.shape, jnp.float32)
-        candidates = (k_frac, (k_frac + exit_frac) * 0.5, exit_frac)
-    # Candidates along the blocker span: the midpoint between the 2D
-    # arg-min and the blocker's exit toward the pixel is usually the
-    # 3D-deepest point (the ray descends toward the pixel); the exit
-    # point covers near-edge contact, the arg-min deep footprints.
+        if quality.scan_refine_samples == 1:
+            candidates = (t_star,)
+        elif quality.scan_refine_samples == 2:
+            candidates = (t_star, exit_frac)
+        else:
+            candidates = (t_star, (k_frac + exit_frac) * 0.5, exit_frac)
+    # Candidates along the blocker span: the depth-gated t_star covers
+    # the 3D-deepest point; the exit covers near-edge contact (the ray
+    # is lowest there); the unconditional midpoint (refine >= 3) covers
+    # compound spans.
     for t in candidates:
         sx = lx_w + (px_x - lx_w) * t
         sy = ly_w + (px_y - ly_w) * t
@@ -434,10 +471,26 @@ def scan_visibility(
         # the flatland visibility there. Rays passing OVER short
         # obstructions are above the plane at their blocker and keep
         # their refined (lit) value.
+        # "Low" at the blocker ENTRY (k) or at its EXIT: both points sit
+        # on/within ~1 unit of a blocker whose top reaches the trace
+        # plane, so a ray at-or-below the plane there is inside a
+        # ground-standing blocker's volume (the stored exit is the last
+        # near-surface sample — its xy is on the blocker footprint even
+        # when the flatland ray only grazes the top band and d never
+        # goes negative, the case a strict entry-only test missed).
         ray_z_at_k = lz[:, None, None] + (
             pz_lift - lz[:, None, None]
         ) * k_frac
-        low_ray = ray_z_at_k <= trace_z + 0.5
+        ray_z_at_exit = lz[:, None, None] + (
+            pz_lift - lz[:, None, None]
+        ) * exit_frac
+        # The exit-low case only fires on REAL interiors (min_d well
+        # below 0): at coarse nomination grids the smeared exit position
+        # would otherwise clamp penumbra pixels to the flatland cone
+        # value and over-darken soft edges (measured on the 'tall'
+        # test scene at nomination 0.25).
+        low_ray = (ray_z_at_k <= trace_z + 0.5) | (
+            (ray_z_at_exit <= trace_z + 0.5) & (min_d < -0.5))
         u0 = jnp.maximum((1.0 - k_frac) * major * sec, 0.0)
         radius0 = jnp.minimum(growth * u0 + MIN_CONE_RADIUS, max_radius)
         flat_vis = jnp.minimum(
