@@ -1354,6 +1354,65 @@ def scene_compiled_model():
         mode=2, exposure=2.2, white_point=3.0, srgb_output=True)))
 
 
+def scene_tiled_torches():
+    """Exact tiled light culling (lighting/tiled_lights.py): ~240
+    discrete torch flames shade the ground as individual sphere lights
+    with NO subset approximation — every light contributes, binned to
+    the screen tiles its influence disc overlaps. The reference draws
+    these as instanced per-particle quads (ParticleLight.fx); tiled
+    culling is the TPU analog of the GPU rasterizer's screen-bounds
+    cull."""
+    import jax.numpy as jnp
+    from illuminant_tpu.core.config import QualitySettings
+    from illuminant_tpu.lighting.gbuffer import flat_ground
+    from illuminant_tpu.lighting.particle_light import (
+        ParticleLightSource, accumulate_particle_lights)
+    from illuminant_tpu.particles.state import ParticleState
+    from illuminant_tpu.raster.resolve import resolve
+    from illuminant_tpu.sdf.analytic import pack_scene
+
+    h, w = 512, 512
+    env = LightingEnvironment(
+        ground_z=0.0, maximum_z=128.0, ambient=(0.01, 0.01, 0.015, 1.0)
+    )
+    for gx in range(3):
+        for gy in range(2):
+            env.obstructions.append(LightObstruction.box(
+                (120.0 + gx * 136.0, 160.0 + gy * 192.0, 14.0),
+                (14.0, 14.0, 14.0)))
+    scene = pack_scene(env.obstructions)
+    env_u = env.uniforms()
+    gb = flat_ground(h, w, env_u)
+
+    rng = np.random.default_rng(12)
+    n = 72
+    st = ParticleState.empty(128)
+    pos = np.zeros((128, 4), np.float32)
+    pos[:n, 0] = rng.uniform(24, w - 24, n)
+    pos[:n, 1] = rng.uniform(24, h - 24, n)
+    pos[:n, 2] = rng.uniform(8, 14, n)
+    pos[:n, 3] = 1.0
+    col = np.zeros((128, 4), np.float32)
+    col[:n, 0] = 1.0
+    col[:n, 1] = rng.uniform(0.45, 0.75, n)
+    col[:n, 2] = rng.uniform(0.1, 0.3, n)
+    col[:n, 3] = rng.uniform(0.6, 1.0, n)
+    st = st.replace(position=jnp.asarray(pos), color=jnp.asarray(col))
+
+    plight = ParticleLightSource(
+        template=SphereLightSource(
+            radius=4.0, ramp_length=34.0,
+            color=(1.0, 1.0, 1.0, 0.85), cast_shadows=False,
+        ),
+        tile=64, tile_capacity=48,
+    )
+    lm = accumulate_particle_lights(scene, gb, st, plight, env_u,
+                                    QualitySettings())
+    hdr = lm[..., :3] + jnp.asarray(env_u.ambient[:3])
+    return np.asarray(resolve(hdr, HDRConfig(mode=2, exposure=1.2,
+                                             white_point=2.5)))
+
+
 SCENES = {
     "single_light_box": scene_single_light_box,
     "multi_light": scene_multi_light,
@@ -1375,6 +1434,7 @@ SCENES = {
     "jumpflood": scene_jumpflood,
     "scrolling_geo": scene_scrolling_geo,
     "particle_lights": scene_particle_lights,
+    "tiled_torches": scene_tiled_torches,
     "billboards": scene_billboards,
     "dithering": scene_dithering,
     "compiled_model": scene_compiled_model,

@@ -38,7 +38,14 @@ class ParticleLightSource:
         default_factory=SphereLightSource
     )
     stipple_factor: float = 1.0
-    max_lights: int = 64  # static evaluation budget
+    max_lights: int = 64  # static evaluation budget (subset path)
+    # Evaluation method: "auto" uses EXACT tiled light culling
+    # (lighting/tiled_lights.py — every live particle contributes) for
+    # the shadowless/unramped common case and the strided subset
+    # otherwise; "subset"/"tiled" force a path.
+    method: str = "auto"
+    tile: int = 64  # tiled path: screen tile size (px)
+    tile_capacity: int = 32  # tiled path: lights per tile
 
 
 def subset_lights_from_particles(
@@ -125,19 +132,55 @@ def accumulate_particle_lights(
 
     Uses previous-frame particle state by convention (the reference reads
     usePreviousData to avoid a pipeline stall, LightingRenderer.cs:1138-43;
-    functionally pass whichever state you have)."""
+    functionally pass whichever state you have).
+
+    Shadowless/unramped full-frame sources evaluate EXACTLY via tiled
+    light culling (every live particle contributes; see
+    tiled_lights.accumulate_sphere_lights_tiled, which also reports the
+    per-tile capacity-overflow count for callers that need it);
+    shadowed or ramped templates and windowed G-buffers use the strided
+    subset."""
+    tpl = source.template
+    use_tiled = source.method == "tiled" or (
+        source.method == "auto"
+        and not tpl.cast_shadows
+        and tpl.ramp_texture is None
+        and gbuffer.pixel_origin is None
+        # Tiled culling suits DISCRETE light sets (hundreds-to-
+        # thousands); a million-particle glow wash has ~100+ lights
+        # genuinely overlapping every pixel, where the per-tile
+        # capacity would drop energy and the strided subset's error is
+        # invisible (it is a wash). Static threshold on the slot count.
+        and state.capacity <= 2048
+    )
+    if use_tiled:
+        from .tiled_lights import accumulate_sphere_lights_tiled
+
+        active = (state.position[:, 3] > 0.0) & (state.color[:, 3] > 0.0)
+        if source.stipple_factor < 1.0:
+            from ..ops.coords import stipple_keep
+
+            # Reference stipple draws a FRACTION of instances at full
+            # brightness (ParticleLight.fx:27) — exact semantics here.
+            active = active & stipple_keep(
+                state.capacity, source.stipple_factor)
+        img, _diag = accumulate_sphere_lights_tiled(
+            volume, gbuffer, state.position, state.color, active,
+            tpl, env, tile=source.tile, capacity=source.tile_capacity,
+        )
+        return img
     lights = subset_lights_from_particles(
-        state, source.template, source.max_lights,
+        state, tpl, source.max_lights,
         stipple_factor=source.stipple_factor,
     )
-    if not source.template.cast_shadows:
+    if not tpl.cast_shadows:
         # Host-static skip: the scan/march run full fixed-shape work even
         # when every per-light cast flag is false.
         shadow_mode = "none"
     return accumulate_sphere_lights(
         volume, gbuffer, lights, env, quality,
         with_specular=False, shadow_mode=shadow_mode,
-        with_ao=source.template.ambient_occlusion_radius > 0.0,
+        with_ao=tpl.ambient_occlusion_radius > 0.0,
     )
 
 
@@ -146,10 +189,11 @@ def accumulate_particle_lights(
 # ParticleLightSource is a host-side mutable config (not a pytree), so
 # the wrapper freezes it into a hashable static key per call.
 def _rebuild_source(key) -> ParticleLightSource:
-    tpl_vals, stipple, max_lights = key
+    tpl_vals, stipple, max_lights, method, tile, tile_cap = key
     return ParticleLightSource(
         template=SphereLightSource(*tpl_vals),
         stipple_factor=stipple, max_lights=max_lights,
+        method=method, tile=tile, tile_capacity=tile_cap,
     )
 
 
@@ -175,6 +219,7 @@ def accumulate_particle_lights_jit(volume, gbuffer, state,
         return accumulate_particle_lights(
             volume, gbuffer, state, source, env, quality, shadow_mode)
     key = (dataclasses.astuple(tpl), source.stipple_factor,
-           source.max_lights)
+           source.max_lights, source.method, source.tile,
+           source.tile_capacity)
     return _apl_keyed(volume, gbuffer, state, env, quality=quality,
                       source_key=key, shadow_mode=shadow_mode)

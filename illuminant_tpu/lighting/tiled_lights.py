@@ -1,0 +1,246 @@
+"""Tiled light culling: EXACT evaluation of many small lights.
+
+The reference draws one instanced quad per particle light
+(/root/reference/Illuminant/Shaders/ParticleLight.fx, instancing set up in
+Particles/ParticleSystem.cs RenderLightSource) — the GPU rasterizer culls
+each quad to the light's screen bounds, so 10k tiny lights cost only the
+pixels they touch. The TPU analog of that rasterizer culling is TILED
+LIGHT CULLING: partition the screen into square tiles, bin each light
+into every tile its influence disc overlaps (lights have closed support:
+the linear/exponential ramps reach exactly zero at radius + ramp_length),
+then shade each tile against only its K binned lights as one batched
+(tiles, K, tile, tile) tensor op with an MXU contraction over K for the
+color sum.
+
+Unlike the strided-subset path in particle_light.py (which samples
+max_lights slots and scales brightness by the sampling ratio — mean
+relative error ~0.12 at 4x subsampling), this path is exact up to the
+per-tile capacity: every live particle contributes, and a `dropped`
+diagnostic counts capacity overflow (0 in normal scenes).
+
+Shadow tracing is per-light-set, not per-tile, so this path serves the
+common SHADOWLESS template (ParticleLights.cs demo default); shadowed
+particle lights use the subset path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core.pytree import named_scope
+from ..sdf.analytic import scene_sample_p
+from .environment import EnvironmentUniforms
+from .gbuffer import GBuffer
+from .sphere import (
+    DOT_EXPONENT,
+    DOT_OFFSET,
+    DOT_RAMP_RANGE,
+    _saturate,
+)
+
+
+def bin_lights_to_tiles(x, y, live, influence: float, tile: int,
+                        th: int, tw: int, capacity: int):
+    """Bin lights (screen px coords) into all tiles their influence disc
+    overlaps -> (idx (T, K) int32, mask (T, K) bool, dropped ()).
+
+    `influence` (static, px): the light's support radius. Each light
+    emits (2r+1)^2 tile candidates (r = ceil(influence/tile)); a
+    candidate is valid when the disc intersects that tile's box. The
+    candidates sort by tile id and each tile gathers its first K.
+    """
+    n = x.shape[0]
+    n_tiles = th * tw
+    reps = int(np.ceil(influence / tile))
+    base_tx = jnp.floor(x / tile).astype(jnp.int32)
+    base_ty = jnp.floor(y / tile).astype(jnp.int32)
+    src = jnp.arange(n, dtype=jnp.int32)
+    ids_list = []
+    for oy in range(-reps, reps + 1):
+        for ox in range(-reps, reps + 1):
+            tx = base_tx + ox
+            ty = base_ty + oy
+            # Closest point of the tile box to the light center.
+            x0 = (tx * tile).astype(jnp.float32)
+            y0 = (ty * tile).astype(jnp.float32)
+            cx = jnp.clip(x, x0, x0 + tile)
+            cy = jnp.clip(y, y0, y0 + tile)
+            dx = x - cx
+            dy = y - cy
+            ok = (
+                (dx * dx + dy * dy <= influence * influence)
+                & live
+                & (tx >= 0) & (tx < tw) & (ty >= 0) & (ty < th)
+            )
+            ids_list.append(jnp.where(ok, ty * tw + tx, n_tiles))
+    m = len(ids_list)
+    ids = jnp.concatenate(ids_list)
+    srcs = jnp.tile(src, m)
+    order = jnp.argsort(ids)
+    ids_s = ids[order]
+    src_s = srcs[order]
+    bounds = jnp.searchsorted(
+        ids_s, jnp.arange(n_tiles + 1, dtype=jnp.int32)
+    )
+    starts = bounds[:-1]
+    ends = bounds[1:]
+    slot = starts[:, None] + jnp.arange(capacity, dtype=jnp.int32)[None]
+    mask = slot < ends[:, None]
+    idx = src_s[jnp.minimum(slot, ids.shape[0] - 1)]
+    dropped = jnp.sum(jnp.maximum(ends - starts - capacity, 0))
+    return idx, mask, dropped
+
+
+def _to_tiles(plane, th, tw, tile):
+    """(Hp, Wp) -> (T, tile, tile)."""
+    return plane.reshape(th, tile, tw, tile).transpose(0, 2, 1, 3) \
+        .reshape(th * tw, tile, tile)
+
+
+@named_scope("illuminant/tiled_particle_lights")
+def accumulate_sphere_lights_tiled(
+    volume,
+    gbuffer: GBuffer,
+    position,  # (N, >=3) world; column 3 (if present) = life gate
+    color,  # (N, 4) un-premultiplied rgba per light
+    active,  # (N,) bool
+    template,  # SphereLightSource (shared radius/ramp/falloff/AO)
+    env: EnvironmentUniforms,
+    tile: int = 64,
+    capacity: int = 32,
+    with_alpha: bool = True,
+):
+    """Shade N template-uniform shadowless lights -> (H, W, 4) HDR add,
+    plus a diagnostics dict with the capacity-overflow `dropped` count.
+
+    Exactly accumulate_sphere_lights' shading per light
+    (computeSphereLightOpacity, LightCommon.fxh:173-210; AO factored out
+    per pixel since the template radius is shared) restricted to each
+    light's support tiles. No specular/ramp/shadows — the particle-light
+    template surface (LightSource.cs:466-505).
+    """
+    h, w = gbuffer.shape
+    rs = gbuffer.render_scale
+    th = -(-h // tile)
+    tw = -(-w // tile)
+    hp, wp = th * tile, tw * tile
+
+    def pad(p, fill=0.0):
+        return jnp.pad(p, ((0, hp - h), (0, wp - w)),
+                       constant_values=fill)
+
+    # Support radius in px: linear ramp ends at radius + ramp_length;
+    # exponential is its square (same zero); falloff 'none' ends at
+    # radius + 1 (LightCommon.fxh:197-203). +0.5 pixel-center guard.
+    r_world = template.radius + (
+        template.ramp_length if template.ramp_mode < 2 else 1.0
+    )
+    influence = float(r_world) * rs + 0.5
+
+    lx_px = position[:, 0] * rs
+    ly_px = position[:, 1] * rs
+    idx, mask, dropped = bin_lights_to_tiles(
+        lx_px, ly_px, active, influence, tile, th, tw, capacity
+    )
+
+    # Per-tile pixel planes (T, 1, tile, tile) — world units.
+    ys = (jnp.arange(hp, dtype=jnp.float32) + 0.5) / rs
+    xs = (jnp.arange(wp, dtype=jnp.float32) + 0.5) / rs
+    wx = _to_tiles(jnp.broadcast_to(xs[None, :], (hp, wp)), th, tw, tile)
+    wy_g = jnp.broadcast_to(ys[:, None], (hp, wp)) + pad(gbuffer.relative_y)
+    wy = _to_tiles(wy_g, th, tw, tile)
+    wz = _to_tiles(pad(gbuffer.z), th, tw, tile)
+    nx = _to_tiles(pad(gbuffer.normal[..., 0]), th, tw, tile)
+    ny = _to_tiles(pad(gbuffer.normal[..., 1]), th, tw, tile)
+    nz = _to_tiles(pad(gbuffer.normal[..., 2]), th, tw, tile)
+    fullbright = _to_tiles(pad(gbuffer.fullbright, 1.0), th, tw, tile)
+    wx = wx[:, None]
+    wy = wy[:, None]
+    wz = wz[:, None]
+
+    # Gathered per-tile light attributes (T, K, 1, 1).
+    def g(v):
+        return v[idx][..., None, None]
+
+    lpx = g(position[:, 0])
+    lpy = g(position[:, 1])
+    lpz = g(position[:, 2])
+    on = mask[..., None, None].astype(jnp.float32) * g(active.astype(
+        jnp.float32))
+
+    radius = jnp.float32(template.radius)
+    ramp_length = jnp.float32(max(template.ramp_length, 1e-6))
+    y_factor = jnp.float32(max(template.falloff_y_factor, 1e-3))
+
+    # computeSphereLightOpacity (LightCommon.fxh:173-210).
+    d3x = wx - lpx
+    d3y = (wy - lpy) * y_factor
+    d3z = wz - lpz
+    distance = jnp.sqrt(d3x * d3x + d3y * d3y + d3z * d3z + 1e-12)
+    distance_factor = 1.0 - _saturate((distance - radius) / ramp_length)
+
+    lo = jnp.maximum(env.light_occlusion, 1e-6)
+    occl = 1.0 - _saturate(d3z / lo)
+    distance_factor = distance_factor * jnp.where(
+        env.light_occlusion > 0.0, occl, 1.0
+    )
+
+    dot = -(d3x * nx[:, None] + d3y * ny[:, None] + d3z * nz[:, None]) \
+        / distance
+    normal_factor = _saturate(
+        (dot + DOT_OFFSET) / DOT_RAMP_RANGE) ** DOT_EXPONENT
+    no_normal = (nx == 0.0) & (ny == 0.0) & (nz == 0.0)
+    normal_factor = jnp.where(no_normal[:, None], 1.0, normal_factor)
+
+    if template.ramp_mode >= 2:
+        distance_factor = 1.0 - _saturate(distance - radius)
+        normal_factor = jnp.ones_like(normal_factor)
+    elif template.ramp_mode >= 1:
+        distance_factor = distance_factor * distance_factor
+
+    opacity = _saturate(
+        normal_factor * distance_factor + _saturate(radius - distance)
+    )
+    opacity = opacity * on * (fullbright[:, None] < 0.5)
+
+    # AO: template-uniform radius -> one per-PIXEL factor multiplies the
+    # summed contribution (matches per-light AO since all lights share
+    # ao_radius/opacity; AOCommon.fxh:1-20, upward faces only).
+    if template.ambient_occlusion_radius > 0.0 and volume is not None:
+        ao_r = template.ambient_occlusion_radius * jnp.maximum(0.0, nz)
+        d = scene_sample_p(volume, wx[:, 0], wy[:, 0],
+                           wz[:, 0] + nz * ao_r)
+        clamped = jnp.clip(d, 0.0, ao_r)
+        r = 1.0 - _saturate(clamped / jnp.maximum(ao_r, 1e-6))
+        r = 1.0 - r * r
+        ao = (1.0 - template.ambient_occlusion_opacity) \
+            + r * template.ambient_occlusion_opacity
+        ao = jnp.where(ao_r >= 0.5, ao, 1.0)
+        opacity = opacity * ao[:, None]
+
+    # sum_k color_k.rgb * color_k.a * opacity_k — MXU contraction over
+    # the per-tile light axis (colors vary per light, unlike the dense
+    # path's per-set einsum).
+    t_color = jnp.asarray(template.color, jnp.float32)
+    col = color[idx] * t_color  # (T, K, 4), ParticleLight.fx:40-71
+    col_w = col[..., :3] * (col[..., 3:4] * template.opacity)
+    flat_op = opacity.reshape(opacity.shape[0], opacity.shape[1], -1)
+    out_rgb = jnp.einsum(
+        "tkp,tkc->tpc", flat_op.astype(jnp.bfloat16),
+        col_w.astype(jnp.bfloat16), preferred_element_type=jnp.float32,
+    ).reshape(opacity.shape[0], tile, tile, 3)
+    out_a = jnp.sum(opacity, axis=1)
+
+    def untile(t):
+        lead = t.shape[3:]
+        return t.reshape((th, tw, tile, tile) + lead) \
+            .transpose((0, 2, 1, 3) + tuple(range(4, 4 + len(lead)))) \
+            .reshape((hp, wp) + lead)[:h, :w]
+
+    out = jnp.concatenate(
+        [untile(out_rgb), untile(out_a)[..., None]], axis=-1
+    )
+    if not with_alpha:
+        out = out[..., :3]
+    return out, dict(dropped=dropped)
