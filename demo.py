@@ -1355,7 +1355,7 @@ def scene_compiled_model():
 
 
 def scene_tiled_torches():
-    """Exact tiled light culling (lighting/tiled_lights.py): ~240
+    """Exact tiled light culling (lighting/tiled_lights.py): 72
     discrete torch flames shade the ground as individual sphere lights
     with NO subset approximation — every light contributes, binned to
     the screen tiles its influence disc overlaps. The reference draws

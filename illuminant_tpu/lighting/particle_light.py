@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -46,6 +47,11 @@ class ParticleLightSource:
     method: str = "auto"
     tile: int = 64  # tiled path: screen tile size (px)
     tile_capacity: int = 32  # tiled path: lights per tile
+    # Tiled path: the scene's relief ceiling (max |relative_y|, world
+    # units) — sizes the candidate window so lights reach tiles whose
+    # elevated pixels sit in screen rows far from their world y. None =
+    # one tile's worth (covers relief up to `tile` px at scale 1).
+    max_relative_y: float | None = None
 
 
 def subset_lights_from_particles(
@@ -141,32 +147,54 @@ def accumulate_particle_lights(
     shadowed or ramped templates and windowed G-buffers use the strided
     subset."""
     tpl = source.template
+    tpl_support = tpl.radius + (
+        tpl.ramp_length if tpl.ramp_mode < 2 else 1.0
+    )
+    h, w = gbuffer.shape
+    # Static density estimate: expected lights overlapping a pixel if
+    # the set spread uniformly over the frame. Tiled culling suits
+    # DISCRETE sets (expected overlap well under the tile capacity); a
+    # million-particle glow wash has ~100+ lights genuinely overlapping
+    # every pixel, where the per-tile capacity would drop energy and
+    # the strided subset's error is invisible (it is a wash). 2x safety
+    # margin absorbs moderate clustering; pathological clustering still
+    # overflows — use accumulate_sphere_lights_tiled directly to read
+    # the dropped diagnostic when in doubt.
+    area_world = (w * h) / max(gbuffer.render_scale, 1e-6) ** 2
+    exp_overlap = (
+        state.capacity * np.pi * tpl_support ** 2
+        / max(tpl.falloff_y_factor, 1e-3) / area_world
+    )
     use_tiled = source.method == "tiled" or (
         source.method == "auto"
         and not tpl.cast_shadows
         and tpl.ramp_texture is None
         and gbuffer.pixel_origin is None
-        # Tiled culling suits DISCRETE light sets (hundreds-to-
-        # thousands); a million-particle glow wash has ~100+ lights
-        # genuinely overlapping every pixel, where the per-tile
-        # capacity would drop energy and the strided subset's error is
-        # invisible (it is a wash). Static threshold on the slot count.
         and state.capacity <= 2048
+        and exp_overlap * 2.0 <= source.tile_capacity
     )
     if use_tiled:
         from .tiled_lights import accumulate_sphere_lights_tiled
 
         active = (state.position[:, 3] > 0.0) & (state.color[:, 3] > 0.0)
+        brightness = 1.0
         if source.stipple_factor < 1.0:
             from ..ops.coords import stipple_keep
 
-            # Reference stipple draws a FRACTION of instances at full
-            # brightness (ParticleLight.fx:27) — exact semantics here.
             active = active & stipple_keep(
                 state.capacity, source.stipple_factor)
+            # Match the subset path's energy-preserving convention (the
+            # reference draws the kept fraction at full brightness; the
+            # subset normalizes instead so sparse sampling does not
+            # flicker — both paths must agree so the auto route never
+            # changes scene brightness).
+            brightness = 1.0 / max(source.stipple_factor, 1e-3)
+        mry = (source.max_relative_y if source.max_relative_y is not None
+               else source.tile / max(gbuffer.render_scale, 1e-6))
         img, _diag = accumulate_sphere_lights_tiled(
             volume, gbuffer, state.position, state.color, active,
             tpl, env, tile=source.tile, capacity=source.tile_capacity,
+            brightness_scale=brightness, max_relative_y=mry,
         )
         return img
     lights = subset_lights_from_particles(
@@ -189,11 +217,13 @@ def accumulate_particle_lights(
 # ParticleLightSource is a host-side mutable config (not a pytree), so
 # the wrapper freezes it into a hashable static key per call.
 def _rebuild_source(key) -> ParticleLightSource:
-    tpl_vals, stipple, max_lights, method, tile, tile_cap = key
+    (tpl_vals, stipple, max_lights, method, tile, tile_cap,
+     max_rel_y) = key
     return ParticleLightSource(
         template=SphereLightSource(*tpl_vals),
         stipple_factor=stipple, max_lights=max_lights,
         method=method, tile=tile, tile_capacity=tile_cap,
+        max_relative_y=max_rel_y,
     )
 
 
@@ -220,6 +250,6 @@ def accumulate_particle_lights_jit(volume, gbuffer, state,
             volume, gbuffer, state, source, env, quality, shadow_mode)
     key = (dataclasses.astuple(tpl), source.stipple_factor,
            source.max_lights, source.method, source.tile,
-           source.tile_capacity)
+           source.tile_capacity, source.max_relative_y)
     return _apl_keyed(volume, gbuffer, state, env, quality=quality,
                       source_key=key, shadow_mode=shadow_mode)

@@ -41,39 +41,60 @@ from .sphere import (
 
 
 def bin_lights_to_tiles(x, y, live, influence: float, tile: int,
-                        th: int, tw: int, capacity: int):
-    """Bin lights (screen px coords) into all tiles their influence disc
-    overlaps -> (idx (T, K) int32, mask (T, K) bool, dropped ()).
+                        th: int, tw: int, capacity: int,
+                        influence_y: float | None = None,
+                        tile_y_lo=None, tile_y_hi=None,
+                        extra_y_window: float = 0.0):
+    """Bin lights (screen px coords) into all tiles their influence
+    region overlaps -> (idx (T, K) int32, mask (T, K) bool, dropped ()).
 
-    `influence` (static, px): the light's support radius. Each light
-    emits (2r+1)^2 tile candidates (r = ceil(influence/tile)); a
-    candidate is valid when the disc intersects that tile's box. The
-    candidates sort by tile id and each tile gathers its first K.
+    `influence` (static, px): the light's x support radius;
+    `influence_y` its y support (defaults to isotropic — pass
+    influence / falloff_y_factor for squashed falloffs). The per-axis
+    box test is slightly conservative vs the true ellipse (corner tiles
+    bin a light that cannot reach them — capacity waste, never a miss).
+
+    `tile_y_lo`/`tile_y_hi` ((T,) px): each tile's SHADED-WORLD y
+    bounds — for 2.5D G-buffers, a pixel's world y is its screen row
+    plus relative_y, so elevated tiles must widen their y interval or
+    lights above structures are never binned to them. `extra_y_window`
+    (static, px) sizes the candidate window for that widening.
+
+    Each light emits (2ry+1)*(2rx+1) tile candidates; candidates sort
+    by tile id and each tile gathers its first K.
     """
     n = x.shape[0]
     n_tiles = th * tw
-    reps = int(np.ceil(influence / tile))
+    inf_x = float(influence)
+    inf_y = inf_x if influence_y is None else float(influence_y)
+    reps_x = int(np.ceil(inf_x / tile))
+    reps_y = int(np.ceil((inf_y + extra_y_window) / tile))
     base_tx = jnp.floor(x / tile).astype(jnp.int32)
     base_ty = jnp.floor(y / tile).astype(jnp.int32)
     src = jnp.arange(n, dtype=jnp.int32)
     ids_list = []
-    for oy in range(-reps, reps + 1):
-        for ox in range(-reps, reps + 1):
+    for oy in range(-reps_y, reps_y + 1):
+        for ox in range(-reps_x, reps_x + 1):
             tx = base_tx + ox
             ty = base_ty + oy
-            # Closest point of the tile box to the light center.
+            in_bounds = (tx >= 0) & (tx < tw) & (ty >= 0) & (ty < th)
+            tid = jnp.where(in_bounds, ty * tw + tx, 0)
+            # Closest point of the tile's world-coordinate box to the
+            # light center, per axis.
             x0 = (tx * tile).astype(jnp.float32)
-            y0 = (ty * tile).astype(jnp.float32)
-            cx = jnp.clip(x, x0, x0 + tile)
-            cy = jnp.clip(y, y0, y0 + tile)
-            dx = x - cx
-            dy = y - cy
+            if tile_y_lo is None:
+                y_lo = (ty * tile).astype(jnp.float32)
+                y_hi = y_lo + tile
+            else:
+                y_lo = tile_y_lo[tid]
+                y_hi = tile_y_hi[tid]
+            dx = x - jnp.clip(x, x0, x0 + tile)
+            dy = y - jnp.clip(y, y_lo, y_hi)
             ok = (
-                (dx * dx + dy * dy <= influence * influence)
-                & live
-                & (tx >= 0) & (tx < tw) & (ty >= 0) & (ty < th)
+                (jnp.abs(dx) <= inf_x) & (jnp.abs(dy) <= inf_y)
+                & live & in_bounds
             )
-            ids_list.append(jnp.where(ok, ty * tw + tx, n_tiles))
+            ids_list.append(jnp.where(ok, tid, n_tiles))
     m = len(ids_list)
     ids = jnp.concatenate(ids_list)
     srcs = jnp.tile(src, m)
@@ -110,6 +131,8 @@ def accumulate_sphere_lights_tiled(
     tile: int = 64,
     capacity: int = 32,
     with_alpha: bool = True,
+    max_relative_y: float = 0.0,
+    brightness_scale: float = 1.0,
 ):
     """Shade N template-uniform shadowless lights -> (H, W, 4) HDR add,
     plus a diagnostics dict with the capacity-overflow `dropped` count.
@@ -133,15 +156,31 @@ def accumulate_sphere_lights_tiled(
     # Support radius in px: linear ramp ends at radius + ramp_length;
     # exponential is its square (same zero); falloff 'none' ends at
     # radius + 1 (LightCommon.fxh:197-203). +0.5 pixel-center guard.
+    # The y support divides by falloff_y_factor (shading squashes d3y by
+    # it, so the real reach in y is longer when the factor < 1).
     r_world = template.radius + (
         template.ramp_length if template.ramp_mode < 2 else 1.0
     )
     influence = float(r_world) * rs + 0.5
+    influence_y = float(r_world) / max(template.falloff_y_factor, 1e-3) \
+        * rs + 0.5
+
+    # Per-tile SHADED-WORLD y bounds: a 2.5D pixel's world y is its
+    # screen row plus relative_y, so elevated tiles widen their y
+    # interval (`max_relative_y` sizes the static candidate window —
+    # pass the scene's height-volume ceiling for tall relief).
+    rel_t = _to_tiles(pad(gbuffer.relative_y), th, tw, tile)
+    t_idx = jnp.arange(th * tw, dtype=jnp.int32)
+    ty0 = ((t_idx // tw) * tile).astype(jnp.float32)
+    t_ylo = ty0 + jnp.min(rel_t, axis=(1, 2)) * rs
+    t_yhi = ty0 + tile + jnp.max(rel_t, axis=(1, 2)) * rs
 
     lx_px = position[:, 0] * rs
     ly_px = position[:, 1] * rs
     idx, mask, dropped = bin_lights_to_tiles(
-        lx_px, ly_px, active, influence, tile, th, tw, capacity
+        lx_px, ly_px, active, influence, tile, th, tw, capacity,
+        influence_y=influence_y, tile_y_lo=t_ylo, tile_y_hi=t_yhi,
+        extra_y_window=float(max_relative_y) * rs,
     )
 
     # Per-tile pixel planes (T, 1, tile, tile) — world units.
@@ -224,7 +263,8 @@ def accumulate_sphere_lights_tiled(
     # path's per-set einsum).
     t_color = jnp.asarray(template.color, jnp.float32)
     col = color[idx] * t_color  # (T, K, 4), ParticleLight.fx:40-71
-    col_w = col[..., :3] * (col[..., 3:4] * template.opacity)
+    col_w = col[..., :3] * (
+        col[..., 3:4] * (template.opacity * brightness_scale))
     flat_op = opacity.reshape(opacity.shape[0], opacity.shape[1], -1)
     out_rgb = jnp.einsum(
         "tkp,tkc->tpc", flat_op.astype(jnp.bfloat16),

@@ -103,11 +103,15 @@ def test_binning_covers_influence_discs():
             if not lv[i]:
                 assert i not in got
                 continue
-            cx = min(max(xs[i], x0), x0 + tile)
-            cy = min(max(ys_[i], y0), y0 + tile)
-            inside = (xs[i] - cx) ** 2 + (ys_[i] - cy) ** 2 \
-                <= influence ** 2
-            assert (i in got) == inside, (t, i)
+            dx = xs[i] - min(max(xs[i], x0), x0 + tile)
+            dy = ys_[i] - min(max(ys_[i], y0), y0 + tile)
+            # The per-axis box test is conservative: every light whose
+            # true disc reaches the tile MUST be binned; extras are
+            # bounded by the box.
+            if dx ** 2 + dy ** 2 <= influence ** 2:
+                assert i in got, (t, i)
+            if i in got:
+                assert abs(dx) <= influence and abs(dy) <= influence
 
 
 def test_capacity_overflow_reported():
@@ -150,3 +154,99 @@ def test_tiled_respects_fullbright_and_ao_parity():
         env.uniforms(), q))
     scale = max(dense.max(), 1e-6)
     assert np.abs(tiled - dense).max() / scale < 0.02
+
+
+def test_tiled_covers_elevated_pixels():
+    # 2.5D: pixels with nonzero relative_y live in screen rows their
+    # world y does not predict — per-tile y bounds must still bin the
+    # lights that reach them (review finding: structure tops rendered
+    # black). Build a G-buffer whose lower half is "elevated" with
+    # relative_y = -28 and compare tiled vs dense.
+    env, gb, st = _setup(n=48, seed=5)
+    rel = np.zeros(gb.shape, np.float32)
+    rel[64:, :] = -28.0
+    gb = gb.replace(relative_y=jnp.asarray(rel))
+    template = SphereLightSource(radius=2.0, ramp_length=20.0,
+                                 color=(1.0, 1.0, 1.0, 0.08),
+                                 cast_shadows=False)
+    q = QualitySettings()
+    scene = pack_scene([])
+    dense = np.asarray(accumulate_particle_lights(
+        scene, gb, st,
+        ParticleLightSource(template=template, max_lights=st.capacity,
+                            method="subset"),
+        env.uniforms(), q))
+    tiled = np.asarray(accumulate_particle_lights(
+        scene, gb, st,
+        ParticleLightSource(template=template, method="tiled",
+                            tile=32, tile_capacity=64),
+        env.uniforms(), q))
+    scale = max(dense.max(), 1e-6)
+    assert np.abs(tiled - dense).max() / scale < 0.02, (
+        np.abs(tiled - dense).max(), scale)
+
+
+def test_tiled_covers_squashed_y_falloff():
+    # falloff_y_factor < 1 stretches the light's y reach by 1/factor;
+    # binning must widen accordingly (review finding: hard truncation
+    # seam at the isotropic disc boundary).
+    env, gb, st = _setup(n=32, seed=9)
+    template = SphereLightSource(radius=2.0, ramp_length=16.0,
+                                 color=(1.0, 1.0, 1.0, 0.1),
+                                 falloff_y_factor=0.4,
+                                 cast_shadows=False)
+    q = QualitySettings()
+    scene = pack_scene([])
+    dense = np.asarray(accumulate_particle_lights(
+        scene, gb, st,
+        ParticleLightSource(template=template, max_lights=st.capacity,
+                            method="subset"),
+        env.uniforms(), q))
+    tiled = np.asarray(accumulate_particle_lights(
+        scene, gb, st,
+        ParticleLightSource(template=template, method="tiled",
+                            tile=32, tile_capacity=64),
+        env.uniforms(), q))
+    scale = max(dense.max(), 1e-6)
+    assert np.abs(tiled - dense).max() / scale < 0.02
+
+
+def test_stipple_energy_consistent_across_paths():
+    # Both paths preserve total emitted energy under stipple, so the
+    # auto route never changes scene brightness (review finding).
+    env, gb, st = _setup(n=64, seed=13)
+    template = SphereLightSource(radius=2.0, ramp_length=22.0,
+                                 color=(1.0, 1.0, 1.0, 0.06),
+                                 cast_shadows=False)
+    q = QualitySettings()
+    scene = pack_scene([])
+    outs = {}
+    for method in ("subset", "tiled"):
+        outs[method] = np.asarray(accumulate_particle_lights(
+            scene, gb, st,
+            ParticleLightSource(template=template, stipple_factor=0.5,
+                                max_lights=st.capacity, method=method,
+                                tile=32, tile_capacity=64),
+            env.uniforms(), q))
+    e_sub = outs["subset"][..., :3].sum()
+    e_til = outs["tiled"][..., :3].sum()
+    assert abs(e_til - e_sub) / max(e_sub, 1e-6) < 0.25, (e_sub, e_til)
+
+
+def test_auto_density_gate_routes_dense_washes_to_subset():
+    # A set whose expected per-pixel overlap exceeds the tile capacity
+    # must NOT route tiled (capacity would silently drop energy).
+    env, gb, st = _setup(n=96, h=64, w=64)
+    template = SphereLightSource(radius=2.0, ramp_length=40.0,
+                                 color=(1.0, 1.0, 1.0, 0.05),
+                                 cast_shadows=False)
+    q = QualitySettings()
+    scene = pack_scene([])
+    auto = np.asarray(accumulate_particle_lights(
+        scene, gb, st, ParticleLightSource(template=template),
+        env.uniforms(), q))
+    subset = np.asarray(accumulate_particle_lights(
+        scene, gb, st,
+        ParticleLightSource(template=template, method="subset"),
+        env.uniforms(), q))
+    assert np.array_equal(auto, subset)
