@@ -198,54 +198,80 @@ def accumulate_sphere_lights_tiled(
     wy = wy[:, None]
     wz = wz[:, None]
 
-    # Gathered per-tile light attributes (T, K, 1, 1).
-    def g(v):
-        return v[idx][..., None, None]
-
-    lpx = g(position[:, 0])
-    lpy = g(position[:, 1])
-    lpz = g(position[:, 2])
-    on = mask[..., None, None].astype(jnp.float32) * g(active.astype(
-        jnp.float32))
+    # Gathered per-tile light attributes — all small (T, K[, c]) arrays.
+    lp_all = position[idx]  # (T, K, >=3)
+    on_all = mask.astype(jnp.float32) * active.astype(jnp.float32)[idx]
+    t_color = jnp.asarray(template.color, jnp.float32)
+    col = color[idx] * t_color  # (T, K, 4), ParticleLight.fx:40-71
+    col_w = col[..., :3] * (
+        col[..., 3:4] * (template.opacity * brightness_scale))
+    # Column 3 accumulates raw opacity into the output alpha in the same
+    # contraction.
+    col4 = jnp.concatenate(
+        [col_w, jnp.ones_like(col_w[..., :1])], axis=-1)
 
     radius = jnp.float32(template.radius)
     ramp_length = jnp.float32(max(template.ramp_length, 1e-6))
     y_factor = jnp.float32(max(template.falloff_y_factor, 1e-3))
-
-    # computeSphereLightOpacity (LightCommon.fxh:173-210).
-    d3x = wx - lpx
-    d3y = (wy - lpy) * y_factor
-    d3z = wz - lpz
-    distance = jnp.sqrt(d3x * d3x + d3y * d3y + d3z * d3z + 1e-12)
-    distance_factor = 1.0 - _saturate((distance - radius) / ramp_length)
-
     lo = jnp.maximum(env.light_occlusion, 1e-6)
-    occl = 1.0 - _saturate(d3z / lo)
-    distance_factor = distance_factor * jnp.where(
-        env.light_occlusion > 0.0, occl, 1.0
-    )
-
-    dot = -(d3x * nx[:, None] + d3y * ny[:, None] + d3z * nz[:, None]) \
-        / distance
-    normal_factor = _saturate(
-        (dot + DOT_OFFSET) / DOT_RAMP_RANGE) ** DOT_EXPONENT
     no_normal = (nx == 0.0) & (ny == 0.0) & (nz == 0.0)
-    normal_factor = jnp.where(no_normal[:, None], 1.0, normal_factor)
 
-    if template.ramp_mode >= 2:
-        distance_factor = 1.0 - _saturate(distance - radius)
-        normal_factor = jnp.ones_like(normal_factor)
-    elif template.ramp_mode >= 1:
-        distance_factor = distance_factor * distance_factor
+    n_tiles_t = wx.shape[0]
+    npix = tile * tile
 
-    opacity = _saturate(
-        normal_factor * distance_factor + _saturate(radius - distance)
-    )
-    opacity = opacity * on * (fullbright[:, None] < 0.5)
+    def chunk_contrib(sl):
+        """sum over a K-chunk of color_k * opacity_k -> (T, npix, 4).
 
-    # AO: template-uniform radius -> one per-PIXEL factor multiplies the
-    # summed contribution (matches per-light AO since all lights share
-    # ao_radius/opacity; AOCommon.fxh:1-20, upward faces only).
+        computeSphereLightOpacity (LightCommon.fxh:173-210). Chunking
+        bounds the materialized (T, kc, tile, tile) intermediates — a
+        single K-wide chain holds ~270 MB at 1080p defaults, several
+        times the whole frame's working set."""
+        lpx = lp_all[:, sl, 0][..., None, None]
+        lpy = lp_all[:, sl, 1][..., None, None]
+        lpz = lp_all[:, sl, 2][..., None, None]
+        on = on_all[:, sl][..., None, None]
+        d3x = wx - lpx
+        d3y = (wy - lpy) * y_factor
+        d3z = wz - lpz
+        distance = jnp.sqrt(d3x * d3x + d3y * d3y + d3z * d3z + 1e-12)
+        distance_factor = 1.0 - _saturate(
+            (distance - radius) / ramp_length)
+        occl = 1.0 - _saturate(d3z / lo)
+        distance_factor = distance_factor * jnp.where(
+            env.light_occlusion > 0.0, occl, 1.0
+        )
+        dot = -(d3x * nx[:, None] + d3y * ny[:, None]
+                + d3z * nz[:, None]) / distance
+        normal_factor = _saturate(
+            (dot + DOT_OFFSET) / DOT_RAMP_RANGE) ** DOT_EXPONENT
+        normal_factor = jnp.where(no_normal[:, None], 1.0, normal_factor)
+        if template.ramp_mode >= 2:
+            distance_factor = 1.0 - _saturate(distance - radius)
+            normal_factor = jnp.ones_like(normal_factor)
+        elif template.ramp_mode >= 1:
+            distance_factor = distance_factor * distance_factor
+        opacity = _saturate(
+            normal_factor * distance_factor + _saturate(radius - distance)
+        ) * on
+        # MXU contraction over the chunk's light axis (colors vary per
+        # light, unlike the dense path's per-set einsum).
+        return jnp.einsum(
+            "tkp,tkc->tpc",
+            opacity.reshape(n_tiles_t, opacity.shape[1], npix)
+            .astype(jnp.bfloat16),
+            col4[:, sl].astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+
+    kc = min(8, capacity)
+    acc = jnp.zeros((n_tiles_t, npix, 4), jnp.float32)
+    for c0 in range(0, capacity, kc):
+        acc = acc + chunk_contrib(slice(c0, min(c0 + kc, capacity)))
+
+    # Per-PIXEL factors shared by every light of the template — applied
+    # once to the sum instead of per (light, pixel): fullbright discard
+    # and AO (AOCommon.fxh:1-20, upward faces only).
+    pix_f = (fullbright < 0.5).astype(jnp.float32)
     if template.ambient_occlusion_radius > 0.0 and volume is not None:
         ao_r = template.ambient_occlusion_radius * jnp.maximum(0.0, nz)
         d = scene_sample_p(volume, wx[:, 0], wy[:, 0],
@@ -255,22 +281,11 @@ def accumulate_sphere_lights_tiled(
         r = 1.0 - r * r
         ao = (1.0 - template.ambient_occlusion_opacity) \
             + r * template.ambient_occlusion_opacity
-        ao = jnp.where(ao_r >= 0.5, ao, 1.0)
-        opacity = opacity * ao[:, None]
-
-    # sum_k color_k.rgb * color_k.a * opacity_k — MXU contraction over
-    # the per-tile light axis (colors vary per light, unlike the dense
-    # path's per-set einsum).
-    t_color = jnp.asarray(template.color, jnp.float32)
-    col = color[idx] * t_color  # (T, K, 4), ParticleLight.fx:40-71
-    col_w = col[..., :3] * (
-        col[..., 3:4] * (template.opacity * brightness_scale))
-    flat_op = opacity.reshape(opacity.shape[0], opacity.shape[1], -1)
-    out_rgb = jnp.einsum(
-        "tkp,tkc->tpc", flat_op.astype(jnp.bfloat16),
-        col_w.astype(jnp.bfloat16), preferred_element_type=jnp.float32,
-    ).reshape(opacity.shape[0], tile, tile, 3)
-    out_a = jnp.sum(opacity, axis=1)
+        pix_f = pix_f * jnp.where(ao_r >= 0.5, ao, 1.0)
+    acc = acc * pix_f.reshape(n_tiles_t, npix, 1)
+    out_rgba = acc.reshape(n_tiles_t, tile, tile, 4)
+    out_rgb = out_rgba[..., :3]
+    out_a = out_rgba[..., 3]
 
     def untile(t):
         lead = t.shape[3:]
