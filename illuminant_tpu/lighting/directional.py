@@ -63,6 +63,9 @@ class DirectionalLightSource:
     shadow_distance_falloff: Optional[float] = None
     ambient_occlusion_radius: float = 0.0
     ambient_occlusion_opacity: float = 1.0
+    # LightSource.BlendMode (LightSource.cs:65): additive | subtractive
+    # | max composition onto the lightmap (see environment.py).
+    blend_mode: str = "additive"
 
 
 def pack_directional_lights(lights: List[DirectionalLightSource],

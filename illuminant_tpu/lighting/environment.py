@@ -120,6 +120,13 @@ class SphereLightSource:
     ramp_texture: Optional[object] = None
     ramp_offset: float = 0.0
     ramp_rate: float = 1.0
+    # LightSource.BlendMode (LightSource.cs:65): how this light composes
+    # onto the lightmap — "additive" (default), "subtractive"
+    # (RenderStates.SubtractiveBlend, darkness lights), or "max"
+    # (RenderStates.MaxBlendValue). The renderer batches same-blend
+    # lights exactly like the reference's blend-keyed render states
+    # (LightingRenderer.cs:206).
+    blend_mode: str = "additive"
 
 
 def pack_sphere_lights(lights: List[SphereLightSource],

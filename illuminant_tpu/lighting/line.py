@@ -61,6 +61,8 @@ class LineLightSource:
     cast_shadows: bool = True
     ambient_occlusion_radius: float = 0.0
     ambient_occlusion_opacity: float = 1.0
+    # LightSource.BlendMode (LightSource.cs:65).
+    blend_mode: str = "additive"
 
 
 def pack_line_lights(lights: List[LineLightSource],

@@ -73,6 +73,9 @@ class ProjectorLightSource:
     ambient_occlusion_radius: float = 0.0
     ambient_occlusion_opacity: float = 1.0
     texture_region: Tuple[float, float, float, float] = (0.0, 0.0, 1.0, 1.0)
+    # LightSource.BlendMode (LightSource.cs:65); the ProjectorLight demo
+    # flips a darkness projector to "subtractive" (ProjectorLight.cs:321).
+    blend_mode: str = "additive"
 
     def world_matrix(self) -> np.ndarray:
         if self.transform is not None:

@@ -311,45 +311,13 @@ class LightingRenderer:
         for rep in self.environment.lights:
             if isinstance(rep, LightSourceReplicator):
                 sphere_sources += rep.expand()
-        sphere_lights = pack_sphere_lights(
-            sphere_sources,
-            capacity=max(self.light_capacity, len(sphere_sources)),
-        )
-        directional = [
-            l for l in self.environment.lights
-            if isinstance(l, DirectionalLightSource)
-        ]
-        directional_lights = (
-            pack_directional_lights(directional) if directional else None
-        )
         from .line import LineLightSource, pack_line_lights
-
-        line = [
-            l for l in self.environment.lights
-            if isinstance(l, LineLightSource)
-        ]
-        line_lights = pack_line_lights(line) if line else None
         from .volumetric import (
             VolumetricLightSource,
             pack_volumetric_lights,
         )
-
-        volumetric = [
-            l for l in self.environment.lights
-            if isinstance(l, VolumetricLightSource)
-        ]
-        volumetric_lights = (
-            pack_volumetric_lights(volumetric) if volumetric else None
-        )
         from .projector import ProjectorLightSource, pack_projector_lights
 
-        projector = [
-            l for l in self.environment.lights
-            if isinstance(l, ProjectorLightSource)
-        ]
-        projector_lights = (
-            pack_projector_lights(projector) if projector else None
-        )
         field = self.volume
         if shadow_mode == "scan" or field is None:
             from ..sdf.analytic import pack_scene
@@ -358,22 +326,69 @@ class LightingRenderer:
                 self.environment.obstructions,
                 height_volumes=self.environment.height_volumes,
             )
-        lightmap = render_lightmap(
-            field,
-            self.gbuffer,
-            sphere_lights,
-            self.environment.uniforms(),
-            self.config,
-            directional_lights=directional_lights,
-            line_lights=line_lights,
-            volumetric_lights=volumetric_lights,
-            projector_lights=projector_lights,
-            shadow_mode=shadow_mode,
-            with_ao=any(
-                getattr(l, "ambient_occlusion_radius", 0) > 0
-                for l in sphere_sources
-            ),
-        )
+
+        def mode_of(light):
+            return getattr(light, "blend_mode", "additive")
+
+        def family(cls, mode):
+            return [
+                l for l in self.environment.lights
+                if isinstance(l, cls) and mode_of(l) == mode
+            ]
+
+        def light_pass(mode, env_u):
+            """One blend group's full light pass (the reference batches
+            lights into render states keyed by BlendState and draws
+            same-blend groups together, LightingRenderer.cs:48-96,206)."""
+            spheres = [s for s in sphere_sources if mode_of(s) == mode]
+            if mode != "additive" and not (
+                spheres
+                or family(DirectionalLightSource, mode)
+                or family(LineLightSource, mode)
+                or family(VolumetricLightSource, mode)
+                or family(ProjectorLightSource, mode)
+            ):
+                return None
+            cap = (max(self.light_capacity, len(spheres))
+                   if mode == "additive" else max(len(spheres), 1))
+            directional = family(DirectionalLightSource, mode)
+            line = family(LineLightSource, mode)
+            volumetric = family(VolumetricLightSource, mode)
+            projector = family(ProjectorLightSource, mode)
+            return render_lightmap(
+                field,
+                self.gbuffer,
+                pack_sphere_lights(spheres, capacity=cap),
+                env_u,
+                self.config,
+                directional_lights=(pack_directional_lights(directional)
+                                    if directional else None),
+                line_lights=pack_line_lights(line) if line else None,
+                volumetric_lights=(pack_volumetric_lights(volumetric)
+                                   if volumetric else None),
+                projector_lights=(pack_projector_lights(projector)
+                                  if projector else None),
+                shadow_mode=shadow_mode,
+                with_ao=any(
+                    getattr(l, "ambient_occlusion_radius", 0) > 0
+                    for l in spheres
+                ),
+            )
+
+        env_u = self.environment.uniforms()
+        # Ambient clears only the base (additive) pass; the subtractive
+        # and max groups composite pure light contributions.
+        env_zero = env_u.replace(
+            ambient=jnp.zeros_like(jnp.asarray(env_u.ambient)))
+        lightmap = light_pass("additive", env_u)
+        sub = light_pass("subtractive", env_zero)
+        if sub is not None:
+            # Float lightmap targets do not clamp GPU subtractive blends
+            # (HalfVector4 in the reference); the resolve clamps.
+            lightmap = lightmap - sub
+        mx = light_pass("max", env_zero)
+        if mx is not None:
+            lightmap = jnp.maximum(lightmap, mx)
         if intensity_scale != 1.0:
             lightmap = lightmap * intensity_scale
         return lightmap

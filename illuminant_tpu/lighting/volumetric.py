@@ -133,6 +133,8 @@ class VolumetricLightSource:
     color: tuple = (1.0, 1.0, 1.0, 1.0)
     opacity: float = 1.0
     cast_shadows: bool = False
+    # LightSource.BlendMode (LightSource.cs:65).
+    blend_mode: str = "additive"
 
 
 def pack_volumetric_lights(lights: List[VolumetricLightSource],
