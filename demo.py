@@ -1413,6 +1413,40 @@ def scene_tiled_torches():
                                              white_point=2.5)))
 
 
+def scene_blend_modes():
+    """Per-light BlendMode (LightSource.cs:65): an additive lamp, a
+    SUBTRACTIVE darkness blob (ProjectorLight.cs:321 flips a projector
+    to SubtractiveBlend for negative opacity), and a MAX directional
+    floor (TwoPointFiveD.cs:307 MaxBlendValue) composed in one frame."""
+    from illuminant_tpu.core.config import QualitySettings
+    from illuminant_tpu.lighting.directional import DirectionalLightSource
+    from illuminant_tpu.lighting.renderer import LightingRenderer
+
+    env = LightingEnvironment(
+        ground_z=0.0, maximum_z=64.0, ambient=(0.10, 0.10, 0.12, 1.0)
+    )
+    env.obstructions.append(
+        LightObstruction.box((256.0, 256.0, 12.0), (16.0, 16.0, 12.0)))
+    env.obstructions.append(
+        LightObstruction.cylinder((150.0, 340.0, 16.0), (10.0, 10.0, 16.0)))
+    env.lights.append(SphereLightSource(
+        position=(170.0, 170.0, 40.0), radius=8.0, ramp_length=220.0,
+        color=(1.0, 0.85, 0.6, 0.9)))
+    # Darkness blob: eats light out of the lower-right quadrant.
+    env.lights.append(SphereLightSource(
+        position=(380.0, 380.0, 30.0), radius=6.0, ramp_length=150.0,
+        color=(0.8, 0.9, 1.0, 0.6), cast_shadows=False,
+        blend_mode="subtractive"))
+    # Max floor: no pixel falls below the cool directional level.
+    env.lights.append(DirectionalLightSource(
+        direction=(-0.5, -0.4, -0.75), color=(0.10, 0.13, 0.2, 0.6),
+        cast_shadows=False, blend_mode="max"))
+    r = LightingRenderer(RendererConfig(width=512, height=512), env, None)
+    lm = r.render_lighting(shadow_mode="scan")
+    return np.asarray(r.resolve(lm, HDRConfig(mode=2, exposure=1.1,
+                                              white_point=2.0)))
+
+
 SCENES = {
     "single_light_box": scene_single_light_box,
     "multi_light": scene_multi_light,
@@ -1435,6 +1469,7 @@ SCENES = {
     "scrolling_geo": scene_scrolling_geo,
     "particle_lights": scene_particle_lights,
     "tiled_torches": scene_tiled_torches,
+    "blend_modes": scene_blend_modes,
     "billboards": scene_billboards,
     "dithering": scene_dithering,
     "compiled_model": scene_compiled_model,
