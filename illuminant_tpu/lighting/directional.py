@@ -238,6 +238,11 @@ def accumulate_directional_lights(
             trace_enable, scan_visibility_precomputed.astype(jnp.float32),
             1.0,
         )
+    elif shadow_mode == "none":
+        # Static skip when the HOST knows no light in the set casts
+        # shadows — the scan and march both run their full fixed-shape
+        # work even with every trace_enable false.
+        cone = jnp.ones_like(opacity)
     elif shadow_mode == "scan":
         from .scan_shadows import scan_cone_visibility
 

@@ -235,7 +235,12 @@ def accumulate_line_lights(
     )
     shaded = world_pos[None] + SELF_OCCLUSION_HACK * normal[None]
 
-    if shadow_mode == "scan" or scan_visibility_precomputed is not None:
+    if shadow_mode == "none":
+        # Static skip when the HOST knows no light in the set casts
+        # shadows — the scan and march both run their full fixed-shape
+        # work even with every trace_enable false.
+        cone = jnp.ones_like(pre_trace)
+    elif shadow_mode == "scan" or scan_visibility_precomputed is not None:
         if scan_visibility_precomputed is not None:
             vis3 = scan_visibility_precomputed.astype(jnp.float32)
         else:

@@ -151,19 +151,25 @@ def accumulate_particle_lights(
         tpl.ramp_length if tpl.ramp_mode < 2 else 1.0
     )
     h, w = gbuffer.shape
-    # Static density estimate: expected lights overlapping a pixel if
-    # the set spread uniformly over the frame. Tiled culling suits
-    # DISCRETE sets (expected overlap well under the tile capacity); a
-    # million-particle glow wash has ~100+ lights genuinely overlapping
-    # every pixel, where the per-tile capacity would drop energy and
-    # the strided subset's error is invisible (it is a wash). 2x safety
-    # margin absorbs moderate clustering; pathological clustering still
-    # overflows — use accumulate_sphere_lights_tiled directly to read
-    # the dropped diagnostic when in doubt.
-    area_world = (w * h) / max(gbuffer.render_scale, 1e-6) ** 2
-    exp_overlap = (
-        state.capacity * np.pi * tpl_support ** 2
-        / max(tpl.falloff_y_factor, 1e-3) / area_world
+    # Static density estimate: expected lights BINNED per tile if the
+    # set spread uniformly over the frame — each tile bins every light
+    # whose influence box touches it, a (2*inf + tile)^2 footprint, so
+    # the per-tile count runs ~4x the per-pixel overlap. Tiled culling
+    # suits DISCRETE sets (expected binned count well under the tile
+    # capacity); a million-particle glow wash has ~100+ lights
+    # genuinely overlapping every pixel, where the per-tile capacity
+    # would drop energy and the strided subset's error is invisible (it
+    # is a wash). The 1.5x margin absorbs moderate clustering;
+    # pathological clustering still overflows — use
+    # accumulate_sphere_lights_tiled directly to read the dropped
+    # diagnostic when in doubt.
+    rs = max(gbuffer.render_scale, 1e-6)
+    inf_x = tpl_support * rs
+    inf_y = tpl_support / max(tpl.falloff_y_factor, 1e-3) * rs
+    exp_binned = (
+        state.capacity
+        * (2.0 * inf_x + source.tile) * (2.0 * inf_y + source.tile)
+        / max(w * h, 1)
     )
     use_tiled = source.method == "tiled" or (
         source.method == "auto"
@@ -171,7 +177,7 @@ def accumulate_particle_lights(
         and tpl.ramp_texture is None
         and gbuffer.pixel_origin is None
         and state.capacity <= 2048
-        and exp_overlap * 2.0 <= source.tile_capacity
+        and exp_binned * 1.5 <= source.tile_capacity
     )
     if use_tiled:
         from .tiled_lights import accumulate_sphere_lights_tiled

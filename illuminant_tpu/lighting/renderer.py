@@ -328,33 +328,48 @@ class LightingRenderer:
             )
 
         def mode_of(light):
-            return getattr(light, "blend_mode", "additive")
+            mode = getattr(light, "blend_mode", "additive")
+            if mode not in ("additive", "subtractive", "max"):
+                raise ValueError(
+                    f"unknown blend_mode {mode!r} on {type(light).__name__}"
+                    " (expected 'additive', 'subtractive' or 'max')")
+            return mode
 
-        def family(cls, mode):
-            return [
+        def group_of(mode):
+            """All lights of `mode`, spheres (incl. replicator
+            expansions) first."""
+            spheres = [s for s in sphere_sources if mode_of(s) == mode]
+            rest = [
                 l for l in self.environment.lights
-                if isinstance(l, cls) and mode_of(l) == mode
+                if isinstance(l, (DirectionalLightSource, LineLightSource,
+                                  VolumetricLightSource,
+                                  ProjectorLightSource))
+                and mode_of(l) == mode
             ]
+            return spheres + rest
 
-        def light_pass(mode, env_u):
+        def light_pass(lights, env_u, additive=False):
             """One blend group's full light pass (the reference batches
             lights into render states keyed by BlendState and draws
             same-blend groups together, LightingRenderer.cs:48-96,206)."""
-            spheres = [s for s in sphere_sources if mode_of(s) == mode]
-            if mode != "additive" and not (
-                spheres
-                or family(DirectionalLightSource, mode)
-                or family(LineLightSource, mode)
-                or family(VolumetricLightSource, mode)
-                or family(ProjectorLightSource, mode)
-            ):
-                return None
-            cap = (max(self.light_capacity, len(spheres))
-                   if mode == "additive" else max(len(spheres), 1))
-            directional = family(DirectionalLightSource, mode)
-            line = family(LineLightSource, mode)
-            volumetric = family(VolumetricLightSource, mode)
-            projector = family(ProjectorLightSource, mode)
+            spheres = [l for l in lights
+                       if isinstance(l, SphereLightSource)]
+            directional = [l for l in lights
+                           if isinstance(l, DirectionalLightSource)]
+            line = [l for l in lights if isinstance(l, LineLightSource)]
+            volumetric = [l for l in lights
+                          if isinstance(l, VolumetricLightSource)]
+            projector = [l for l in lights
+                         if isinstance(l, ProjectorLightSource)]
+            # Capacity floored at light_capacity for EVERY group so a
+            # changing group size never recompiles the jitted pass.
+            cap = max(self.light_capacity, len(spheres))
+            # A fully shadowless group skips the fixed-shape scan/march
+            # work statically (the accumulators run it even when every
+            # per-light cast flag is false).
+            group_mode = shadow_mode if any(
+                getattr(l, "cast_shadows", False) for l in lights
+            ) else "none"
             return render_lightmap(
                 field,
                 self.gbuffer,
@@ -368,7 +383,7 @@ class LightingRenderer:
                                    if volumetric else None),
                 projector_lights=(pack_projector_lights(projector)
                                   if projector else None),
-                shadow_mode=shadow_mode,
+                shadow_mode=group_mode,
                 with_ao=any(
                     getattr(l, "ambient_occlusion_radius", 0) > 0
                     for l in spheres
@@ -380,15 +395,19 @@ class LightingRenderer:
         # and max groups composite pure light contributions.
         env_zero = env_u.replace(
             ambient=jnp.zeros_like(jnp.asarray(env_u.ambient)))
-        lightmap = light_pass("additive", env_u)
-        sub = light_pass("subtractive", env_zero)
-        if sub is not None:
-            # Float lightmap targets do not clamp GPU subtractive blends
-            # (HalfVector4 in the reference); the resolve clamps.
-            lightmap = lightmap - sub
-        mx = light_pass("max", env_zero)
-        if mx is not None:
-            lightmap = jnp.maximum(lightmap, mx)
+        lightmap = light_pass(group_of("additive"), env_u, additive=True)
+        sub_group = group_of("subtractive")
+        if sub_group:
+            # Subtraction is linear, so the whole group runs as ONE
+            # pass. Float lightmap targets do not clamp GPU subtractive
+            # blends (HalfVector4 in the reference); the resolve clamps.
+            lightmap = lightmap - light_pass(sub_group, env_zero)
+        # MaxBlendValue applies PER DRAW (each light maxes against the
+        # current target), so max lights compose max-of-each, never a
+        # group sum — one pass per max light (rare; typically one).
+        for mx_light in group_of("max"):
+            lightmap = jnp.maximum(
+                lightmap, light_pass([mx_light], env_zero))
         if intensity_scale != 1.0:
             lightmap = lightmap * intensity_scale
         return lightmap

@@ -177,11 +177,18 @@ def accumulate_sphere_lights_tiled(
 
     lx_px = position[:, 0] * rs
     ly_px = position[:, 1] * rs
+    extra_y = float(max_relative_y) * rs
     idx, mask, dropped = bin_lights_to_tiles(
         lx_px, ly_px, active, influence, tile, th, tw, capacity,
         influence_y=influence_y, tile_y_lo=t_ylo, tile_y_hi=t_yhi,
-        extra_y_window=float(max_relative_y) * rs,
+        extra_y_window=extra_y,
     )
+    # Relief beyond the static candidate window cannot be binned (the
+    # per-tile y bounds widen validity, but candidates only enumerate
+    # +-reps_y tiles) — report the deficit so callers with tall
+    # height volumes know to raise max_relative_y.
+    window_deficit = jnp.maximum(
+        jnp.max(jnp.abs(rel_t)) * rs - extra_y, 0.0)
 
     # Per-tile pixel planes (T, 1, tile, tile) — world units.
     ys = (jnp.arange(hp, dtype=jnp.float32) + 0.5) / rs
@@ -298,4 +305,4 @@ def accumulate_sphere_lights_tiled(
     )
     if not with_alpha:
         out = out[..., :3]
-    return out, dict(dropped=dropped)
+    return out, dict(dropped=dropped, window_deficit_px=window_deficit)

@@ -92,3 +92,30 @@ def test_additive_only_path_unchanged():
     lm2 = np.asarray(_renderer([add]).render_lighting(shadow_mode="scan"))
     assert np.array_equal(lm1, lm2)
     assert lm1.shape == (64, 96, 4)
+
+
+def test_two_max_lights_compose_as_max_not_sum():
+    # MaxBlendValue applies per draw: two overlapping max lights give
+    # max(base, A, B), never max(base, A + B).
+    mx_a = DirectionalLightSource(direction=(-0.4, -0.4, -0.8),
+                                  color=(0.2, 0.2, 0.25, 0.4),
+                                  cast_shadows=False, blend_mode="max")
+    mx_b = DirectionalLightSource(direction=(-0.4, -0.4, -0.8),
+                                  color=(0.2, 0.2, 0.25, 0.4),
+                                  cast_shadows=False, blend_mode="max")
+    lm1 = np.asarray(_renderer([mx_a]).render_lighting(
+        shadow_mode="scan"))
+    lm2 = np.asarray(_renderer([mx_a, mx_b]).render_lighting(
+        shadow_mode="scan"))
+    assert np.abs(lm2 - lm1).max() < 1e-5, (
+        "identical max lights must be idempotent")
+
+
+def test_unknown_blend_mode_raises():
+    import pytest
+
+    bad = SphereLightSource(position=(30.0, 32.0, 20.0),
+                            color=(1.0, 1.0, 1.0, 0.8),
+                            blend_mode="Additive", **BASE)
+    with pytest.raises(ValueError, match="blend_mode"):
+        _renderer([bad]).render_lighting(shadow_mode="scan")

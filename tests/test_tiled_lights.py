@@ -250,3 +250,23 @@ def test_auto_density_gate_routes_dense_washes_to_subset():
         ParticleLightSource(template=template, method="subset"),
         env.uniforms(), q))
     assert np.array_equal(auto, subset)
+
+
+def test_window_deficit_reported():
+    # Relief beyond the static candidate window is reported, not silent.
+    env, gb, _ = _setup(n=8)
+    rel = np.zeros(gb.shape, np.float32)
+    rel[:, :] = -150.0
+    gb2 = gb.replace(relative_y=jnp.asarray(rel))
+    template = SphereLightSource(radius=2.0, ramp_length=10.0,
+                                 cast_shadows=False)
+    pos = jnp.zeros((8, 4)).at[:, 3].set(1.0)
+    col = jnp.ones((8, 4))
+    _, diag = accumulate_sphere_lights_tiled(
+        None, gb2, pos, col, jnp.ones((8,), bool), template,
+        env.uniforms(), tile=32, capacity=8, max_relative_y=32.0)
+    assert float(diag["window_deficit_px"]) > 100.0
+    _, diag2 = accumulate_sphere_lights_tiled(
+        None, gb2, pos, col, jnp.ones((8,), bool), template,
+        env.uniforms(), tile=32, capacity=8, max_relative_y=200.0)
+    assert float(diag2["window_deficit_px"]) == 0.0
