@@ -149,3 +149,28 @@ def test_sub_ring_sharded_matches_unsharded():
         rtol=1e-5, atol=1e-4,
     )
     assert abs(avg_a - avg_b) < 1e-4
+
+
+def test_full_family_sharded_matches_unsharded():
+    """The FULL light-family frame (directional sun + line + windowed
+    shadowed volumetric + windowed projector + particle lights riding
+    the fused multi-family scan) must shard transparently too — the
+    windowed dynamic-slice lights and the fused scan are the paths the
+    sphere-only flagship test never exercises."""
+    from illuminant_tpu.scenes import build_flagship
+
+    sc = build_flagship(height=64, width=128, capacity=1 << 12,
+                        spawn_max=256, n_lights=2, bin_capacity=128,
+                        full_family=True)
+    fresh = lambda: jax.tree.map(jnp.copy, sc.system.state)  # noqa: E731
+    imgs_a, state_a, avg_a = _run(sc, fresh(), sharded=False,
+                                  n_frames=2)
+    imgs_b, state_b, avg_b = _run(sc, fresh(), sharded=True, n_frames=2)
+    for a, b in zip(imgs_a, imgs_b):
+        diff = np.abs(a.astype(np.int32) - b.astype(np.int32))
+        assert diff.max() <= 1, diff.max()
+    np.testing.assert_allclose(
+        np.asarray(state_a.position), np.asarray(state_b.position),
+        rtol=1e-5, atol=1e-4,
+    )
+    assert abs(avg_a - avg_b) < 1e-4
