@@ -40,6 +40,34 @@ def main():
     if "--frames" in sys.argv:
         frames = int(sys.argv[sys.argv.index("--frames") + 1])
 
+    # Device-init watchdog: a dead axon tunnel makes jax.devices() HANG
+    # (observed 2026-08-18: multi-hour outage with no error raised).
+    # Rather than hanging the driver forever, print an honest error line
+    # and exit once init exceeds the deadline.
+    import os as _os
+    import threading
+
+    init_done = threading.Event()
+    deadline = float(_os.environ.get("BENCH_INIT_TIMEOUT", "900"))
+
+    def _watchdog():
+        if not init_done.wait(deadline):
+            print(json.dumps({
+                "metric": "1080p light-resolve Mpix/s; 1M-particle "
+                          "steps/sec",
+                "value": 0.0,
+                "unit": "fused frames/sec",
+                "vs_baseline": 0.0,
+                "error": f"accelerator init hang (> {deadline:.0f}s — "
+                         "axon tunnel down?)",
+            }), flush=True)
+            _os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+    dev = jax.devices()[0]
+    init_done.set()
+    print(f"# device: {dev}", file=sys.stderr)
+
     # Resilience: if the full-size run dies (remote-compile flake, OOM),
     # fall back to smaller configs so a result line is always printed.
     configs = (
