@@ -335,3 +335,67 @@ def test_channels3_bf16_payload_matches_rgba_layout():
     assert int(d3["dropped"]) == 0 and int(d4["dropped"]) == 0
     np.testing.assert_allclose(np.asarray(img3), np.asarray(img4[..., :3]),
                                rtol=0, atol=1e-5)
+
+
+def test_additive_fuzz_random_configs():
+    """Seeded sweep over the config lattice (tile, slots_per_row,
+    kernel, payload format, channels, overflow) — each combo must match
+    the oracle within its payload tolerance with zero drops."""
+    rng = np.random.default_rng(99)
+    combos = [
+        dict(tile=16, slots_per_row=4, kernel=KERNEL_POINT,
+             rgba8_colors=False, channels=4, overflow_tiles=0),
+        dict(tile=32, slots_per_row=8, kernel=KERNEL_QUAD,
+             rgba8_colors=True, color_scale=3.0, channels=3,
+             overflow_tiles=0),
+        dict(tile=32, slots_per_row=4, kernel=KERNEL_GAUSS,
+             rgba8_colors=False, channels=4, overflow_tiles=16),
+        dict(tile=16, slots_per_row=8, kernel=KERNEL_GAUSS,
+             rgba8_colors=True, color_scale=2.0, channels=4,
+             overflow_tiles=8),
+    ]
+    h, w = 64, 64
+    for i, kw in enumerate(combos):
+        n = int(rng.integers(100, 600))
+        cfg = TiledRasterConfig(height=h, width=w, bin_capacity=512,
+                                apron=4, **kw)
+        x, y, color, size, live = _random_particles(n, h, w, seed=100 + i)
+        img, diag = rasterize_tiled(cfg, jnp.asarray(x), jnp.asarray(y),
+                                    jnp.asarray(color), jnp.asarray(size),
+                                    jnp.asarray(live))
+        assert int(diag["dropped"]) == 0, (i, kw)
+        oracle = _oracle_additive(cfg, x, y, color, size, live)
+        ch = kw.get("channels", 4)
+        img = np.asarray(img, np.float64)
+        tol = 0.12 if kw.get("rgba8_colors") else 0.08
+        scale = np.maximum(np.abs(oracle[..., :ch]), 0.5)
+        rel = np.abs(img[..., :ch] - oracle[..., :ch]) / scale
+        assert rel.max() < tol, (i, kw, rel.max())
+        assert abs(img[..., :ch].sum() - oracle[..., :ch].sum()) \
+            / oracle[..., :ch].sum() < 0.02, (i, kw)
+
+
+def test_clustered_drops_accounted_energy_bounded():
+    """When clustering exceeds bin capacity + overflow, the dropped
+    count is reported and rendered energy never exceeds the oracle's."""
+    h, w, n = 64, 64, 2000
+    cfg = TiledRasterConfig(height=h, width=w, tile=32, bin_capacity=256,
+                            apron=4, kernel=KERNEL_QUAD,
+                            rgba8_colors=False, overflow_tiles=0)
+    rng = np.random.default_rng(7)
+    x = np.round(rng.uniform(20, 28, n) * 16).astype(np.float32) / 16
+    y = np.round(rng.uniform(20, 28, n) * 16).astype(np.float32) / 16
+    color = rng.uniform(0.1, 1.0, (n, 4)).astype(np.float32)
+    size = np.full(n, 3.0, np.float32)
+    live = np.ones(n, bool)
+    img, diag = rasterize_tiled(cfg, jnp.asarray(x), jnp.asarray(y),
+                                jnp.asarray(color), jnp.asarray(size),
+                                jnp.asarray(live))
+    dropped = int(diag["dropped"])
+    assert dropped > 0
+    oracle = _oracle_additive(cfg, x, y, color, size, live)
+    img = np.asarray(img, np.float64)
+    assert img.sum() <= oracle.sum() * 1.01
+    # Rendered energy ~ (kept / total) of the oracle's.
+    kept_frac = (n - dropped) / n
+    assert img.sum() >= oracle.sum() * kept_frac * 0.9
