@@ -250,6 +250,7 @@ def accumulate_line_lights(
             vis3 = scan_cone_visibility(
                 volume, gbuffer, anchors, rad3, ramp3, quality,
                 self_occlusion_lift=SELF_OCCLUSION_HACK,
+                light_active=jnp.tile(lights.active, 3),
             )
         vis3 = vis3.reshape(3, lights.capacity, *vis3.shape[1:])
         # Hat weights over u: anchor 0 at u=0, 1 at u=0.5, 2 at u=1.

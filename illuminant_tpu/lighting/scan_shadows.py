@@ -97,23 +97,27 @@ def _bidirectional_scan(occ, light_x, light_y, light_radius, unroll=None,
     column) and the horizontal distance from the light where it occurred.
 
     raw=True returns the scan outputs in their NATIVE (W, 2, L, H) f16
-    layout (forward-pass x-mirror NOT undone) — the caller does its
-    sector select in that layout and transposes only the 3 selected
-    arrays (see scan_visibility; measured cheaper than transposing all
-    six per scan pair).
+    layout (forward-pass x-mirror NOT undone) — for layout experiments
+    (tools/microbench_scan2.py B3/B4: native-layout sector select,
+    transposing only the 3 selected arrays, measured cheaper than the
+    production path's six moveaxis transposes but NOT yet landed in
+    scan_visibility).
     """
     H, W = occ.shape
     L = light_x.shape[0]
-    ys = jnp.arange(H, dtype=jnp.float32)[None, None, :]  # (1, 1, H)
+    # Sample CENTERS at i + 0.5 (occlusion_image samples there; the
+    # light coordinates arrive as continuous world * scale).
+    ys = jnp.arange(H, dtype=jnp.float32)[None, None, :] + 0.5
 
-    cols = jnp.arange(W, dtype=jnp.float32)
+    cols = jnp.arange(W, dtype=jnp.float32) + 0.5
     # Row 0: east pass on occ; row 1: west pass on the flipped image with
-    # a mirrored light x.
+    # a mirrored light x. Under the center convention, index flip
+    # i -> W-1-i maps center c -> W - c.
     occ_fwd = occ.T  # (W, H)
     occ_rev = occ.T[::-1]
     occ_both = jnp.stack([occ_fwd, occ_rev], axis=1)  # (W, 2, H)
 
-    lx = jnp.stack([light_x, (W - 1.0) - light_x], axis=0)[:, :, None]
+    lx = jnp.stack([light_x, float(W) - light_x], axis=0)[:, :, None]
     ly = jnp.broadcast_to(light_y[None, :, None], (2, L, 1))
     lr = jnp.broadcast_to(light_radius[None, :, None], (2, L, 1))
     # The per-column k outputs are stored f16; for a far off-screen
@@ -225,6 +229,7 @@ def scan_visibility(
     pixel_offset_xy=None,
     max_trace_distance=None,  # (L,) world units; None = to image edge
     world_offset=None,  # (2,) world-unit window origin (GBuffer.window)
+    light_active=None,  # (L,) 0/1; masks PADDED slots out of trace_z
 ):
     """Cone-trace-equivalent visibility for all lights -> (L, H, W).
 
@@ -242,7 +247,17 @@ def scan_visibility(
         world_offset = jnp.zeros((2,), jnp.float32)
     lz = light_position[:, 2]
     if trace_z is None:
-        trace_z = jnp.mean(lz) * 0.4
+        # Active-weighted mean: light sets arrive PADDED to a fixed
+        # capacity with zero positions (pack_sphere_lights) — an
+        # unmasked mean would drag the trace plane toward the floor as
+        # pad capacity grows (shadow shape changing with an unrelated
+        # host parameter).
+        if light_active is not None:
+            aw = light_active.astype(jnp.float32)
+            trace_z = jnp.sum(lz * aw) / jnp.maximum(jnp.sum(aw), 1.0) \
+                * 0.4
+        else:
+            trace_z = jnp.mean(lz) * 0.4
 
     # --- NOMINATION: the sequential column walks + sector merge. Its
     # outputs are per-pixel, resolution-INDEPENDENT quantities — min
@@ -298,8 +313,8 @@ def scan_visibility(
     s_k = jnp.swapaxes(s_tuple[1], 1, 2)
     s_n = jnp.swapaxes(s_tuple[2], 1, 2)
 
-    ys_n = jnp.arange(nh, dtype=jnp.float32)[None, :, None]
-    xs_n = jnp.arange(nw, dtype=jnp.float32)[None, None, :]
+    ys_n = jnp.arange(nh, dtype=jnp.float32)[None, :, None] + 0.5
+    xs_n = jnp.arange(nw, dtype=jnp.float32)[None, None, :] + 0.5
     dx_n = xs_n - lx[:, None, None]
     dy_n = ys_n - ly[:, None, None]
 
@@ -324,9 +339,9 @@ def scan_visibility(
     # Undo the f16-range k offset (see _bidirectional_scan): each sector
     # pass measured k from its own (possibly mirrored) light coordinate.
     off_e = jnp.minimum(lx, 0.0)[:, None, None]
-    off_w = jnp.minimum((nw - 1.0) - lx, 0.0)[:, None, None]
+    off_w = jnp.minimum(float(nw) - lx, 0.0)[:, None, None]
     off_n = jnp.minimum(ly, 0.0)[:, None, None]
-    off_s = jnp.minimum((nh - 1.0) - ly, 0.0)[:, None, None]
+    off_s = jnp.minimum(float(nh) - ly, 0.0)[:, None, None]
     k_off = jnp.where(
         east, off_e,
         jnp.where(west, off_w, jnp.where(north, off_n, off_s)),
@@ -346,18 +361,26 @@ def scan_visibility(
     else:
         has_blocker = min_d < 1e8
 
-    # --- READOUT at full shadow resolution.
+    # --- READOUT at full shadow resolution. Pixel CENTERS sit at
+    # (i + 0.5) in grid coordinates (occlusion_image samples there) —
+    # the +0.5 keeps the scan's blocker positions and refine endpoints
+    # aligned with the march's world_position() convention.
     lx = (light_position[:, 0] - world_offset[0]) * render_scale
     ly = (light_position[:, 1] - world_offset[1]) * render_scale
-    ys = jnp.arange(height, dtype=jnp.float32)[None, :, None]
-    xs = jnp.arange(width, dtype=jnp.float32)[None, None, :]
+    ys = jnp.arange(height, dtype=jnp.float32)[None, :, None] + 0.5
+    xs = jnp.arange(width, dtype=jnp.float32)[None, None, :] + 0.5
     dx = xs - lx[:, None, None]
     dy = ys - ly[:, None, None]
     adx = jnp.abs(dx)
     ady = jnp.abs(dy)
 
-    # Convert horizontal distances to along-ray distances (the scan walks
-    # the major axis; the ray is longer by sec = ray_len / major_extent).
+    # Convert major-axis extents to along-ray WORLD distances: the grid
+    # walks shadow-resolution px (world * render_scale), but the cone
+    # radius growth, HACK_DISTANCE_OFFSET and the scene distances are
+    # world units — sec converts in one multiply (u = frac * major *
+    # sec). A px-unit u understated penumbra growth by 1/render_scale
+    # at shadow_scale < 1 (measured: penumbra-band error 0.31 vs the
+    # march at shadow 0.5, 0.11 at full res, pre-fix).
     major = jnp.maximum(jnp.maximum(adx, ady), 1e-3)
     # pixel_z is (H, W) shared, or (L, H, W) per-light (fused multi-
     # family calls lift the shading endpoint by each family's constant).
@@ -366,8 +389,10 @@ def scan_visibility(
     else:
         pz = pixel_z if pixel_z.ndim == 3 else pixel_z[None]
     dz = pz - lz[:, None, None]
-    ray_len = jnp.sqrt(dx * dx + dy * dy + dz * dz)
-    sec = ray_len / major
+    inv_rs = 1.0 / jnp.maximum(render_scale, 1e-6)
+    ray_len_w = jnp.sqrt(
+        (dx * dx + dy * dy) * (inv_rs * inv_rs) + dz * dz)
+    sec = ray_len_w / major
 
     # createTraceConfig (ConeTrace.fxh:122-139) + coneTraceStep (fxh:51-71).
     max_radius = jnp.clip(
@@ -384,8 +409,8 @@ def scan_visibility(
     # This restores 3D behavior — short obstructions don't shadow pixels
     # whose rays pass over them, elevated pixels' rays clear ground
     # obstructions — at the cost of K analytic evals per (light, pixel).
-    px_x = xs / jnp.maximum(render_scale, 1e-6) + world_offset[0]
-    px_y = ys / jnp.maximum(render_scale, 1e-6) + world_offset[1]
+    px_x = xs * inv_rs + world_offset[0]
+    px_y = ys * inv_rs + world_offset[1]
     # Ray endpoints: light (world) -> shaded surface. The self-occlusion
     # lift the march applies (SphereLightCore.fxh:151) must follow the
     # SURFACE NORMAL (callers pass pixel_z/pixel_offset_xy already
@@ -400,10 +425,9 @@ def scan_visibility(
     lx_w = light_position[:, 0][:, None, None]
     ly_w = light_position[:, 1][:, None, None]
     if max_trace_distance is not None:
-        # Blocker distance from the pixel along the ray, in world units.
-        u_blocker = jnp.maximum(
-            (1.0 - k_frac) * major * sec, 0.0
-        ) / jnp.maximum(render_scale, 1e-6)
+        # Blocker distance from the pixel along the ray, in world units
+        # (major * sec IS world ray length now).
+        u_blocker = jnp.maximum((1.0 - k_frac) * major * sec, 0.0)
         has_blocker = has_blocker & (
             u_blocker <= max_trace_distance[:, None, None]
         )
@@ -436,7 +460,7 @@ def scan_visibility(
         # render_scale converts ray fractions to world units in xy.
         fwd = jnp.minimum(
             (exit_frac - k_frac) * 0.5,
-            1.5 * render_scale / major,
+            1.5 / (major * sec),  # 1.5 world units as a ray fraction
         )
         t_star = jnp.where(min_d < -1.0, k_frac + fwd,
                            (k_frac + exit_frac) * 0.5)
@@ -446,7 +470,14 @@ def scan_visibility(
         elif quality.scan_refine_samples == 2:
             candidates = (t_star, exit_frac)
         else:
-            candidates = (t_star, (k_frac + exit_frac) * 0.5, exit_frac)
+            # The shallow-graze branch of t_star IS the midpoint — a
+            # third unconditional midpoint would duplicate it there and
+            # waste a full-res scene eval; probe the span ENTRY instead
+            # (deep interiors get k+fwd ~ entry already, shallow ones
+            # gain the entry the 2-sample set lacks).
+            t_entry = jnp.where(min_d < -1.0, (k_frac + exit_frac) * 0.5,
+                                k_frac)
+            candidates = (t_star, t_entry, exit_frac)
     # Candidates along the blocker span: the depth-gated t_star covers
     # the 3D-deepest point; the exit covers near-edge contact (the ray
     # is lowest there); the unconditional midpoint (refine >= 3) covers
@@ -527,20 +558,27 @@ def _upsample_nominated(min_d, k_frac, exit_frac, halvings: int):
     input resolution."""
     nom_mask = min_d < 4096.0
     min_d = jnp.minimum(min_d, 8192.0)
-    k_frac = jnp.where(nom_mask, k_frac, 0.0).astype(jnp.float16)
-    exit_frac = jnp.where(nom_mask, exit_frac, 0.0).astype(jnp.float16)
+    # Fractions are stored f16 as COMPLEMENTS (1 - frac): for a far
+    # off-screen light (directional pseudo-center, ray length ~9000
+    # world units) the interesting fractions sit near 1.0 where f16
+    # spacing is 2^-11 (~4.4 world units of blocker-position error —
+    # the same magnitude the k_off trick in _bidirectional_scan
+    # eliminates); near 0 the spacing is fine-grained, so the
+    # complement keeps sub-unit precision exactly where it matters.
+    k_c = jnp.where(nom_mask, 1.0 - k_frac, 0.0).astype(jnp.float16)
+    e_c = jnp.where(nom_mask, 1.0 - exit_frac, 0.0).astype(jnp.float16)
     wgt = nom_mask.astype(jnp.float16)
     min_d = min_d.astype(jnp.float16)
     for _ in range(halvings):
-        k_frac = upsample2x_bilinear(k_frac)
-        exit_frac = upsample2x_bilinear(exit_frac)
+        k_c = upsample2x_bilinear(k_c)
+        e_c = upsample2x_bilinear(e_c)
         min_d = upsample2x_bilinear(min_d)
         wgt = upsample2x_bilinear(wgt)
     min_d = min_d.astype(jnp.float32)
     has_blocker = min_d < 4096.0
     wgt = jnp.maximum(wgt.astype(jnp.float32), 1e-3)
-    k_frac = jnp.clip(k_frac.astype(jnp.float32) / wgt, 0.0, 1.0)
-    exit_frac = jnp.clip(exit_frac.astype(jnp.float32) / wgt, 0.0, 1.0)
+    k_frac = jnp.clip(1.0 - k_c.astype(jnp.float32) / wgt, 0.0, 1.0)
+    exit_frac = jnp.clip(1.0 - e_c.astype(jnp.float32) / wgt, 0.0, 1.0)
     return min_d, k_frac, exit_frac, has_blocker
 
 
@@ -585,6 +623,7 @@ def scan_cone_visibility(
     trace_z=None,
     self_occlusion_lift=1.6,
     upsample: bool = True,
+    light_active=None,  # (L,) 0/1 pad mask for the default trace plane
 ):
     """Shadow-scale-aware scan visibility over a G-buffer -> (L, H, W).
 
@@ -626,6 +665,12 @@ def scan_cone_visibility(
         sh, sw = h // 2, w // 2
     elif ss != 1.0:
         sh, sw = max(int(h * ss), 8), max(int(w * ss), 8)
+        if sh * w != sw * h:
+            # Anisotropic rounding (min-8 clamp or odd dims) would give
+            # the two axes different scales — the scan's ray geometry
+            # (dx/dy slopes, sector select, single render_scale) assumes
+            # square pixels. Fall back to full resolution.
+            sh, sw = h, w
     else:
         sh, sw = h, w
     # Lift-then-resize == resize-then-lift (both linear). For a SCALAR
@@ -663,7 +708,7 @@ def scan_cone_visibility(
         render_scale=gbuffer.render_scale * (sh / h if sh != h else 1.0),
         pixel_z=pixel_z, pixel_offset_xy=off,
         max_trace_distance=max_trace_distance, trace_z=trace_z,
-        world_offset=world_off,
+        world_offset=world_off, light_active=light_active,
     )
     if not upsample or (sh, sw) == (h, w):
         return vis

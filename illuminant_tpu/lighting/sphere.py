@@ -290,6 +290,7 @@ def accumulate_sphere_lights(
         vis = scan_cone_visibility(
             volume, gbuffer, lights.position, lights.properties[:, 0],
             lights.properties[:, 1], quality,
+            light_active=lights.active,
         )
         cone = jnp.where(trace_enable, vis, 1.0)
     else:

@@ -311,7 +311,7 @@ def accumulate_volumetric_lights(
             volume, gbuffer, lights.start[:, :3],
             jnp.maximum(lights.start[:, 3], 1.0),
             jnp.maximum(lights.properties[:, 1], 16.0),
-            quality,
+            quality, light_active=lights.active,
         ).astype(jnp.float32)
 
     vol_opacity = volumetric_trace(

@@ -520,7 +520,11 @@ def build_flagship(
                 config.quality,
                 self_occlusion_lift=jnp.concatenate(lift_parts),
                 max_trace_distance=jnp.concatenate(mtd_parts),
-                trace_z=jnp.mean(lights_i.position[:, 2]) * 0.4,
+                # Active-masked trace plane (pad slots sit at z=0 and
+                # would drag it toward the floor).
+                trace_z=jnp.sum(
+                    lights_i.position[:, 2] * lights_i.active
+                ) / jnp.maximum(jnp.sum(lights_i.active), 1.0) * 0.4,
                 upsample=False,
             )
             sh_, sw_ = vis_all.shape[1:]
