@@ -206,7 +206,7 @@ def animation_frame(table: SpriteTable, life, velocity, index,
 
 
 def _sprite_bins_and_factors(cfg, table, x, y, color, size, live,
-                             rotation, frame):
+                             rotation, frame, replicate=False):
     """Shared front half of both sprite paths: bin particles (variant id
     riding the size operand) and build the per-rank separable coverage
     factors wy_r (NT, win, K) / wx_r (NT, K, win) via S static
@@ -230,8 +230,14 @@ def _sprite_bins_and_factors(cfg, table, x, y, color, size, live,
     frm = frame if frame is not None else jnp.zeros_like(x)
     # Encode variant bin id (fits bf16 exactly for B <= 256).
     bin_id = select_bins(table, frm, rot, size)
+    # The alpha path replicates each sprite into every tile its support
+    # touches (tile-exclusive compositing; see bin_particles); the
+    # support radius comes from the REAL size, not the bin id riding
+    # the size operand. table.support bounds the rendered half-width.
     bins = bin_particles(cfg, x, y, color, bin_id.astype(jnp.float32),
-                         live)
+                         live, replicate_footprint=replicate,
+                         replicate_radius=jnp.minimum(
+                             size, 2.0 * table.support))
     nt = bins["valid"].shape[0]
     bsel = jnp.clip(bins["size"].astype(jnp.int32), 0,
                     table.row_factors.shape[0] - 1)  # (NT, K)
@@ -351,7 +357,8 @@ def rasterize_sprites_alpha(
     """
     assert cfg.channels == 4, "alpha compositing needs 4 channels"
     bins, wys, wxs = _sprite_bins_and_factors(
-        cfg, table, x, y, color, size, live, rotation, frame
+        cfg, table, x, y, color, size, live, rotation, frame,
+        replicate=True,
     )
     valid = bins["valid"]
     cb = [c * valid for c in bins["color"]]  # planar premult channels

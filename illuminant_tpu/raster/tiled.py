@@ -267,35 +267,93 @@ def _profile(kernel: str, d, radius):
 
 
 def bin_particles(cfg: TiledRasterConfig, x, y, color, size, live,
-                  aligned: bool = True, stable: bool = True):
+                  aligned: bool = True, stable: bool = True,
+                  replicate_footprint: bool = False,
+                  replicate_radius=None):
     """Sort by tile, slice per-tile bins.
 
     Returns a dict with per-slot arrays (x/y/color/size), the valid mask,
     drop count, and the quad-row payload for overflow passes. With
-    aligned=False the slot axis is K+4 wide and unordered (see
-    _quad_gather) — only valid for order-invariant consumers.
+    aligned=False the slot axis is K + slots_per_row wide and unordered
+    (see _quad_gather) — only valid for order-invariant consumers.
     `stable=False` picks XLA's cheaper unstable sort (measured ~0.6 ms
     faster at 1M on v5e) — ties (same quantized key) then land in
     arbitrary slot order, fine for additive accumulation only.
+
+    `replicate_footprint=True` bins each particle into EVERY tile its
+    coverage support overlaps (up to 2x2 — support radius <= apron+1 <=
+    tile): the ordered-alpha path composites each tile's own pixels
+    against ALL particles that touch them and reassembles tile-exclusive
+    regions (summing independently composited apron overlaps would ADD
+    where cross-tile particles overlap instead of 'over'-compositing
+    them). Candidates are laid out particle-major so the stable sort
+    preserves draw order inside every tile. 4x sort entries — for the
+    (typically small) alpha systems only.
     """
     gy, gx = cfg.grid
     nt = gy * gx
-    n = x.shape[0]
     k = cfg.bin_capacity
 
-    txi = jnp.clip((x / cfg.tile).astype(jnp.int32), 0, gx - 1)
-    tyi = jnp.clip((y / cfg.tile).astype(jnp.int32), 0, gy - 1)
     onscreen = (
-        (x > -cfg.apron) & (x < cfg.width + cfg.apron)
-        & (y > -cfg.apron) & (y < cfg.height + cfg.apron)
+        (x > -(cfg.apron + 1.0)) & (x < cfg.width + cfg.apron + 1.0)
+        & (y > -(cfg.apron + 1.0)) & (y < cfg.height + cfg.apron + 1.0)
     )
-    key = jnp.where(live & onscreen, tyi * gx + txi, nt)
+    if replicate_footprint:
+        assert not cfg.compact_payload
+        # Support radius; `replicate_radius` overrides when the size
+        # operand carries something else (the sprite path packs the
+        # variant bin id there).
+        r_base = size if replicate_radius is None else replicate_radius
+        r_sup = jnp.clip(r_base * 0.5, 0.5, cfg.apron + 0.5) + 0.5
+        txa = jnp.clip(((x - r_sup) / cfg.tile).astype(jnp.int32),
+                       0, gx - 1)
+        txb = jnp.clip(((x + r_sup) / cfg.tile).astype(jnp.int32),
+                       0, gx - 1)
+        tya = jnp.clip(((y - r_sup) / cfg.tile).astype(jnp.int32),
+                       0, gy - 1)
+        tyb = jnp.clip(((y + r_sup) / cfg.tile).astype(jnp.int32),
+                       0, gy - 1)
+        keys = []
+        base_ok = live & onscreen
+        for cy, cx in ((0, 0), (0, 1), (1, 0), (1, 1)):
+            tx = txb if cx else txa
+            ty = tyb if cy else tya
+            ok = base_ok
+            if cx:
+                ok = ok & (txb > txa)
+            if cy:
+                ok = ok & (tyb > tya)
+            keys.append(jnp.where(ok, ty * gx + tx, nt))
+        # Particle-major layout: candidate axis minor, so the stable
+        # sort keeps particle-index (draw) order within each tile.
+        key = jnp.stack(keys, axis=1).reshape(-1)
+        rep = 4
+        x = jnp.repeat(x, rep)
+        y = jnp.repeat(y, rep)
+        size = jnp.repeat(size, rep)
+        color = jnp.repeat(color, rep, axis=0)
+    else:
+        txi = jnp.clip((x / cfg.tile).astype(jnp.int32), 0, gx - 1)
+        tyi = jnp.clip((y / cfg.tile).astype(jnp.int32), 0, gy - 1)
+        key = jnp.where(live & onscreen, tyi * gx + txi, nt)
+    n = x.shape[0]
 
     if cfg.compact_payload:
         assert cfg.rgba8_colors and cfg.channels == 3, (
             "compact payload packs rgb888+size8 — requires rgba8 colors "
             "and channels == 3"
         )
+        # The 9-bit tile-local codes cover [-_C_LBIAS/_C_SUB,
+        # (511-_C_LBIAS)/_C_SUB) px around the tile origin; larger
+        # tile+apron would silently clamp positions. Same for the log
+        # size code's ceiling vs the radius clamp (apron + 0.5 -> sizes
+        # up to 2*apron + 1).
+        assert cfg.tile + cfg.apron <= (511 - _C_LBIAS) / _C_SUB, (
+            "compact payload: tile + apron exceeds the 9-bit coordinate "
+            "range")
+        assert 2 * cfg.apron + 1 <= _C_SIZE_MAX, (
+            "compact payload: apron admits sizes above the log-code "
+            "ceiling")
         key = jnp.where(
             live & onscreen,
             _pack_compact_key(tyi, txi, x, y, cfg.tile),
@@ -542,8 +600,12 @@ def rasterize_tiled(
 
     Returns (image (H, W, 4) f32, diagnostics dict).
     """
-    if stipple_factor < 1.0:
+    if not (isinstance(stipple_factor, float)
+            and stipple_factor >= 1.0):
         # StippleReject (fx:101-110): deterministic per-slot fraction.
+        # Applied whenever the factor is traced OR < 1, so an animated
+        # factor stays a traced value (a static branch here made every
+        # distinct stipple value recompile the whole raster graph).
         from ..ops.coords import stipple_keep
 
         live = live & stipple_keep(x.shape[0], stipple_factor,
@@ -556,7 +618,7 @@ def rasterize_tiled(
     valid = bins["valid"]
     ch = cfg.channels
     nt = wy.shape[0]
-    k = valid.shape[1]  # K + 4 in unaligned mode
+    k = valid.shape[1]  # K + slots_per_row in unaligned mode
     win = cfg.window
     gy, gx = cfg.grid
 
@@ -686,38 +748,52 @@ def _overlap_add_gxv(cfg: TiledRasterConfig, tiles):
 
 def composite_over_tiles(cfg: TiledRasterConfig, color_bins,
                          coverage_fn, background=None,
-                         dither: bool = False):
+                         dither: bool = False, opacity=None):
     """Shared ordered-'over' per-tile scan (the compositing core of both
     the analytic and the textured-sprite alpha paths).
 
     `color_bins`: 4 planar (NT, K) PREMULTIPLIED channels, already
-    masked by bin validity. `coverage_fn(j) -> (NT, win, win)` coverage
-    in [0, 1] for slot j. `dither`: dithered-opacity discard
+    masked by bin validity, from a `replicate_footprint=True` binning:
+    every tile's bin holds ALL particles whose support touches the tile,
+    so each tile composites its OWN pixels completely and the assembly
+    takes tile-EXCLUSIVE crops (summing independently composited apron
+    overlaps would ADD cross-tile overlapping particles instead of
+    'over'-compositing them). `coverage_fn(j) -> (NT, win, win)`
+    coverage in [0, 1] for slot j. `dither`: dithered-opacity discard
     (RasterizeParticleSystem.fx:158-175) with a 4x4 Bayer threshold per
-    pixel instead of partial opacity. Returns the (H, W, 4) image
-    (premultiplied rgb + accumulated alpha), composited over
-    `background` if given.
+    pixel instead of partial opacity. `opacity` (scalar, traced ok):
+    global opacity multiplier on every fragment (the reference's
+    opacity uniform). Returns the (H, W, 4) image (premultiplied rgb +
+    accumulated alpha), composited over `background` if given.
     """
     cb = color_bins
     nt = cb[0].shape[0]
     k = cfg.bin_capacity
     win = cfg.window
+    t, a = cfg.tile, cfg.apron
+    gy, gx = cfg.grid
 
     bayer4 = jnp.asarray(
         [[0, 8, 2, 10], [12, 4, 14, 6], [3, 11, 1, 9], [15, 7, 13, 5]],
         jnp.float32,
     ) / 16.0
-    ys = jnp.arange(win) % 4
-    xs = jnp.arange(win) % 4
+    # SCREEN-space Bayer indices (the reference thresholds by VPOS):
+    # window pixel p of tile (ty, tx) sits at absolute ty*t + p - a, so
+    # offset the 4-phase by (-a) mod 4 — tile origins are multiples of
+    # t; a non-multiple-of-4 TILE would still shift per tile, so pin it.
+    assert t % 4 == 0, "dither phase needs tile % 4 == 0"
+    ys = (jnp.arange(win) - a) % 4
+    xs = (jnp.arange(win) - a) % 4
     bayer = bayer4[ys[:, None], xs[None, :]]  # (win, win)
 
     src_a = jnp.maximum(cb[3], 1e-6)
     straight_rgb = jnp.stack(
         [cb[0] / src_a, cb[1] / src_a, cb[2] / src_a], axis=-1
     )  # (NT, K, 3)
+    op_scale = 1.0 if opacity is None else opacity
 
     def over(img, j):
-        a_eff = coverage_fn(j) * cb[3][:, j][:, None, None]
+        a_eff = coverage_fn(j) * (cb[3][:, j][:, None, None] * op_scale)
         if dither:
             # Fragments become fully opaque where the effective alpha
             # beats the Bayer threshold, discarded elsewhere.
@@ -731,14 +807,18 @@ def composite_over_tiles(cfg: TiledRasterConfig, color_bins,
 
     init = jnp.zeros((nt, win, win, 4), jnp.float32)
     tiles, _ = lax.scan(over, init, jnp.arange(k, dtype=jnp.int32))
-    img = _overlap_add(cfg, tiles.reshape(nt, win, win * 4))
+    # Tile-EXCLUSIVE assembly: central [a, a+t) crops, plain reshapes.
+    core = tiles[:, a:a + t, a:a + t, :].reshape(gy, gx, t, t, 4)
+    img = core.transpose(0, 2, 1, 3, 4).reshape(gy * t, gx * t, 4)
+    img = img[:cfg.height, :cfg.width]
     if background is not None:
         # img.rgb is premultiplied by the accumulated alpha; standard
-        # premultiplied 'over' onto the background.
+        # premultiplied 'over' onto the background for BOTH rgb and
+        # alpha (out_a = a + bg_a * (1 - a), not max).
         acc_a = jnp.clip(img[..., 3:4], 0.0, 1.0)
         img = jnp.concatenate(
             [img[..., :3] + background[..., :3] * (1.0 - acc_a),
-             jnp.maximum(acc_a, background[..., 3:4])], axis=-1)
+             acc_a + background[..., 3:4] * (1.0 - acc_a)], axis=-1)
     return img
 
 
@@ -766,7 +846,8 @@ def rasterize_tiled_alpha(
         "alpha compositing needs the alpha channel — channels=3 packs "
         "(b, size) into one operand and carries no alpha"
     )
-    bins = bin_particles(cfg, x, y, color, size, live)
+    bins = bin_particles(cfg, x, y, color, size, live,
+                         replicate_footprint=True)
     wy, wx = _coverage_factors(cfg, bins)
     valid = bins["valid"]
     cb = [c * valid for c in bins["color"]]  # planar premult channels
@@ -774,13 +855,14 @@ def rasterize_tiled_alpha(
     def coverage(j):
         return wy[:, :, j][:, :, None] * wx[:, j, :][:, None, :]
 
-    img = composite_over_tiles(cfg, cb, coverage, background, dither)
+    img = composite_over_tiles(cfg, cb, coverage, background, dither,
+                               opacity=opacity)
     return img, dict(dropped=bins["dropped"])
 
 
 # Convenience jitted aliases (see scan_shadows.scan_visibility_jit):
 # one whole-graph, persistent-cache-eligible compile for eager callers.
 rasterize_tiled_jit = jax.jit(
-    rasterize_tiled, static_argnames=("cfg", "stipple_factor"))
+    rasterize_tiled, static_argnames=("cfg",))
 rasterize_tiled_alpha_jit = jax.jit(
     rasterize_tiled_alpha, static_argnames=("cfg", "dither"))

@@ -399,3 +399,85 @@ def test_clustered_drops_accounted_energy_bounded():
     # Rendered energy ~ (kept / total) of the oracle's.
     kept_frac = (n - dropped) / n
     assert img.sum() >= oracle.sum() * kept_frac * 0.9
+
+
+def _oracle_over(cfg, x, y, color, size, live, background=None,
+                 opacity=1.0):
+    """Draw-order 'over' compositor (premultiplied color input)."""
+    img = np.zeros((cfg.height, cfg.width, 4), np.float64)
+    ys = np.arange(cfg.height) + 0.5
+    xs = np.arange(cfg.width) + 0.5
+    for i in range(len(x)):
+        if not live[i]:
+            continue
+        r = np.clip(size[i] * 0.5, 0.5, cfg.apron + 0.5)
+        wy = _profile_np(cfg.kernel, ys - y[i], r)
+        wx = _profile_np(cfg.kernel, xs - x[i], r)
+        a_eff = (wy[:, None] * wx[None, :]) * color[i, 3] * opacity
+        src_rgb = color[i, :3] / max(color[i, 3], 1e-6)
+        img[..., :3] = (img[..., :3] * (1 - a_eff[..., None])
+                        + src_rgb[None, None] * a_eff[..., None])
+        img[..., 3] = img[..., 3] * (1 - a_eff) + a_eff
+    if background is not None:
+        a = np.clip(img[..., 3:4], 0, 1)
+        img = np.concatenate(
+            [img[..., :3] + background[..., :3] * (1 - a),
+             a + background[..., 3:4] * (1 - a)], axis=-1)
+    return img
+
+
+def test_alpha_cross_tile_overlap_matches_oracle():
+    """Particles in ADJACENT tiles whose footprints overlap must
+    'over'-composite, not add (pre-fix: each tile composited its own
+    window independently and the apron overlap summed, roughly doubling
+    brightness at cross-tile overlaps)."""
+    h, w = 64, 96
+    cfg = TiledRasterConfig(height=h, width=w, tile=32, bin_capacity=64,
+                            apron=4, kernel=KERNEL_QUAD,
+                            rgba8_colors=False, channels=4)
+    # Opaque pairs straddling every tile boundary + a random cloud.
+    xs_ = [29.0, 33.0, 61.0, 66.0, 31.5, 32.5]
+    ys_ = [16.0, 16.0, 40.0, 40.0, 33.0, 31.0]
+    rng = np.random.default_rng(21)
+    xs_ += list(np.round(rng.uniform(0, w, 40) * 16) / 16)
+    ys_ += list(np.round(rng.uniform(0, h, 40) * 16) / 16)
+    n = len(xs_)
+    x = np.asarray(xs_, np.float32)
+    y = np.asarray(ys_, np.float32)
+    color = np.zeros((n, 4), np.float32)
+    color[:, 3] = rng.uniform(0.5, 1.0, n)
+    color[:, :3] = rng.uniform(0.2, 1.0, (n, 3)) * color[:, 3:4]
+    size = np.full(n, 6.0, np.float32)
+    live = np.ones(n, bool)
+    img, diag = rasterize_tiled_alpha(
+        cfg, jnp.asarray(x), jnp.asarray(y), jnp.asarray(color),
+        jnp.asarray(size), jnp.asarray(live))
+    assert int(diag["dropped"]) == 0
+    oracle = _oracle_over(cfg, x, y, color, size, live)
+    d = np.abs(np.asarray(img, np.float64) - oracle)
+    assert d.max() < 5e-3, d.max()
+    # Accumulated alpha must stay <= 1 (summing overlaps exceeded it).
+    assert np.asarray(img)[..., 3].max() <= 1.0 + 1e-5
+
+
+def test_alpha_background_and_opacity():
+    """Premultiplied-over background alpha (a + bg_a*(1-a), not max) and
+    the global opacity multiplier."""
+    h, w = 32, 32
+    cfg = TiledRasterConfig(height=h, width=w, tile=32, bin_capacity=16,
+                            apron=4, kernel=KERNEL_QUAD,
+                            rgba8_colors=False, channels=4)
+    x = np.asarray([16.0], np.float32)
+    y = np.asarray([16.0], np.float32)
+    color = np.asarray([[0.8, 0.4, 0.2, 0.8]], np.float32)
+    size = np.asarray([8.0], np.float32)
+    live = np.ones(1, bool)
+    bg = np.full((h, w, 4), 0.5, np.float32)
+    img, _ = rasterize_tiled_alpha(
+        cfg, jnp.asarray(x), jnp.asarray(y), jnp.asarray(color),
+        jnp.asarray(size), jnp.asarray(live),
+        background=jnp.asarray(bg), opacity=0.5)
+    oracle = _oracle_over(cfg, x, y, color, size, live, background=bg,
+                          opacity=0.5)
+    d = np.abs(np.asarray(img, np.float64) - oracle)
+    assert d.max() < 5e-3, d.max()
