@@ -582,6 +582,20 @@ def _upsample_nominated(min_d, k_frac, exit_frac, halvings: int):
     return min_d, k_frac, exit_frac, has_blocker
 
 
+def resize_visibility(vis, target_hw):
+    """Resize (L, h, w) visibility to (L, H, W): identity when shapes
+    match, the fast bf16 2x upsample for exact halvings, jax.image
+    linear otherwise. The canonical dispatch shared by
+    scan_cone_visibility's tail and the fused-scan consumers in
+    scenes.py — keep alignment conventions in ONE place."""
+    th, tw = target_hw
+    if vis.shape[1:] == (th, tw):
+        return vis
+    if (vis.shape[1] * 2, vis.shape[2] * 2) == (th, tw):
+        return upsample2x_bilinear(vis.astype(jnp.bfloat16))
+    return jax.image.resize(vis, (vis.shape[0], th, tw), "linear")
+
+
 def upsample2x_bilinear(v):
     """Elementwise bilinear 2x upsample over the last two axes (faster
     than jax.image.resize for the fixed 2x case; used by the shadow-scale
@@ -710,8 +724,6 @@ def scan_cone_visibility(
         max_trace_distance=max_trace_distance, trace_z=trace_z,
         world_offset=world_off, light_active=light_active,
     )
-    if not upsample or (sh, sw) == (h, w):
+    if not upsample:
         return vis
-    if (sh * 2, sw * 2) == (h, w):
-        return upsample2x_bilinear(vis.astype(jnp.bfloat16))
-    return jax.image.resize(vis, (vis.shape[0], h, w), "linear")
+    return resize_visibility(vis, (h, w))

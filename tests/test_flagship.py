@@ -116,3 +116,21 @@ def test_flagship_full_family():
         sc2.sphere_lights, env_u, jnp.asarray(256, jnp.int32),
         jnp.asarray(0, jnp.int32), 48)
     assert np.abs(img.astype(int) - np.asarray(img2, int)).mean() > 1.0
+
+
+def test_frame_index_drives_dynamics():
+    """frame(frame_index=N) must move the dynamic occluders/lights (a
+    frozen index rendered t=0 geometry for every single-frame caller)."""
+    sc = build_flagship(height=64, width=128, capacity=1 << 12,
+                        spawn_max=256, n_lights=4, bin_capacity=128)
+    fresh = lambda: jax.tree.map(jnp.copy, sc.system.state)  # noqa: E731
+    env_u = sc.environment.uniforms()
+    key = jax.random.key(3)
+    args = (jnp.asarray(0.5, jnp.float32), key, sc.volume,
+            sc.gbuffer, sc.sphere_lights, env_u,
+            jnp.asarray(0, jnp.int32))  # no spawns: isolate geometry
+    img0, *_ = sc.frame(fresh(), *args, frame_index=0)
+    img0b, *_ = sc.frame(fresh(), *args, frame_index=0)
+    img_late, *_ = sc.frame(fresh(), *args, frame_index=90)
+    assert np.array_equal(np.asarray(img0), np.asarray(img0b))
+    assert not np.array_equal(np.asarray(img0), np.asarray(img_late))
