@@ -29,7 +29,8 @@ import numpy as np
 
 from ..core.pytree import pytree_dataclass
 from ..core.pytree import named_scope
-from .formula import Formula1, Formula3, Formula4, evaluate_formula
+from .formula import (FORMULA_SPHERICAL, Formula1, Formula3, Formula4,
+                      evaluate_formula)
 from .state import ParticleState
 
 
@@ -91,11 +92,18 @@ def spawn(
         )
         seg = spawn_max // sub_rings
         count = (count // sub_rings) * sub_rings
+        per = count // sub_rings
         # Row j belongs to segment j // seg at local index j % seg; each
         # segment takes the first count/sub_rings of its rows.
-        mask = (rel % seg) < (count // sub_rings)
+        mask = (rel % seg) < per
+        # Spawn ORDINAL among the kept rows: raw rel is non-contiguous
+        # across segments (rel % seg < per), which would scramble the
+        # position-constant cycling and polygon walk below — e.g. 4
+        # constants with per=2 would starve constants 2 and 3 forever.
+        rel_order = (rel // seg) * per + (rel % seg)
     else:
         mask = rel < count
+        rel_order = rel
 
     k1, k2, k3 = jax.random.split(key, 3)
     random1 = jax.random.uniform(k1, (spawn_max, 4), jnp.float32)
@@ -112,7 +120,20 @@ def spawn(
     # cycle one constant per particle, or walk the polygon path at
     # `polygon_rate` particles per vertex with interpolation.
     p_count = jnp.maximum(u.position_constant_count, 1.0)
-    relf = (rel + state.total_spawned).astype(jnp.float32)
+    # Wrap the cross-tick offset in INT32 before the float cast: the
+    # wrap modulus is a multiple of the constant count (cycling stays
+    # exact) and keeps relf far below f32's 2^24 integer limit — raw
+    # total_spawned froze the polygon walk / constant cycle once the
+    # system had spawned ~16M particles (the reference bounds the same
+    # offset host-side, GetChunkSizeAndIndices). NOTE the offset is the
+    # per-SYSTEM total (shared state): co-resident spawners advance each
+    # other's phase — a known deviation from the reference's per-spawner
+    # TotalSpawned, acceptable because phase only matters within one
+    # spawner's own constants.
+    p_ci = jnp.maximum(u.position_constant_count.astype(jnp.int32), 1)
+    total_w = jnp.mod(state.total_spawned.astype(jnp.int32),
+                      p_ci * 4096)
+    relf = (rel_order + total_w).astype(jnp.float32)
     use_poly = u.polygon_rate > 0.05
 
     pos_f = relf / jnp.maximum(u.polygon_rate, 1e-3)
@@ -190,23 +211,29 @@ def spawn(
     # and back (and a scatter here costs ~44 ns/row on v5e). Masked rows
     # (count gate or attribute discard, SpawnerCommon.fxh:185-188) keep
     # their old values.
+    if sub_rings > 1:
+        block = n // sub_rings
+        local_cursor = jnp.mod(state.write_cursor // sub_rings, block)
     if sub_rings > 1 and spawn_max > n:
         # Each segment's window self-overlaps its block (seg > block):
         # fall back to a scatter with drop semantics, like the
         # sub_rings=1 overflow path but with per-segment ring indices.
-        seg = spawn_max // sub_rings
-        block = n // sub_rings
-        local_cursor = jnp.mod(state.write_cursor // sub_rings, block)
+        # XLA applies duplicate-index .set updates in NONDETERMINISTIC
+        # order — mask out rows superseded by a later row writing the
+        # same slot so the NEWEST generation deterministically wins
+        # (the reference ring overwrites sequentially).
         seg_id = rel // seg
         idx = seg_id * block + jnp.mod(local_cursor + rel % seg, block)
-        safe_idx = jnp.where(mask, idx, n)
+        m2 = mask.reshape(sub_rings, seg)
+        sup = jnp.zeros_like(m2)
+        for off in range(block, seg, block):
+            sup = sup | jnp.pad(m2[:, off:], ((0, 0), (0, off)))
+        keep = mask & ~sup.reshape(-1)
+        safe_idx = jnp.where(keep, idx, n)
 
         def window_write(arr, new_rows):
             return arr.at[safe_idx].set(new_rows, mode="drop")
     elif sub_rings > 1:
-        seg = spawn_max // sub_rings
-        block = n // sub_rings
-        local_cursor = jnp.mod(state.write_cursor // sub_rings, block)
         mask_seg = jnp.pad(
             mask.reshape(sub_rings, seg), ((0, 0), (0, block - seg))
         )
@@ -238,8 +265,15 @@ def spawn(
     else:
         # spawn_max exceeds the ring: the window self-overlaps, so fall
         # back to a (cheap at this size) scatter with drop semantics.
+        # Mask superseded rows (same-slot later writes) so the newest
+        # generation deterministically wins — XLA's duplicate-index
+        # .set order is nondeterministic.
         idx = jnp.mod(state.write_cursor + rel, n)
-        safe_idx = jnp.where(mask, idx, n)
+        sup = jnp.zeros_like(mask)
+        for off in range(n, spawn_max, n):
+            sup = sup | jnp.pad(mask[off:], (0, off))
+        keep = mask & ~sup
+        safe_idx = jnp.where(keep, idx, n)
 
         def window_write(arr, new_rows):
             return arr.at[safe_idx].set(new_rows, mode="drop")
@@ -286,6 +320,10 @@ class Spawner:
     polygon_rate: float = 0.0
     polygon_loop: bool = False
     velocity_along_polygon: Optional[Formula1] = None
+    # RatePerPosition (ParticleSpawner.cs:286): the configured rate is a
+    # PER-EMISSION-STREAM rate — it multiplies by CountScale (one stream
+    # per additional position, +1 when the polygon loops back).
+    rate_per_position: bool = True
     is_spawner = True
 
     def __post_init__(self):
@@ -308,10 +346,22 @@ class Spawner:
         if hasattr(other, "read_cursor") and hasattr(self, "read_cursor"):
             self.read_cursor = other.read_cursor
 
+    def count_scale(self) -> int:
+        """CountScale (ParticleSpawner.cs:126-131, 301-305): with
+        RatePerPosition the rate scales by the emission-stream count —
+        additional positions + 1 when the polygon loops back; subclasses
+        override (PatternSpawner scales by pixels per row/instance)."""
+        if not self.rate_per_position:
+            return 1
+        return max(
+            len(self.additional_positions)
+            + (1 if self.polygon_loop else 0), 1)
+
     def begin_tick(self, now: float, dt: float,
                    granularity: int = 1) -> int:
         """BeginTick (ParticleSpawner.cs:152-196): stochastic count with
-        error carry.
+        error carry, scaled by CountScale (currentRate *= countScaler,
+        :166; MaximumTotal scales the same way, :179).
 
         `granularity` > 1 rounds the count down to a multiple (the
         device-side `spawn(..., sub_rings=D)` only writes multiples of
@@ -319,9 +369,10 @@ class Spawner:
         long-run emission rate is exact."""
         min_rate = min(self.min_rate, self.max_rate)
         max_rate = self.max_rate
+        scale = self.count_scale()
         current = (
             self._rng.uniform() * (max_rate - min_rate) + min_rate
-        ) * dt
+        ) * scale * dt
         current += self.rate_error
         self.rate_error = 0.0
         if current < 1.0:
@@ -330,16 +381,32 @@ class Spawner:
         else:
             count = int(current)
             self.rate_error = current - count
+        finishing = False
         if self.maximum_total is not None:
-            remaining = self.maximum_total - self.total_spawned
-            if count > remaining:
+            remaining = self.maximum_total * scale - self.total_spawned
+            if count >= remaining:
                 count = max(remaining, 0)
                 self.rate_error = 0.0
-        count = min(count, self.spawn_max)
+                finishing = True
+        if count > self.spawn_max:
+            # Re-credit the clamped excess (the reference's EndTick adds
+            # requested - actual back into RateError, :191-194) so a
+            # rate above spawn_max/tick spreads over later ticks instead
+            # of silently halving long-run emission.
+            self.rate_error += count - self.spawn_max
+            count = self.spawn_max
+            finishing = False
         if granularity > 1:
             rem = count % granularity
             count -= rem
-            self.rate_error += rem
+            if finishing:
+                # The FINAL sub-granularity remainder of maximum_total
+                # can never spawn (the device only writes multiples of
+                # D) — retire it instead of ping-ponging through
+                # rate_error forever.
+                self.total_spawned += rem
+            else:
+                self.rate_error += rem
         self.total_spawned += count
         return count
 
@@ -396,8 +463,16 @@ class Spawner:
             position_matrix=post_matrix(self.position_post_matrix),
             velocity_matrix=post_matrix(self.velocity_post_matrix),
             axis_mask=jnp.asarray(self.axis_mask, jnp.float32),
+            # The reference only honors the flag when BOTH formulas are
+            # spherical (SetParameters: AlignVelocityAndPosition &&
+            # Position.Circular && Velocity.Circular, Formula.cs:114) —
+            # otherwise sharing random1.xy would just correlate linear
+            # velocity randomness with position.
             align_velocity_and_position=jnp.asarray(
-                1.0 if self.align_velocity_and_position else 0.0, jnp.float32
+                1.0 if (self.align_velocity_and_position
+                        and self.position.type == FORMULA_SPHERICAL
+                        and self.velocity.type == FORMULA_SPHERICAL)
+                else 0.0, jnp.float32
             ),
             attribute_discard_threshold=jnp.asarray(
                 self.alpha_discard_threshold / 255.0, jnp.float32
@@ -545,6 +620,22 @@ class FeedbackSpawner(Spawner):
         self.read_cursor = 0
         self.is_feedback = True
 
+    def begin_tick(self, now: float, dt: float,
+                   granularity: int = 1) -> int:
+        """SpecialSpawners.cs:353-370: feedback counts round DOWN to a
+        multiple of InstanceMultiplier ('we can't handle partial spawns
+        from a source particle'); sub-multiple counts carry into the
+        rate error instead of emitting partial instance groups."""
+        count = super().begin_tick(now, dt, granularity)
+        im = max(self.instance_multiplier, 1)
+        if im > 1 and not self.spawn_from_entire_window:
+            rounded = (count // im) * im
+            if rounded < count:
+                self.rate_error += count - rounded
+                self.total_spawned -= count - rounded
+                count = rounded
+        return count
+
     def feedback_uniforms(self, now: float) -> FeedbackUniforms:
         return FeedbackUniforms(
             base=self.uniforms(now),
@@ -580,6 +671,10 @@ class FeedbackSpawner(Spawner):
                 self._rng.integers(0, max(cap, 1))
             )
         else:
+            # consumed is a whole number of instance groups (begin_tick
+            # rounds); max(.., 1) matches the reference's
+            # sourceCount = Max(spawnCount / InstanceMultiplier, 1)
+            # (SpecialSpawners.cs:406) for the legacy partial case.
             self.read_cursor = (
                 self.read_cursor
                 + max(consumed // max(self.instance_multiplier, 1), 1)
@@ -596,6 +691,12 @@ class PatternSpawner(Spawner):
 
     image: object = None  # np.ndarray (H, W, 4)
     divisor: int = 1
+    # NOTE deviation: the reference scales the pattern rate by
+    # CountScale = ParticlesPerRow/ParticlesPerInstance
+    # (SpecialSpawners.cs:125-135) because its UI rates are per-row;
+    # here min/max_rate are ABSOLUTE particles/sec (count_scale
+    # inherits the base additional-positions rule), which is the less
+    # surprising contract for programmatic use.
     alpha_threshold: float = 0.05
     pixel_scale: float = 1.0
 

@@ -403,6 +403,10 @@ def test_polygon_path_spawning():
         polygon_loop=False,
         velocity_along_polygon=Formula1(constant=20.0),
         spawn_max=32,
+        # This test pins the path-walk mechanics at exactly 10 spawns;
+        # RatePerPosition (the reference default, tested separately)
+        # would scale the rate by the position count.
+        rate_per_position=False,
     )
     cfg = ParticleSystemConfig(capacity=256, updates_per_second=0.0,
                                life_decay_per_second=0.0)
@@ -466,3 +470,40 @@ def test_animated_velocity_post_matrix():
     vh = v @ np.asarray(sp.uniforms(0.5).velocity_matrix)
     np.testing.assert_allclose(vh[:2], [10.0 / np.sqrt(2)] * 2,
                                atol=1e-3)
+
+
+def test_rate_per_position_count_scale():
+    """CountScale (ParticleSpawner.cs:166, 301-305): with RatePerPosition
+    (the default) the configured rate is per emission stream — additional
+    positions (+ polygon loop) multiply it; maximum_total scales the same
+    way, and the spawn_max clamp re-credits its excess."""
+    def build(**kw):
+        args = dict(
+            min_rate=120.0, max_rate=120.0,
+            life=Formula1(constant=10.0),
+            position=Formula3(constant=(0.0, 0.0, 0.0)),
+            color=Formula4(constant=(1.0, 1.0, 1.0, 1.0)),
+            spawn_max=64)
+        args.update(kw)
+        return Spawner(**args)
+
+    base = build()
+    scaled = build(additional_positions=[(10.0, 0.0, 0.0),
+                                         (20.0, 0.0, 0.0)])
+    assert base.begin_tick(0.0, 1.0 / 60.0) == 2
+    assert scaled.begin_tick(0.0, 1.0 / 60.0) == 4  # 120*2*dt
+
+    # spawn_max clamp re-credits the excess instead of dropping it.
+    hot = build(max_rate=6000.0, min_rate=6000.0, spawn_max=64)
+    c1 = hot.begin_tick(0.0, 1.0 / 60.0)
+    assert c1 == 64 and hot.rate_error >= 35.0
+
+    # maximum_total + granularity: the final sub-granularity remainder
+    # retires instead of ping-ponging forever.
+    fin = build(max_rate=600.0, min_rate=600.0, maximum_total=12)
+    total = 0
+    for _ in range(10):
+        total += fin.begin_tick(0.0, 1.0 / 60.0, granularity=8)
+    assert total == 8  # 12 rounds down to one granule; remainder retired
+    assert fin.begin_tick(0.0, 1.0 / 60.0, granularity=8) == 0
+    assert fin.rate_error == 0.0
