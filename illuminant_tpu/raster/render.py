@@ -56,27 +56,37 @@ class ParticleAppearance:
     angle_bins: int = 8
     size_bins: int = 4
     rank: int = 4
+    # Untextured kernel override: None = reference defaults (quad;
+    # Rounded -> disc; glow -> gaussian); an explicit kernel string
+    # (tiled.KERNEL_*) wins over the flags.
+    kernel: Optional[str] = None
 
     _table: object = dataclasses.field(default=None, repr=False)
 
     def sprite_table(self):
         if self.texture is None:
             return None
-        if self._table is None:
+        # Cache keyed on the table-identity fields: mutating the
+        # appearance (new texture, different layout/bins) rebuilds
+        # instead of silently serving the stale SVD table.
+        key = (id(self.texture), self.columns, self.rows,
+               self.angle_bins, self.size_bins, self.rank,
+               self.size_min, self.size_max)
+        if self._table is None or self._table[0] != key:
             object.__setattr__(
                 self, "_table",
-                sprites_mod.build_sprite_table(
+                (key, sprites_mod.build_sprite_table(
                     self.texture,
                     frames_x=self.columns,
                     frames_y=self.rows,
-                    angle_bins=self.angle_bins if self.angle_bins else 1,
-                    size_bins=self.size_bins,
+                    angle_bins=max(self.angle_bins, 1),
+                    size_bins=max(self.size_bins, 1),
                     rank=self.rank,
                     size_min=self.size_min,
                     size_max=self.size_max,
-                ),
+                )),
             )
-        return self._table
+        return self._table[1]
 
 
 def render_particles(
@@ -113,7 +123,9 @@ def render_particles(
     if global_color is not None:
         color = color * jnp.asarray(global_color, jnp.float32)
     size = state.render_data[:, 0] * size_scale
-    if size_from_z:
+    if not (isinstance(size_from_z, float) and size_from_z == 0.0):
+        # Traced-value-safe guard (a bare `if size_from_z` would
+        # concretize a traced factor / recompile per value).
         size = size * jnp.maximum(
             0.0, 1.0 + state.position[:, 2] * size_from_z
         )
@@ -122,11 +134,14 @@ def render_particles(
     app = appearance or ParticleAppearance()
     table = app.sprite_table()
 
-    if stipple_factor < 1.0:
-        # StippleReject applies to every material (fx:101-110).
+    if not (isinstance(stipple_factor, float) and stipple_factor >= 1.0):
+        # StippleReject applies to every material (fx:101-110); same
+        # traced-value guard + per-system phase offset as
+        # rasterize_tiled's own path (systems interleave).
         from ..ops.coords import stipple_keep
 
-        live = live & stipple_keep(state.capacity, stipple_factor)
+        live = live & stipple_keep(state.capacity, stipple_factor,
+                                   config.stipple_offset)
 
     order = None
     if z_formula is not None and not additive_blend:
@@ -148,15 +163,18 @@ def render_particles(
 
     if table is not None:
         if app.relative_size:
-            size = size * max(
-                np.asarray(app.texture).shape[0] // max(app.rows, 1), 1
-            )
+            # RelativeSize: size in texture-frame units. The tiled
+            # footprint is square, so non-square frames use the LARGER
+            # frame dimension (the reference sizes the quad per axis).
+            tex = np.asarray(app.texture)
+            fh = tex.shape[0] // max(app.rows, 1)
+            fw = tex.shape[1] // max(app.columns, 1)
+            size = size * max(max(fh, fw), 1)
         rotation = state.render_data[:, 1]
         frame = sprites_mod.animation_frame(
             table,
             state.position[:, 3],
             state.velocity,
-            jnp.arange(state.capacity),
             animation_rate=app.animation_rate,
             row_from_velocity=app.row_from_velocity,
             column_from_velocity=app.column_from_velocity,
@@ -165,17 +183,21 @@ def render_particles(
         if order is not None:
             rotation, frame = rotation[order], frame[order]
         if additive_blend:
-            return sprites_mod.rasterize_sprites(
+            img, diag = sprites_mod.rasterize_sprites(
                 config, table, x, y, color, size, live,
                 rotation=rotation, frame=frame,
             )
+            if background is not None:
+                img = img + jnp.asarray(
+                    background, img.dtype)[..., :img.shape[-1]]
+            return img, diag
         return sprites_mod.rasterize_sprites_alpha(
             config, table, x, y, color, size, live,
             rotation=rotation, frame=frame,
             background=background, dither=app.dithered_opacity,
         )
 
-    kernel = (
+    kernel = app.kernel or (
         KERNEL_GAUSS if app.glow
         else (KERNEL_ROUND if app.rounded else KERNEL_QUAD)
     )
@@ -183,7 +205,16 @@ def render_particles(
         config = dataclasses.replace(config, kernel=kernel)
 
     if additive_blend:
-        return rasterize_tiled(config, x, y, color, size, live)
+        # NOTE: dithered_opacity only applies to the ordered-alpha
+        # paths — additive blending needs no opacity faking (the Bayer
+        # discard exists to approximate transparency without sorting).
+        img, diag = rasterize_tiled(config, x, y, color, size, live)
+        if background is not None:
+            # Additive onto the bound target (the reference's additive
+            # blend state adds over whatever was rendered before).
+            img = img + jnp.asarray(
+                background, img.dtype)[..., :img.shape[-1]]
+        return img, diag
     return rasterize_tiled_alpha(
         config, x, y, color, size, live,
         background=background,

@@ -179,7 +179,7 @@ def select_bins(table: SpriteTable, frame, angle, size):
     return (fi * table.angle_bins + ai) * table.size_bins + si
 
 
-def animation_frame(table: SpriteTable, life, velocity, index,
+def animation_frame(table: SpriteTable, life, velocity,
                     animation_rate: Tuple[float, float] = (0.0, 0.0),
                     row_from_velocity: bool = False,
                     column_from_velocity: bool = False,

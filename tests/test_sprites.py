@@ -123,9 +123,8 @@ def test_animation_frame_from_velocity():
     vel = jnp.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0],
                        [-1.0, 0.0, 0.0], [0.0, -1.0, 0.0]])
     life = jnp.zeros((4,))
-    idx = jnp.arange(4)
     frames = np.asarray(animation_frame(
-        table, life, vel, idx, column_from_velocity=True, frames_x=4))
+        table, life, vel, column_from_velocity=True, frames_x=4))
     assert sorted(frames.tolist()) == [0, 1, 2, 3]
 
 
