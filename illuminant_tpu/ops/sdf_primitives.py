@@ -340,6 +340,12 @@ def nrm_box_p(px, py, pz, bx, by, bz):
 
 
 def nrm_ellipsoid_p(px, py, pz, rx, ry, rz):
+    # Clamp like sd_ellipsoid_p: a zero extent would divide by 0 and
+    # _nrm_safe would emit NaN normals for a shape whose distance path
+    # renders fine.
+    rx = jnp.maximum(rx, 1e-6)
+    ry = jnp.maximum(ry, 1e-6)
+    rz = jnp.maximum(rz, 1e-6)
     return _nrm_safe(px / (rx * rx), py / (ry * ry), pz / (rz * rz))
 
 

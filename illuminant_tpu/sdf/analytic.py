@@ -160,6 +160,22 @@ class AnalyticScene:
         if self.polygons is not None:
             return self.normal_p(x, y, z)
         counts = self._counts()
+        if sum(counts) > self._UNROLL_LIMIT:
+            # The per-obstruction unroll below recreates the graph-size
+            # blowup the distance path's vectorized dispatch exists to
+            # prevent — use central differences over the (bounded)
+            # vectorized distance instead: 6 evals, still cheaper to
+            # compile than hundreds of unrolled normal chains.
+            eps = 0.05
+            dxp = self._distance_vectorized(x + eps, y, z)
+            dxn = self._distance_vectorized(x - eps, y, z)
+            dyp = self._distance_vectorized(x, y + eps, z)
+            dyn = self._distance_vectorized(x, y - eps, z)
+            dzp = self._distance_vectorized(x, y, z + eps)
+            dzn = self._distance_vectorized(x, y, z - eps)
+            gx, gy, gz = dxp - dxn, dyp - dyn, dzp - dzn
+            inv = 1.0 / jnp.sqrt(gx * gx + gy * gy + gz * gz + 1e-12)
+            return gx * inv, gy * inv, gz * inv
         shape = jnp.broadcast_shapes(jnp.shape(x), jnp.shape(y),
                                      jnp.shape(z))
         best = jnp.full(shape, self.maximum_distance, dtype=jnp.float32)
@@ -214,14 +230,26 @@ def pack_scene(obstructions: List, maximum_distance: float = 128.0,
                height_volumes: Optional[List] = None) -> AnalyticScene:
     """Group host LightObstruction-likes (.type/.center/.size/.rotation)
     by type. Group sizes round up to `group_capacity_round` (padded with
-    far-away unit boxes) so small scene edits reuse the jit cache.
+    far-away unit boxes) so small scene edits keep ARRAY shapes stable;
+    note the live `group_counts` are static too (they size the unrolled
+    python loops), so an edit that changes a live count within the same
+    capacity still retraces — capacity rounding bounds how OFTEN, it
+    does not eliminate retraces.
     `height_volumes`: optional list of sdf.height_volume.HeightVolume
     (obstruction-flagged ones contribute extruded polygon SDFs)."""
     by_type: Dict[int, list] = {}
     for o in obstructions:
         if o.type == sp.TYPE_NONE:
             continue
-        by_type.setdefault(o.type, []).append(o)
+        # Negative ids are the voxel encoder's dynamic flag — the
+        # analytic field evaluates the primitive itself (matching
+        # evaluate_by_type's jnp.abs, sdf_primitives.py).
+        tid = abs(o.type)
+        if tid not in sp.PLANAR_EVALUATORS:
+            raise ValueError(
+                f"unknown obstruction type {o.type!r} (known: "
+                f"{sorted(sp.PLANAR_EVALUATORS)})")
+        by_type.setdefault(tid, []).append(o)
 
     centers, sizes, rotations = [], [], []
     group_types, group_rotated, group_counts = [], [], []
@@ -236,7 +264,10 @@ def pack_scene(obstructions: List, maximum_distance: float = 128.0,
         rotated = False
         for i, o in enumerate(group):
             c[i] = o.center
-            s[i] = o.size
+            # Degenerate (zero) extents NaN-poison the vectorized
+            # ellipsoid and the closed-form normals (division by r^2) —
+            # clamp once here so every eval path is safe.
+            s[i] = np.maximum(np.asarray(o.size, np.float32), 1e-6)
             r[i] = o.rotation
             rotated = rotated or not _is_identity_rotation(o.rotation)
         group_types.append(type_id)
@@ -278,6 +309,12 @@ def scene_sample(field, position):
 
 
 def scene_normal(field, position):
+    if field is None:
+        # Match scene_sample(None) = far distance: an empty field has no
+        # surfaces — return the +z convention normal.
+        shape = position.shape[:-1] + (3,)
+        return jnp.broadcast_to(
+            jnp.asarray([0.0, 0.0, 1.0], jnp.float32), shape)
     if isinstance(field, AnalyticScene):
         return field.estimate_normal(position)
     from .sampling import estimate_normal
@@ -299,6 +336,11 @@ def scene_sample_p(field, x, y, z):
 def scene_normal_p(field, x, y, z, fast: bool = False):
     """Planar normal query -> (nx, ny, nz). fast=True selects the
     closed-form per-primitive normals (collision path)."""
+    if field is None:
+        shape = jnp.broadcast_shapes(jnp.shape(x), jnp.shape(y),
+                                     jnp.shape(z))
+        zero = jnp.zeros(shape, jnp.float32)
+        return zero, zero, jnp.ones(shape, jnp.float32)
     if isinstance(field, AnalyticScene):
         return field.normal_fast_p(x, y, z) if fast else \
             field.normal_p(x, y, z)

@@ -117,3 +117,53 @@ def test_octagon_center_inside():
     d = np.asarray(sp.sd_octagon(p, size))
     assert d[0] < 0  # center is inside
     np.testing.assert_allclose(d[1], 7.0, atol=1e-4)  # above the prism cap
+
+
+def test_degenerate_ellipsoid_no_nans():
+    """Flat (zero-extent) ellipsoids must not NaN-poison any eval path:
+    pack-time clamping + normal clamps (review findings — the vectorized
+    path and closed-form normals divided by r^2 unclamped)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from illuminant_tpu.lighting.environment import LightObstruction
+    from illuminant_tpu.sdf.analytic import (
+        pack_scene, scene_normal_p, scene_sample_p)
+
+    obs = [LightObstruction.ellipsoid((10.0 * i, 5.0, 4.0), (4.0, 4.0, 0.0))
+           for i in range(80)]  # > _UNROLL_LIMIT -> vectorized path
+    scene = pack_scene(obs, group_capacity_round=1)
+    xs = jnp.linspace(-5.0, 800.0, 257)
+    d = np.asarray(scene_sample_p(scene, xs, 5.0, 2.0))
+    assert np.isfinite(d).all()
+    nx, ny, nz = scene_normal_p(scene, xs, 5.0, 2.0, fast=True)
+    assert np.isfinite(np.asarray(nx)).all()
+    assert np.isfinite(np.asarray(ny)).all()
+    assert np.isfinite(np.asarray(nz)).all()
+    # Small scene (unrolled path + closed-form normals) too.
+    small = pack_scene(obs[:3], group_capacity_round=1)
+    nx, ny, nz = scene_normal_p(small, xs, 5.0, 2.0, fast=True)
+    assert np.isfinite(np.asarray(nx)).all()
+
+
+def test_scene_queries_handle_none_field():
+    import numpy as np
+    import jax.numpy as jnp
+    from illuminant_tpu.sdf.analytic import scene_normal_p, scene_sample_p
+
+    d = scene_sample_p(None, jnp.zeros(4), jnp.zeros(4), jnp.zeros(4))
+    assert np.isfinite(np.asarray(d)).all()
+    nx, ny, nz = scene_normal_p(None, jnp.zeros(4), jnp.zeros(4),
+                                jnp.zeros(4))
+    assert np.allclose(np.asarray(nz), 1.0)
+
+
+def test_pack_scene_rejects_unknown_type():
+    import pytest
+    import dataclasses
+    from illuminant_tpu.lighting.environment import LightObstruction
+    from illuminant_tpu.sdf.analytic import pack_scene
+
+    bad = LightObstruction.box((0.0, 0.0, 0.0), (1.0, 1.0, 1.0))
+    bad.type = 42
+    with pytest.raises(ValueError, match="unknown obstruction type"):
+        pack_scene([bad])
