@@ -316,5 +316,6 @@ class EditorController:
         self.time = MockTime()
         self._steps_taken = 0
         self.view = EngineView(
-            self.model, volume=self.volume, capacity=self.capacity
+            self.model, volume=self.volume, capacity=self.capacity,
+            seed=self.seed,
         )

@@ -16,7 +16,7 @@ import numpy as np
 
 from ..particles import transforms as tx
 from ..particles.formula import Formula1, Formula3, Formula4
-from ..particles.spawner import Spawner
+from ..particles.spawner import FeedbackSpawner, PatternSpawner, Spawner
 from ..particles.system import ParticleSystem, ParticleSystemConfig
 from .model import EngineModel, SystemModel, TransformModel
 from .parameter import Parameter, value_to_array
@@ -74,23 +74,65 @@ def _formula4(obj: Any, resolver) -> Formula4:
     )
 
 
-def instantiate_transform(tm: TransformModel, resolver):
-    """TransformModel -> live host transform (View.cs:199-264)."""
+def _has_bezier(obj) -> bool:
+    """True when a property bag contains a Bezier-animated Parameter
+    anywhere (dict shape {"Bezier": {...}}, parameter.py)."""
+    if isinstance(obj, dict):
+        if "Bezier" in obj:
+            return True
+        return any(_has_bezier(v) for v in obj.values())
+    if isinstance(obj, (list, tuple)):
+        return any(_has_bezier(v) for v in obj)
+    return False
+
+
+def instantiate_transform(tm: TransformModel, resolver, now: float = 0.0):
+    """TransformModel -> live host transform (View.cs:199-264).
+    `now`: evaluation time for animated (Bezier) parameters — the
+    reference evaluates at the current frame time."""
     p = tm.properties
     kind = tm.type
     if kind in ("Spawner", "PatternSpawner", "FeedbackSpawner"):
-        s = Spawner(
-            min_rate=float(_param_value(p.get("MinRate"), resolver, 0, 1)[0]),
-            max_rate=float(_param_value(p.get("MaxRate"), resolver, 0, 1)[0]),
-            life=_formula1(p.get("Life"), resolver),
+        cls = {"Spawner": Spawner, "PatternSpawner": PatternSpawner,
+               "FeedbackSpawner": FeedbackSpawner}[kind]
+        kw = {}
+        if kind == "FeedbackSpawner":
+            # SourceSystem wired by EngineView after all systems exist
+            # (the reference resolves via SystemResolver, View.cs:63).
+            kw = dict(
+                instance_multiplier=int(p.get("InstanceMultiplier", 1)),
+                source_velocity_factor=float(_param_value(
+                    p.get("SourceVelocityFactor"), resolver, now, 1)[0]),
+                spawn_from_entire_window=bool(
+                    p.get("SpawnFromEntireWindow", False)),
+            )
+        elif kind == "PatternSpawner":
+            if p.get("Texture") is not None:
+                kw = dict(image=np.asarray(p["Texture"], np.float32),
+                          divisor=int(p.get("Divisor", 1)))
+        # Life defaults to Formula1.One (ParticleSpawner.cs:68) — a
+        # zero default would spawn already-dead particles.
+        life = (_formula1(p["Life"], resolver) if isinstance(
+            p.get("Life"), dict) else Formula1(constant=1.0))
+        s = cls(
+            min_rate=float(_param_value(p.get("MinRate"), resolver, now, 1)[0]),
+            max_rate=float(_param_value(p.get("MaxRate"), resolver, now, 1)[0]),
+            life=life,
             position=_formula3(p.get("Position"), resolver),
             velocity=_formula3(p.get("Velocity"), resolver),
             color=_formula4(p.get("Color") or p.get("Attributes"),
                             resolver),
             category=_formula1(p.get("Category"), resolver),
+            **kw,
         )
-        if p.get("MaximumTotal"):
-            s.maximum_total = int(p["MaximumTotal"])
+        if p.get("MaximumTotal") is not None:
+            # Explicit 0 means "spawner disabled" (the count clamps to
+            # the remaining total, ParticleSpawner.cs:178-183) — only
+            # absence means unbounded.
+            s.maximum_total = int(
+                _param_value(p["MaximumTotal"], resolver, now, 1)[0]
+                if isinstance(p["MaximumTotal"], dict)
+                else p["MaximumTotal"])
         if p.get("AdditionalPositions"):
             s.additional_positions = [
                 tuple(value_to_array(v, 3))
@@ -103,39 +145,50 @@ def instantiate_transform(tm: TransformModel, resolver):
             attractors.append(
                 tx.Attractor(
                     position=tuple(
-                        _param_value(a.get("Position"), resolver, 0, 3)
+                        _param_value(a.get("Position"), resolver, now, 3)
                     ),
                     radius=float(
-                        _param_value(a.get("Radius"), resolver, 0, 1)[0]
+                        _param_value(a.get("Radius"), resolver, now, 1)[0]
                     ),
                     strength=float(
-                        _param_value(a.get("Strength"), resolver, 0, 1)[0]
+                        _param_value(a.get("Strength"), resolver, now, 1)[0]
                     ),
-                    falloff_type={"Natural": 0, "Physical": 0, "Linear": 1,
-                                  "Exponential": 2}.get(
-                        str(a.get("FalloffType", "Linear")), 1
+                    # The reference serializes AttractorType under
+                    # "Type" as an INT (Transforms.cs:312-329);
+                    # string names cover our own saves.
+                    falloff_type=(
+                        int(a["Type"]) if isinstance(
+                            a.get("Type"), (int, float))
+                        else {"Natural": 0, "Physical": 0, "Linear": 1,
+                              "Exponential": 2}.get(
+                            str(a.get("FalloffType",
+                                      a.get("Type", "Linear"))), 1)
                     ),
                 )
             )
+        # Reference default MaximumAcceleration = 8 (Transforms.cs:334);
+        # an explicit 0 means "no acceleration", not unclamped.
+        if p.get("MaximumAcceleration") is not None:
+            max_acc = float(_param_value(
+                p["MaximumAcceleration"], resolver, now, 1)[0])
+        else:
+            max_acc = 8.0
         return tx.Gravity(
             attractors=attractors,
-            maximum_acceleration=float(
-                _param_value(p.get("MaximumAcceleration"), resolver, 0, 1)[0]
-                or 1e6
-            ),
+            maximum_acceleration=max_acc,
         )
     if kind == "FMA":
         pos = p.get("Position") or {}
         vel = p.get("Velocity") or {}
         return tx.FMA(
-            position_add=tuple(_param_value(pos.get("Add"), resolver, 0, 3)),
+            position_add=tuple(_param_value(pos.get("Add"), resolver, now, 3)),
             position_multiply=tuple(
-                _param_value(pos.get("Multiply"), resolver, 0, 3)
+                _param_value(pos.get("Multiply"), resolver, now, 3)
                 if pos.get("Multiply") is not None else (1.0, 1.0, 1.0)
             ),
-            velocity_add=tuple(_param_value(vel.get("Add"), resolver, 0, 3)),
+            velocity_add=tuple(_param_value(vel.get("Add"), resolver, now, 3)),
             velocity_multiply=tuple(
-                _param_value(vel.get("Multiply"), resolver, 0, 3)
+                _param_value(vel.get("Multiply"), resolver, now, 3)
                 if vel.get("Multiply") is not None else (1.0, 1.0, 1.0)
             ),
             cycles_per_second=(
@@ -163,18 +216,23 @@ def instantiate_transform(tm: TransformModel, resolver):
         return n
     if kind in ("MatrixMultiply", "GeometricTransform"):
         return tx.MatrixMultiply()
+    if kind == "Sensor":
+        return tx.Sensor()
     raise ValueError(f"unsupported transform type: {kind}")
 
 
-def system_config_from_model(sm: SystemModel) -> ParticleSystemConfig:
-    """ParticleSystemConfiguration subset (ParticleConfiguration.cs)."""
+def system_config_from_model(sm: SystemModel,
+                             resolver=None) -> ParticleSystemConfig:
+    """ParticleSystemConfiguration subset (ParticleConfiguration.cs).
+    `resolver` resolves named-variable references inside Parameter-
+    wrapped configuration values."""
     c = sm.configuration or {}
     collision = c.get("Collision") or {}
 
     def f(key, default, src=c):
         v = src.get(key, default)
         if isinstance(v, dict):  # Parameter-wrapped
-            return float(_param_value(v, None, 0, 1)[0])
+            return float(_param_value(v, resolver, 0, 1)[0])
         return float(v) if v is not None else default
 
     return ParticleSystemConfig(
@@ -186,7 +244,7 @@ def system_config_from_model(sm: SystemModel) -> ParticleSystemConfig:
         z_to_y=f("ZToY", 0.0),
         z_formula=(
             tuple(float(v) for v in
-                  _param_value(c.get("ZFormula"), None, 0, 4))
+                  _param_value(c.get("ZFormula"), resolver, 0, 4))
             if c.get("ZFormula") is not None else None
         ),
         size_from_z=f("SizeFromZ", 0.0),
@@ -210,14 +268,16 @@ class EngineView:
 
     def __init__(self, model: EngineModel, volume=None,
                  overrides: Optional[Dict[str, Any]] = None,
-                 capacity: Optional[int] = None):
+                 capacity: Optional[int] = None, seed: int = 0):
         self.model = model
         self.resolver = model.make_resolver(overrides)
         self._overrides = overrides
         self._capacity = capacity
+        self._seed = seed
+        self._now = 0.0
         self.systems: List[SystemView] = []
         for sm in sorted(model.systems, key=lambda s: s.update_order):
-            config = system_config_from_model(sm)
+            config = system_config_from_model(sm, self.resolver)
             if capacity:
                 config = dataclasses.replace(config, capacity=capacity)
             transforms = [
@@ -228,9 +288,30 @@ class EngineView:
                 SystemView(
                     model=sm,
                     system=ParticleSystem(config, transforms,
-                                          volume=volume),
+                                          volume=volume, seed=seed),
                 )
             )
+        self._wire_feedback_sources()
+        # Bezier-animated properties re-derive per update (the reference
+        # evaluates parameters at `now` every frame, Transforms.cs:364);
+        # static models skip the per-tick re-instantiation entirely.
+        self._animated = any(
+            _has_bezier(t.properties)
+            for sm in model.systems for t in sm.transforms
+        )
+
+    def _wire_feedback_sources(self):
+        """Resolve FeedbackSpawner.SourceSystem by system name (the
+        reference's SystemResolver, Modeling/View.cs:63)."""
+        by_name = {sv.model.name: sv.system for sv in self.systems}
+        for sv in self.systems:
+            for tm, live in zip(sv.model.transforms,
+                                sv.system.transforms):
+                if isinstance(live, FeedbackSpawner):
+                    src_name = tm.properties.get("SourceSystem")
+                    if isinstance(src_name, dict):
+                        src_name = src_name.get("Name")
+                    live.source = by_name.get(src_name, sv.system)
 
     def patch_system(self, sm: SystemModel) -> bool:
         """Re-derive a system's config + transforms from its (edited)
@@ -240,7 +321,7 @@ class EngineView:
         count changed) and the caller must rebuild instead."""
         for sv in self.systems:
             if sv.model is sm:
-                config = system_config_from_model(sm)
+                config = system_config_from_model(sm, self.resolver)
                 if self._capacity:
                     config = dataclasses.replace(
                         config, capacity=self._capacity)
@@ -249,7 +330,8 @@ class EngineView:
                 if len(sm.transforms) != len(sv.system.transforms):
                     return False
                 transforms = [
-                    instantiate_transform(t, self.resolver)
+                    instantiate_transform(t, self.resolver,
+                                          now=self._now)
                     for t in sm.transforms
                 ]
                 sv.system.patch(transforms=transforms, config=config)
@@ -265,9 +347,16 @@ class EngineView:
         if overrides is not None:
             self._overrides = overrides
         self.resolver = self.model.make_resolver(self._overrides)
-        return all(self.patch_system(sv.model) for sv in self.systems)
+        # Materialize BEFORE all(): the lazy generator would stop at the
+        # first structural mismatch and leave later systems stale.
+        results = [self.patch_system(sv.model) for sv in self.systems]
+        return all(results)
 
     def update(self, dt: float):
+        self._now += dt
+        if self._animated:
+            for sv in self.systems:
+                self.patch_system(sv.model)
         for sv in self.systems:
             sv.system.update(dt)
 

@@ -237,3 +237,84 @@ def test_deterministic_replay():
     p2, v2 = run()
     np.testing.assert_array_equal(p1, p2)
     np.testing.assert_array_equal(v1, v2)
+
+
+def test_view_binding_review_fixes():
+    """Round-3 review fixes in the model->engine binding."""
+    import numpy as np
+    from illuminant_tpu.models.model import (
+        EngineModel, SystemModel, TransformModel)
+    from illuminant_tpu.models.view import EngineView, instantiate_transform
+    from illuminant_tpu.particles import transforms as tx
+    from illuminant_tpu.particles.spawner import FeedbackSpawner
+
+    # Sensor instantiates (was ValueError though the engine supports it).
+    s = instantiate_transform(
+        TransformModel(type="Sensor", name="s"), None)
+    assert isinstance(s, tx.Sensor)
+
+    # Attractor falloff from the reference's integer "Type" key.
+    g = instantiate_transform(TransformModel(type="Gravity", name="g",
+        properties={"Attractors": [
+            {"Position": [0, 0, 0], "Radius": 10.0, "Strength": 5.0,
+             "Type": 2}]}), None)
+    assert g.attractors[0].falloff_type == 2
+    # MaximumAcceleration: reference default 8; explicit 0 honored.
+    assert g.maximum_acceleration == 8.0
+    g0 = instantiate_transform(TransformModel(type="Gravity", name="g",
+        properties={"Attractors": [], "MaximumAcceleration": 0.0}), None)
+    assert g0.maximum_acceleration == 0.0
+
+    # Life defaults to 1 (Formula1.One) when absent.
+    sp = instantiate_transform(TransformModel(type="Spawner", name="sp",
+        properties={"MinRate": 60.0, "MaxRate": 60.0}), None)
+    assert sp.life.constant == 1.0
+    # Explicit MaximumTotal=0 disables the spawner (not unbounded).
+    sp0 = instantiate_transform(TransformModel(type="Spawner", name="sp",
+        properties={"MinRate": 60.0, "MaxRate": 60.0,
+                    "MaximumTotal": 0}), None)
+    assert sp0.maximum_total == 0
+    assert sp0.begin_tick(0.0, 1.0) == 0
+
+    # FeedbackSpawner instantiates as its real class and wires its
+    # source system by name.
+    m = EngineModel(systems=[
+        SystemModel(name="src", transforms=[
+            TransformModel(type="Spawner", name="s",
+                           properties={"MinRate": 60.0, "MaxRate": 60.0})]),
+        SystemModel(name="dst", transforms=[
+            TransformModel(type="FeedbackSpawner", name="f",
+                           properties={"MinRate": 30.0, "MaxRate": 30.0,
+                                       "SourceSystem": "src",
+                                       "InstanceMultiplier": 2})]),
+    ])
+    view = EngineView(m, capacity=1 << 10)
+    fb = view.systems[1].system.transforms[0]
+    assert isinstance(fb, FeedbackSpawner)
+    assert fb.source is view.systems[0].system
+    assert fb.instance_multiplier == 2
+
+
+def test_view_bezier_parameters_animate():
+    """Bezier-animated transform parameters advance with view time (the
+    reference evaluates Parameters at `now` every frame; they were
+    frozen at t=0)."""
+    from illuminant_tpu.models.model import (
+        EngineModel, SystemModel, TransformModel)
+    from illuminant_tpu.models.view import EngineView
+
+    bez = {"Bezier": {"Mode": 0, "Count": 2, "MinValue": 0.0,
+                      "MaxValue": 1.0, "A": 0.0, "B": 100.0}}
+    m = EngineModel(systems=[SystemModel(name="s", transforms=[
+        TransformModel(type="Gravity", name="g", properties={
+            "Attractors": [{"Position": [0, 0, 0], "Radius": 50.0,
+                            "Strength": bez, "Type": 1}],
+            "MaximumAcceleration": 100.0,
+        })])])
+    view = EngineView(m, capacity=1 << 8)
+    assert view._animated
+    g0 = view.systems[0].system.transforms[0].attractors[0].strength
+    for _ in range(30):
+        view.update(1.0 / 60.0)
+    g1 = view.systems[0].system.transforms[0].attractors[0].strength
+    assert g1 > g0 + 10.0, (g0, g1)
