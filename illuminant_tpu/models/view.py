@@ -199,7 +199,11 @@ def instantiate_transform(tm: TransformModel, resolver, now: float = 0.0):
     if kind in ("Noise", "SpatialNoise"):
         n = tx.Noise(spatial=(kind == "SpatialNoise"))
         if p.get("Interval") is not None:
-            n.interval_seconds = float(p["Interval"])
+            # Reference Interval is MILLISECONDS (IntervalUnit = 1000,
+            # Transforms.cs:134: intervalSecs = Interval / 1000), and
+            # may be Parameter-wrapped.
+            n.interval_seconds = float(_param_value(
+                p["Interval"], resolver, now, 1)[0]) / 1000.0
         for model_key, attr in (
             ("Position", "position"),
             ("Velocity", "velocity"),

@@ -60,7 +60,9 @@ def area_weight(position_xyz, a: AreaUniforms):
     d = sdf_primitives.evaluate_by_type(
         a.type, position_xyz, a.center, a.size, a.rotation
     )
-    w = (1.0 - jnp.clip(d / jnp.maximum(a.falloff, 1e-6), 0.0, 1.0))
+    # Falloff clamps to a MINIMUM of 1 (ParticleTransform.cs:305
+    # Math.Max(1, falloff)) — sub-unit falloffs are not sharper edges.
+    w = (1.0 - jnp.clip(d / jnp.maximum(a.falloff, 1.0), 0.0, 1.0))
     w = jnp.where(a.type == 0, 1.0, w)
     return w * a.strength
 
@@ -354,18 +356,24 @@ class NoiseUniforms:
     category_filter: jnp.ndarray  # (2,)
 
 
+_NOISE_SEEDS = __import__("itertools").count(1)
+
+
 def _noise_core(position, velocity, u: NoiseUniforms, su: SystemUniforms,
-                random_p, random_v):
+                random_p, random_v, apply_minimum: bool = True):
     w = area_weight(position[:, :3], u.area)
     t = jnp.where(
         u.cycles_per_second >= 0.0, w * su.dt * u.cycles_per_second, w
     )
 
     pd = random_p + u.position_offset
-    pd = jnp.sign(pd) * jnp.maximum(jnp.abs(pd), u.position_minimum)
-    pd = pd * u.position_scale
     vd = random_v + u.velocity_offset
-    vd = jnp.sign(vd) * jnp.maximum(jnp.abs(vd), u.velocity_minimum)
+    if apply_minimum:
+        # PS_Noise only (Noise.fx:40-44); PS_SpatialNoise computes
+        # (random + Offset) * Scale with no minimum clamp (fx:105-106).
+        pd = jnp.sign(pd) * jnp.maximum(jnp.abs(pd), u.position_minimum)
+        vd = jnp.sign(vd) * jnp.maximum(jnp.abs(vd), u.velocity_minimum)
+    pd = pd * u.position_scale
     vd = vd * u.velocity_scale
 
     new_pos = position + pd * t[:, None]
@@ -424,7 +432,8 @@ def apply_spatial_noise(position, velocity, u: NoiseUniforms,
     fl = u.frequency_lerp
     random_p = rp1 + (rp2 - rp1) * fl
     random_v = rv1 + (rv2 - rv1) * fl
-    return _noise_core(position, velocity, u, su, random_p, random_v)
+    return _noise_core(position, velocity, u, su, random_p, random_v,
+                       apply_minimum=False)
 
 
 @dataclasses.dataclass
@@ -433,14 +442,18 @@ class Noise:
     randomness-offset interval cycling (Interval/offsets swap) like the
     reference's SetParameters."""
 
+    # Defaults mirror the reference ctor (Transforms.cs:192-204):
+    # Position {Offset -0.5, Scale 0}, Velocity {Offset -0.5, Scale 1},
+    # Speed {Offset -0.5, Scale 0} riding the velocity arrays' w lane,
+    # ReplaceOldVelocity true.
     interval_seconds: float = 1.0
-    position_offset: Tuple[float, float, float, float] = (-0.5,) * 3 + (0.0,)
+    position_offset: Tuple[float, float, float, float] = (-0.5,) * 4
     position_minimum: Tuple[float, float, float, float] = (0.0,) * 4
     position_scale: Tuple[float, float, float, float] = (0.0,) * 4
-    velocity_offset: Tuple[float, float, float, float] = (-0.5,) * 3 + (0.0,)
+    velocity_offset: Tuple[float, float, float, float] = (-0.5,) * 4
     velocity_minimum: Tuple[float, float, float, float] = (0.0,) * 4
-    velocity_scale: Tuple[float, float, float, float] = (1.0,) * 4
-    replace_old_velocity: bool = False
+    velocity_scale: Tuple[float, float, float, float] = (1.0,) * 3 + (0.0,)
+    replace_old_velocity: bool = True
     cycles_per_second: Optional[float] = 10.0
     strength: float = 1.0
     area: TransformArea = dataclasses.field(default_factory=TransformArea)
@@ -448,14 +461,22 @@ class Noise:
     space_scale: Tuple[float, float] = (1.0, 1.0)
     spatial: bool = False
     is_spawner = False
+    # Fresh randomness stream per instance (the reference seeds a new
+    # Xoshiro per Noise, NextSeed static) — two default Noise transforms
+    # must not cycle identical offsets.
     _rng: np.random.Generator = dataclasses.field(
-        default_factory=lambda: np.random.default_rng(0), repr=False
+        default_factory=lambda: np.random.default_rng(
+            next(_NOISE_SEEDS)), repr=False
     )
     _offset_a: Tuple[float, float] = (0.0, 0.0)
     _offset_b: Tuple[float, float] = (37.0, 59.0)
     _last_cycle: int = -1
 
     def _maybe_cycle(self, now: float):
+        if self.interval_seconds <= 0.01:
+            # AutoCycleUV: interval <= 0.01 freezes the field (t = 0,
+            # no cycling) — the reference's documented 'no changes'.
+            return
         cycle = int(now / max(self.interval_seconds, 1e-6))
         if cycle != self._last_cycle:
             self._last_cycle = cycle
@@ -467,7 +488,8 @@ class Noise:
 
     def uniforms(self, now: float) -> NoiseUniforms:
         self._maybe_cycle(now)
-        frac = (now / max(self.interval_seconds, 1e-6)) % 1.0
+        frac = (0.0 if self.interval_seconds <= 0.01
+                else (now / self.interval_seconds) % 1.0)
         return NoiseUniforms(
             area=self.area.uniforms(self.strength),
             position_offset=jnp.asarray(self.position_offset, jnp.float32),
@@ -487,7 +509,11 @@ class Noise:
             frequency_lerp=jnp.asarray(frac, jnp.float32),
             randomness_offset=jnp.asarray(self._offset_a, jnp.float32),
             next_randomness_offset=jnp.asarray(self._offset_b, jnp.float32),
-            space_scale=jnp.asarray(self.space_scale, jnp.float32),
+            # The shader rate is the RECIPROCAL of SpaceScale
+            # (SetParameters: 1/scale — larger scale = larger, smoother
+            # pattern).
+            space_scale=1.0 / jnp.maximum(
+                jnp.asarray(self.space_scale, jnp.float32), 1e-6),
             category_filter=jnp.asarray(self.category_filter, jnp.float32),
         )
 
@@ -560,10 +586,19 @@ class VectorField:
     category_filter: Tuple[float, float] = (-1e9, 1e9)
     is_spawner = False
 
+    def _device_field(self):
+        # Convert once: uniforms() runs every tick and a fresh
+        # jnp.asarray would re-upload the whole static field each frame.
+        cached = getattr(self, "_field_dev", None)
+        if cached is None or cached[0] is not self.field:
+            cached = (self.field, jnp.asarray(self.field, jnp.float32))
+            self._field_dev = cached
+        return cached[1]
+
     def uniforms(self, now: float) -> VectorFieldUniforms:
         return VectorFieldUniforms(
             area=self.area.uniforms(self.strength),
-            field=jnp.asarray(self.field, jnp.float32),
+            field=self._device_field(),
             field_scale=jnp.asarray(self.field_scale, jnp.float32),
             field_offset=jnp.asarray(self.field_offset, jnp.float32),
             velocity_scale=jnp.asarray(self.velocity_scale, jnp.float32),
@@ -602,10 +637,12 @@ class Sensor:
         """Count live particles inside the area (device reduction)."""
         u = self.uniforms(0.0)
         w = area_weight(state.position[:, :3], u)
-        live = state.position[:, 3] > 0.0
+        # CollectParticles.fx:32: count life > 1 within any nonzero
+        # falloff weight (> 0.01), not a half-weight cut.
+        live = state.position[:, 3] > 1.0
         cat = check_category_filter(state.velocity[:, 3],
                                     jnp.asarray(self.category_filter))
-        inside = w > 0.5
+        inside = w > 0.01
         self.last_count = int(jnp.sum((live & cat & inside).astype(
             jnp.int32)))
         return self.last_count
