@@ -334,6 +334,12 @@ class Spawner:
     def reset(self):
         self.rate_error = 0.0
         self.total_spawned = 0
+        # Re-seed so a reset system reproduces its original run (the
+        # advanced generator state otherwise shifted every stochastic
+        # rate draw after reset).
+        self._rng = np.random.default_rng(self.seed)
+        if hasattr(self, "read_cursor"):
+            self.read_cursor = 0
 
     def carry_runtime_from(self, other: "Spawner"):
         """Adopt another spawner's runtime accumulators (rate error, RNG
@@ -660,12 +666,21 @@ class FeedbackSpawner(Spawner):
             ),
         )
 
-    def advance_window(self, consumed: int):
-        if self.source is None or consumed <= 0:
+    def advance_window(self, consumed: int, fallback_capacity=None):
+        """Slide the read window. `fallback_capacity` serves SELF-
+        feedback spelled source=None (the owning system passes its own
+        capacity) — previously that spelling never advanced and re-
+        consumed the same source slots every tick."""
+        if consumed <= 0:
             # Zero-consumption ticks must not drift the window past
             # source particles that were never consumed.
             return
-        cap = self.source.config.capacity
+        if self.source is not None:
+            cap = self.source.config.capacity
+        elif fallback_capacity:
+            cap = fallback_capacity
+        else:
+            return
         if self.spawn_from_entire_window:
             self.read_cursor = int(
                 self._rng.integers(0, max(cap, 1))

@@ -23,7 +23,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.pytree import pytree_dataclass, static_field
 from ..ops.noise import RandomField
 from ..sdf.volume import SdfVolume
 from . import spawner as spawner_mod
@@ -89,18 +88,8 @@ class ParticleSystem:
         self.config = config
         self.transforms = list(transforms or [])
         self.volume = volume
-        self.render_data = render_data or RenderDataUniforms.defaults()
-        # Auto-enable the (statically gated) velocity->rotation path if
-        # the host-side uniform is nonzero, so callers don't have to know
-        # about the gate.
-        try:
-            if (not self.render_data.use_velocity_rotation
-                    and float(np.asarray(
-                        self.render_data.velocity_rotation)) != 0.0):
-                self.render_data = self.render_data.replace(
-                    use_velocity_rotation=True)
-        except (TypeError, jax.errors.TracerArrayConversionError):
-            pass  # traced value: caller controls the static flag
+        self.render_data = self._auto_rotation_gate(
+            render_data or RenderDataUniforms.defaults())
 
         self.random_field = RandomField.create(jax.random.key(seed ^ 0x5EED))
         self.state = ParticleState.empty(config.capacity)
@@ -109,6 +98,19 @@ class ParticleSystem:
         self._time = 0.0
         self._update_error = 0.0
         self._step = self._build_step()
+
+    @staticmethod
+    def _auto_rotation_gate(rd: RenderDataUniforms) -> RenderDataUniforms:
+        """Auto-enable the (statically gated) velocity->rotation path if
+        the host-side uniform is nonzero, so callers don't have to know
+        about the gate — applied on construction AND live-patch."""
+        try:
+            if (not rd.use_velocity_rotation
+                    and float(np.asarray(rd.velocity_rotation)) != 0.0):
+                return rd.replace(use_velocity_rotation=True)
+        except (TypeError, jax.errors.TracerArrayConversionError):
+            pass  # traced value: caller controls the static flag
+        return rd
 
     # -- step construction -------------------------------------------------
 
@@ -122,17 +124,48 @@ class ParticleSystem:
             t for t in self.transforms if not getattr(t, "is_spawner", False)
         ]
 
+    @staticmethod
+    def _modifier_kind(t) -> str:
+        """Canonical dispatch kind via isinstance (user SUBCLASSES of a
+        transform dispatch like their base — an exact type-name table
+        raised on e.g. class PulsingGravity(Gravity))."""
+        if isinstance(t, tx.Sensor):
+            return "Sensor"
+        if isinstance(t, tx.FMA):
+            return "FMA"
+        if isinstance(t, tx.Gravity):
+            return "Gravity"
+        if isinstance(t, tx.VectorField):
+            return "VectorField"
+        if isinstance(t, tx.Noise):
+            return "Noise"
+        if isinstance(t, tx.MatrixMultiply):
+            return "MatrixMultiply"
+        raise TypeError(f"unknown transform kind {type(t).__name__}")
+
     def _build_step(self):
         cfg = self.config
         spawner_maxes = tuple(s.spawn_max for s in self.spawners)
         spawner_feedback = tuple(
             getattr(s, "is_feedback", False) for s in self.spawners
         )
-        modifier_kinds = tuple(type(t).__name__ for t in self.modifiers)
+        modifier_kinds = tuple(
+            self._modifier_kind(t) for t in self.modifiers)
         modifier_spatial = tuple(
             getattr(t, "spatial", False) for t in self.modifiers
         )
         has_volume = self.volume is not None
+        # Cache the jitted step by its STATIC structure: live-patching
+        # with the same structure (the per-frame animated-model path)
+        # must reuse the SAME jax.jit wrapper — a fresh closure per
+        # patch would retrace/recompile the whole step every frame.
+        key = (cfg, spawner_maxes, spawner_feedback, modifier_kinds,
+               modifier_spatial, has_volume)
+        cache = getattr(self, "_step_cache", None)
+        if cache is None:
+            cache = self._step_cache = {}
+        if key in cache:
+            return cache[key]
 
         @partial(jax.jit, donate_argnums=(0,))
         def step(state, su, rd, spawn_batches, modifier_uniforms,
@@ -162,7 +195,7 @@ class ParticleSystem:
                     pass  # analyzer: measured host-side via .measure()
                 elif kind == "FMA":
                     pos, vel = tx.apply_fma(pos, vel, u, su)
-                elif kind in ("MatrixMultiply", "GeometricTransform"):
+                elif kind == "MatrixMultiply":
                     pos, vel = tx.apply_matrix_multiply(pos, vel, u, su)
                 elif kind == "Gravity":
                     pos, vel = tx.apply_gravity(pos, vel, u, su)
@@ -191,6 +224,7 @@ class ParticleSystem:
                 state = integrate(state, su, rd)
             return state
 
+        cache[key] = step
         return step
 
     # -- public surface -----------------------------------------------------
@@ -226,7 +260,8 @@ class ParticleSystem:
                     (s.feedback_uniforms(now),
                      jnp.asarray(count, jnp.int32), src)
                 )
-                s.advance_window(count)
+                s.advance_window(count,
+                                 fallback_capacity=self.config.capacity)
             else:
                 spawn_batches.append(
                     (s.uniforms(now), jnp.asarray(count, jnp.int32), None)
@@ -248,20 +283,28 @@ class ParticleSystem:
             self.tick(min(delta_time_seconds, cfg.maximum_update_delta))
             return
         step_dt = 1.0 / cfg.updates_per_second
-        accumulated = min(
-            delta_time_seconds + self._update_error,
-            cfg.maximum_update_delta,
+        # Clamp the INCOMING delta only; the error accumulator must be
+        # allowed to reach a full step or update rates slower than
+        # 1/maximum_update_delta (e.g. 15 ups at the default 50 ms cap)
+        # would saturate below one step and never tick at all.
+        accumulated = (
+            min(delta_time_seconds, cfg.maximum_update_delta)
+            + self._update_error
         )
         steps = int(accumulated / step_dt)
-        self._update_error = accumulated - steps * step_dt
+        # Bound the carried error to one step (spiral-of-death guard).
+        self._update_error = min(accumulated - steps * step_dt, step_dt)
         for _ in range(steps):
             self.tick(step_dt)
 
     def reset(self):
-        """Clear (ParticleSystem.cs:518)."""
+        """Clear (ParticleSystem.cs:518). A reset system reproduces its
+        seeded run exactly: the tick index (the device RNG fold) rewinds
+        and every spawner re-seeds its stochastic rate stream."""
         self.state = ParticleState.empty(self.config.capacity)
         self._time = 0.0
         self._update_error = 0.0
+        self._tick_index = 0
         for s in self.spawners:
             s.reset()
 
@@ -285,12 +328,21 @@ class ParticleSystem:
             old_spawners = self.spawners
             self.transforms = list(transforms)
             # Carry spawner accumulators (rate error, window cursor) so a
-            # rate tweak mid-flight doesn't stutter the emission stream.
-            for old, new in zip(old_spawners, self.spawners):
-                if type(old) is type(new):
+            # rate tweak mid-flight doesn't stutter the emission stream —
+            # but ONLY when the spawner list structure is unchanged
+            # (same length, pairwise same types): a positional zip under
+            # insertion/reorder would transplant total_spawned into the
+            # wrong spawner (e.g. a fresh spawner adopting an exhausted
+            # one's maximum_total count and never emitting).
+            new_spawners = self.spawners
+            if len(old_spawners) == len(new_spawners) and all(
+                type(o) is type(n)
+                for o, n in zip(old_spawners, new_spawners)
+            ):
+                for old, new in zip(old_spawners, new_spawners):
                     new.carry_runtime_from(old)
         if render_data is not None:
-            self.render_data = render_data
+            self.render_data = self._auto_rotation_gate(render_data)
         self._step = self._build_step()
 
     @property
@@ -327,15 +379,16 @@ class BitmapDrawCall:
 
 
 def auto_readback(system: ParticleSystem, sort: bool = True,
-                  z_to_y: float = 0.0) -> BitmapDrawCall:
+                  z_to_y: Optional[float] = None) -> BitmapDrawCall:
     """AutoReadback (ParticleConfiguration.AutoReadback +
     ParticleReadback.cs): pull live particles to the host as a sprite
     list. One transfer of the SoA slices (the reference's threaded
     GetDataFast + CPU sort); `sort` orders back-to-front by screen y like
-    SortedReadback."""
-    import numpy as np
-
+    SortedReadback. `z_to_y=None` uses the system's configured
+    projection (matching render()'s contract)."""
     st = system.state
+    if z_to_y is None:
+        z_to_y = system.config.z_to_y
     live = np.asarray(st.live_mask())
     pos = np.asarray(st.position)[live]
     rd = np.asarray(st.render_data)[live]

@@ -507,3 +507,62 @@ def test_rate_per_position_count_scale():
     assert total == 8  # 12 rounds down to one granule; remainder retired
     assert fin.begin_tick(0.0, 1.0 / 60.0, granularity=8) == 0
     assert fin.rate_error == 0.0
+
+
+def test_low_update_rate_does_not_stall():
+    """updates_per_second below 1/maximum_update_delta must still tick
+    (the accumulator clamp previously saturated below one step and the
+    system froze forever)."""
+    spn = Spawner(min_rate=15.0, max_rate=15.0,
+                  life=Formula1(constant=10.0),
+                  position=Formula3(constant=(10.0, 10.0, 0.0)),
+                  color=Formula4(constant=(1.0, 1.0, 1.0, 1.0)))
+    cfg = ParticleSystemConfig(capacity=256, updates_per_second=15.0,
+                               life_decay_per_second=0.0)
+    system = ParticleSystem(cfg, [spn])
+    for _ in range(120):  # 2 simulated seconds at 60 fps
+        system.update(1.0 / 60.0)
+    assert system.live_count > 10  # ~30 spawned over 2 s at 15/s
+
+
+def test_reset_reproduces_seeded_run():
+    """reset() rewinds the tick index and re-seeds spawner streams, so
+    the same system reproduces its run bit-for-bit."""
+    spn = Spawner(min_rate=100.0, max_rate=300.0,  # stochastic rate
+                  life=Formula1(constant=5.0),
+                  position=Formula3(constant=(10.0, 10.0, 0.0),
+                                    random_scale=(5.0, 5.0, 0.0)),
+                  velocity=Formula3(random_scale=(10.0, 10.0, 0.0)),
+                  color=Formula4(constant=(1.0, 1.0, 1.0, 1.0)))
+    cfg = ParticleSystemConfig(capacity=1 << 10, updates_per_second=0.0,
+                               life_decay_per_second=0.2)
+    system = ParticleSystem(cfg, [spn], seed=11)
+    for _ in range(20):
+        system.tick(1.0 / 60.0)
+    first = np.asarray(system.state.position).copy()
+    system.reset()
+    for _ in range(20):
+        system.tick(1.0 / 60.0)
+    np.testing.assert_array_equal(first,
+                                  np.asarray(system.state.position))
+
+
+def test_patch_reuses_jitted_step():
+    """Live-patching with an unchanged structure must return the SAME
+    jitted step object (per-frame animated-model patches would otherwise
+    retrace the whole step every frame)."""
+    spn = Spawner(min_rate=60.0, max_rate=60.0,
+                  life=Formula1(constant=2.0),
+                  position=Formula3(constant=(10.0, 10.0, 0.0)),
+                  color=Formula4(constant=(1.0, 1.0, 1.0, 1.0)))
+    grav = tx.Gravity(attractors=[tx.Attractor(
+        position=(20.0, 20.0, 0.0), radius=100.0, strength=10.0,
+        falloff_type=tx.FALLOFF_LINEAR)])
+    cfg = ParticleSystemConfig(capacity=256, updates_per_second=0.0)
+    system = ParticleSystem(cfg, [spn, grav])
+    step0 = system._step
+    grav2 = tx.Gravity(attractors=[tx.Attractor(
+        position=(20.0, 20.0, 0.0), radius=100.0, strength=99.0,
+        falloff_type=tx.FALLOFF_LINEAR)])
+    system.patch(transforms=[spn, grav2])
+    assert system._step is step0
