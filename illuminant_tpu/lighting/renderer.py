@@ -80,7 +80,12 @@ def render_lightmap(
         from .volumetric import accumulate_volumetric_lights
 
         lightmap = lightmap + accumulate_volumetric_lights(
-            volume, gbuffer, volumetric_lights, env, config.quality
+            volume, gbuffer, volumetric_lights, env, config.quality,
+            # Forward the pass's shadow setting (per-light CastsShadows
+            # gating happens inside — lights with the flag off keep
+            # full visibility even in a shadowed pass).
+            shadowed=(shadow_mode != "none"),
+            shadow_detail="scan" if shadow_mode == "scan" else "march",
         )
     if projector_lights is not None:
         from .projector import accumulate_projector_lights

@@ -28,7 +28,8 @@ from ..core.pytree import pytree_dataclass
 from ..sdf.analytic import scene_sample
 from .environment import EnvironmentUniforms
 from .gbuffer import GBuffer
-from .sphere import DOT_OFFSET, DOT_RAMP_RANGE, compute_ao
+from .sphere import (DOT_OFFSET, DOT_RAMP_RANGE, SELF_OCCLUSION_HACK,
+                     compute_normal_factor)
 
 SHAPE_ELLIPSOID = 0
 SHAPE_CONE = 1
@@ -229,7 +230,10 @@ def volumetric_trace(volume, start4, end4, world_xy, world_z, env,
             toward = pos - origin
             md = _norm(toward)
             along = toward / md[..., None]
-            inner_steps = max(quality.max_step_count // 4, 8)
+            # Full step budget like the reference's getStepLimit()
+            # (fxh:362) — a quartered budget stalled mid-ray on long
+            # shafts and darkened pixels the reference leaves lit.
+            inner_steps = max(quality.max_step_count, 8)
 
             def march(_, carry):
                 d, occ, done = carry
@@ -299,10 +303,15 @@ def accumulate_volumetric_lights(
         gbuffer.fullbright[None] < 0.5
     )
 
-    ao_radius = more[..., 0] * jnp.maximum(0.0, normal[None, ..., 2])
-    ao = compute_ao(volume, world_pos[None], normal[None], ao_radius,
-                    more[..., 3], visible)
+    # AO is statically skipped: VolumetricLightSource exposes no AO
+    # fields (pack leaves more[:, 0] at 0), so the per-call full-res
+    # scene_sample was guaranteed dead work; re-enable by adding the
+    # fields to the source + pack when the feature is needed.
+    ao = 1.0
 
+    if shadow_detail not in ("scan", "march"):
+        raise ValueError(f"unknown shadow_detail {shadow_detail!r} "
+                         "(expected 'scan' or 'march')")
     scan_occ = None
     if shadowed and shadow_detail == "scan":
         from .scan_shadows import scan_cone_visibility
@@ -310,8 +319,9 @@ def accumulate_volumetric_lights(
         scan_occ = scan_cone_visibility(
             volume, gbuffer, lights.start[:, :3],
             jnp.maximum(lights.start[:, 3], 1.0),
-            jnp.maximum(lights.properties[:, 1], 16.0),
+            lights.properties[:, 1],
             quality, light_active=lights.active,
+            self_occlusion_lift=SELF_OCCLUSION_HACK,
         ).astype(jnp.float32)
 
     vol_opacity = volumetric_trace(
@@ -319,8 +329,20 @@ def accumulate_volumetric_lights(
         world_pos[None, ..., 2], env, props, even, quality,
         shadowed and shadow_detail == "march",
     )
+    # Per-light CastsShadows gate (lightProperties.w, fxh:451): lights
+    # with the flag off keep full visibility even in a shadowed pass —
+    # mixed sets render in one call like the reference.
+    occ_gate = props[..., 3] > 0.0
     if scan_occ is not None:
-        vol_opacity = vol_opacity * scan_occ
+        vol_opacity = vol_opacity * jnp.where(occ_gate, scan_occ, 1.0)
+    elif shadowed:
+        # The march folded occlusion into vol_opacity; recover the
+        # unshadowed trace for gated-off lights.
+        vol_plain = volumetric_trace(
+            volume, start4, end4, world_pos[None, ..., :2],
+            world_pos[None, ..., 2], env, props, even, quality, False,
+        )
+        vol_opacity = jnp.where(occ_gate, vol_opacity, vol_plain)
     pre_trace = ao * vol_opacity
 
     # Diffuse surface term (fxh:462-494).
@@ -333,10 +355,8 @@ def accumulate_volumetric_lights(
     dot_offset = DOT_OFFSET + (0.33 - DOT_OFFSET) * cone_sharp
     to_pixel = world_pos[None] - start4[..., :3]
     ln = to_pixel / _norm(to_pixel)[..., None]
-    d = jnp.sum(-ln * normal[None], axis=-1)
-    normal_opacity = _saturate((d + dot_offset) / dot_range) ** 0.85
-    no_normal = jnp.all(normal[None] == 0.0, axis=-1)
-    normal_opacity = jnp.where(no_normal, 1.0, normal_opacity)
+    normal_opacity = compute_normal_factor(
+        ln, normal[None], offset=dot_offset, range_=dot_range)
     # Blowout (fxh:485): lerp toward 2x-1 (can go negative).
     normal_opacity = normal_opacity + (
         (normal_opacity * 2.0 - 1.0) - normal_opacity
@@ -356,10 +376,10 @@ def accumulate_volumetric_lights(
     distance_opacity = 1.0 - _saturate(
         _norm(to_pixel) / jnp.maximum(trajectory_len * even[..., 2], 1e-6)
     )
-    distance_opacity = jnp.where(
-        props[..., 2] >= 1.0, distance_opacity * distance_opacity,
-        distance_opacity,
-    )
+    # NOTE: the reference's ramp-mode squaring (fxh:495-498) runs AFTER
+    # diffuse is computed (fxh:492) and distanceOpacity is never read
+    # again — dead code there, so no squaring here either (squaring
+    # before diffuse halved the surface term for ramp_mode >= 1).
     diffuse = normal_opacity * shape_opacity * distance_opacity
 
     opacity = jnp.where(

@@ -65,6 +65,9 @@ def test_shadowed_volumetric_matches_march_oracle():
         start_radius=6.0,
         volumetricity=1.0,
         color=(1.0, 1.0, 1.0, 1.0),
+        # Per-light CastsShadows gate (lightProperties.w, fxh:451): a
+        # shadowed PASS only occludes lights with the flag set.
+        cast_shadows=True,
     )
     lights = pack_volumetric_lights([src])
     gb = gbuf.flat_ground(64, 96, env.uniforms())
@@ -97,3 +100,29 @@ def test_shadowed_volumetric_matches_march_oracle():
                                   center, size)
     assert occ_behind < 0.2
     assert occ_front > occ_behind
+
+
+def test_cast_shadows_flag_gates_per_light():
+    """A shadowed pass leaves cast_shadows=False lights unshadowed
+    (lightProperties.w, VolumetricLightCore.fxh:451)."""
+    center = np.asarray([44.0, 32.0, 10.0])
+    size = np.asarray([4.0, 20.0, 10.0])
+    env = LightingEnvironment(maximum_z=40.0)
+    env.obstructions.append(LightObstruction.box(tuple(center),
+                                                 tuple(size)))
+    scene = pack_scene(env.obstructions)
+    q = QualitySettings()
+    src = VolumetricLightSource(
+        shape=SHAPE_ELLIPSOID,
+        start_position=(16.0, 32.0, 12.0),
+        end_position=(70.0, 30.0, 14.0),
+        start_radius=6.0, volumetricity=1.0,
+        color=(1.0, 1.0, 1.0, 1.0), cast_shadows=False,
+    )
+    lights = pack_volumetric_lights([src])
+    gb = gbuf.flat_ground(64, 96, env.uniforms())
+    lm_open = np.asarray(accumulate_volumetric_lights_jit(
+        scene, gb, lights, env.uniforms(), q, shadowed=False))
+    lm_shadow = np.asarray(accumulate_volumetric_lights_jit(
+        scene, gb, lights, env.uniforms(), q, shadowed=True))
+    np.testing.assert_allclose(lm_shadow, lm_open, atol=1e-5)
