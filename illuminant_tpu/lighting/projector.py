@@ -45,6 +45,10 @@ class ProjectorLights:
     # Mip pyramid of `texture` (level 0 excluded), tuple of
     # (L, TH/2^k, TW/2^k, 4) — static length.
     mips: tuple = ()
+    # Per-light (actual / padded) texture extent fractions (h, w):
+    # mixed-size textures pad to the max dims; uv rescales by this so
+    # each light's image spans its full projection.
+    tex_size: jnp.ndarray = None  # (L, 2)
 
     @property
     def capacity(self):
@@ -102,11 +106,25 @@ def pack_projector_lights(lights: List[ProjectorLightSource]
     origin = np.zeros((n, 4), np.float32)
     color = np.zeros((n, 4), np.float32)
     active = np.zeros((n,), np.float32)
+    tex_size = np.ones((n, 2), np.float32)
     for i, l in enumerate(lights):
-        inv[i] = np.linalg.inv(l.world_matrix())
+        try:
+            inv[i] = np.linalg.inv(l.world_matrix())
+        except np.linalg.LinAlgError:
+            # Degenerate transform (zero scale): degrade to an inactive
+            # light like the reference's inf-determinant garbage render,
+            # instead of aborting the whole pack.
+            continue
         if l.texture is not None:
             t = np.asarray(l.texture, np.float32)
             tex[i, : t.shape[0], : t.shape[1]] = t
+            # Actual-vs-padded extent: mixed-size textures pad to the
+            # max dims, and sampling rescales uv by this fraction so
+            # each light's image spans its full projection (not a
+            # corner of the padded atlas).
+            tex_size[i] = [t.shape[0] / th, t.shape[1] / tw]
+        else:
+            tex_size[i] = [1.0, 1.0]
         props[i] = [l.radius, l.ramp_length, 0.0,
                     1.0 if l.cast_shadows else 0.0]
         more[i] = [l.ambient_occlusion_radius, l.opacity,
@@ -120,11 +138,13 @@ def pack_projector_lights(lights: List[ProjectorLightSource]
     mips = []
     level = tex
     while min(level.shape[1], level.shape[2]) >= 2:
-        # Crop odd dimensions before the 2x2 pool (non-power-of-two
-        # textures otherwise mismatch shapes).
-        eh = level.shape[1] // 2 * 2
-        ew = level.shape[2] // 2 * 2
-        level = level[:, :eh, :ew]
+        # PAD odd dimensions (edge-replicate) before the 2x2 pool —
+        # cropping shifted mip content relative to uv space,
+        # compounding per level on non-power-of-two textures.
+        if level.shape[1] % 2:
+            level = np.concatenate([level, level[:, -1:]], axis=1)
+        if level.shape[2] % 2:
+            level = np.concatenate([level, level[:, :, -1:]], axis=2)
         level = 0.25 * (
             level[:, 0::2, 0::2] + level[:, 1::2, 0::2]
             + level[:, 0::2, 1::2] + level[:, 1::2, 1::2]
@@ -145,11 +165,8 @@ def pack_projector_lights(lights: List[ProjectorLightSource]
             ([getattr(l, "mip_bias", 0.0) for l in lights]
              + [0.0] * n)[:n], jnp.float32),
         mips=tuple(mips),
+        tex_size=jnp.asarray(tex_size),
     )
-
-
-def _saturate(x):
-    return jnp.clip(x, 0.0, 1.0)
 
 
 def _transform_point(p, m):
@@ -201,13 +218,35 @@ def _sample_texture_mipped(lights, i, uv, wrap):
     base = lights.texture[i]
     u = uv[..., 0]
     v = uv[..., 1]
+    if lights.tex_size is not None:
+        # Content-uv -> padded-atlas uv: wrap tiles over the ACTUAL
+        # texture extent, then both axes rescale by actual/padded so a
+        # smaller texture in a mixed-size pack spans its full
+        # projection instead of a corner of the padded atlas.
+        frac_h = lights.tex_size[i, 0]
+        frac_w = lights.tex_size[i, 1]
+        u = jnp.where(wrap > 0.5, jnp.mod(u, 1.0), u) * frac_w
+        v = jnp.where(wrap > 0.5, jnp.mod(v, 1.0), v) * frac_h
+        wrap = 0.0  # already wrapped in content space
     if not lights.mips or u.ndim < 2 or u.shape[-1] < 2:
         return _sample_texture_bilinear(base, u, v, wrap)
     th, tw = base.shape[0], base.shape[1]
-    dudx = (jnp.roll(u, -1, axis=-1) - u) * tw
-    dvdx = (jnp.roll(v, -1, axis=-1) - v) * th
-    dudy = (jnp.roll(u, -1, axis=-2) - u) * tw
-    dvdy = (jnp.roll(v, -1, axis=-2) - v) * th
+
+    def _ediff(a, axis):
+        # Forward difference with the EDGE repeating its neighbor's
+        # value — a wrapped roll differenced the last row/column
+        # against the first, forcing max-blur LOD on a 1-px border at
+        # every window boundary.
+        d = jnp.roll(a, -1, axis=axis) - a
+        last = jax.lax.slice_in_dim(d, a.shape[axis] - 2,
+                                    a.shape[axis] - 1, axis=axis)
+        head = jax.lax.slice_in_dim(d, 0, a.shape[axis] - 1, axis=axis)
+        return jnp.concatenate([head, last], axis=axis)
+
+    dudx = _ediff(u, u.ndim - 1) * tw
+    dvdx = _ediff(v, v.ndim - 1) * th
+    dudy = _ediff(u, u.ndim - 2) * tw
+    dvdy = _ediff(v, v.ndim - 2) * th
     foot = jnp.sqrt(jnp.maximum(
         jnp.maximum(dudx * dudx + dvdx * dvdx,
                     dudy * dudy + dvdy * dvdy), 1e-12))
@@ -244,12 +283,16 @@ def accumulate_projector_lights(
         psp = _transform_point(world_pos, lights.inverse_matrix[i])
         region = lights.texture_region[i]
         uv = psp[..., :2] + region[:2]
-        z = jnp.maximum(psp[..., 2], 0.0)  # fxh:52
 
         clamped = jnp.clip(uv, region[:2], region[2:])
         clamp_mode = lights.more[i, 2]
+        # Clamp-mode falloff includes the projector-space Z overshoot
+        # like the reference's clamp3 (fxh:57-67): surfaces beyond the
+        # unit z extent cull instead of being lit arbitrarily far away.
+        zr = psp[..., 2]
+        dz = zr - jnp.clip(zr, 0.0, 1.0)
         dist_out = jnp.sqrt(
-            jnp.sum((clamped - uv) ** 2, axis=-1)
+            jnp.sum((clamped - uv) ** 2, axis=-1) + dz * dz
         )
         distance_opacity = jnp.where(
             clamp_mode > 0.5,

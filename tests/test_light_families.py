@@ -206,3 +206,56 @@ def test_sphere_light_ramp_texture():
     far = lm[110, 110]  # low opacity -> blue end
     assert near[0] > near[2], near
     assert far[2] > far[0], far
+
+
+def test_projector_mixed_texture_sizes():
+    """Mixed-size projector textures pad to the max dims; uv rescales by
+    actual/padded so the smaller texture spans its full projection
+    (review finding: it rendered squeezed into a corner with black
+    padding sampled as content)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from illuminant_tpu.lighting.projector import (
+        ProjectorLightSource, accumulate_projector_lights,
+        pack_projector_lights)
+    from illuminant_tpu.lighting import gbuffer as gbuf
+    from illuminant_tpu.lighting.environment import LightingEnvironment
+    from illuminant_tpu.core.config import QualitySettings
+    from illuminant_tpu.sdf.analytic import pack_scene
+
+    env = LightingEnvironment(ground_z=0.0, maximum_z=64.0)
+    gb = gbuf.flat_ground(64, 96, env.uniforms())
+    scene = pack_scene([])
+    small = np.ones((8, 8, 4), np.float32)  # uniform white 8x8
+    big = np.ones((32, 32, 4), np.float32)
+
+    def render(textures):
+        lights = pack_projector_lights([
+            ProjectorLightSource(texture=t, position=(20.0, 10.0, 0.0),
+                                 scale=(50.0, 40.0))
+            for t in textures])
+        return np.asarray(accumulate_projector_lights(
+            scene, gb, lights, env.uniforms(), QualitySettings()))
+
+    solo = render([small])
+    mixed = render([small, big])  # small is padded to 32x32 here
+    # The small light's contribution must be identical whether or not a
+    # bigger texture forced padding (uniform textures -> the projected
+    # quad [20,70]x[10,50] fully lit in both).
+    quad = solo[15:45, 25:65]
+    assert quad.min() > 0.1, quad.min()
+    # mixed = small + big contributions; both uniform white on the same
+    # quad, so mixed == 2 * solo there.
+    np.testing.assert_allclose(mixed[15:45, 25:65],
+                               2.0 * solo[15:45, 25:65], atol=1e-3)
+
+
+def test_projector_singular_matrix_degrades():
+    import numpy as np
+    from illuminant_tpu.lighting.projector import (
+        ProjectorLightSource, pack_projector_lights)
+
+    lights = pack_projector_lights([
+        ProjectorLightSource(texture=np.ones((4, 4, 4), np.float32),
+                             scale=(0.0, 10.0))])  # singular transform
+    assert lights is not None  # no LinAlgError
