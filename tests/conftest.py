@@ -30,7 +30,28 @@ assert jax.default_backend() == "cpu", jax.default_backend()
 # (rebuilt closures with the same shapes/config) compile ONCE per cache
 # lifetime instead of once per test — within a run and across runs. The
 # cache dir is gitignored; a cold CI run still dedupes within the run.
-_CACHE = os.path.join(os.path.dirname(__file__), ".jax_cache_cpu")
+# The cache dir is FINGERPRINTED by the host's CPU feature set: XLA:CPU
+# caches AOT artifacts compiled for the build machine's features, and
+# loading them on a host with a different feature set can SIGILL (the
+# loader only warns) — observed as a hard interpreter crash when this
+# repo's cache moved across machine generations.
+def _cpu_fingerprint() -> str:
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.md5(line.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    import platform
+
+    return platform.machine()
+
+
+_CACHE = os.path.join(os.path.dirname(__file__),
+                      f".jax_cache_cpu_{_cpu_fingerprint()}")
 try:
     jax.config.update("jax_compilation_cache_dir", _CACHE)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
