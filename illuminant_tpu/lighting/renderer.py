@@ -418,7 +418,11 @@ class LightingRenderer:
         return lightmap
 
     def resolve(self, lightmap, hdr: HDRConfig = HDRConfig(), albedo=None,
-                inverse_scale: float = 1.0):
+                inverse_scale: float = 1.0,
+                average_luminance: float = 0.5,
+                albedo_is_srgb: bool = False):
         return resolve_lightmap(
-            lightmap, hdr, albedo=albedo, inverse_scale=inverse_scale
+            lightmap, hdr, albedo=albedo, inverse_scale=inverse_scale,
+            average_luminance=average_luminance,
+            albedo_is_srgb=albedo_is_srgb,
         )

@@ -69,6 +69,13 @@ def apply_exposure_gamma(rgba, exposure, gamma):
     return jnp.concatenate([rgb, rgba[..., 3:4]], axis=-1)
 
 
+def srgb_to_linear(rgb):
+    """Inverse sRGB OETF (pSRGBToPLinear's per-channel core)."""
+    lo = rgb / 12.92
+    hi = jnp.power((rgb + 0.055) / 1.055, 2.4)
+    return jnp.where(rgb <= 0.04045, lo, hi)
+
+
 def linear_to_srgb(rgb):
     """sRGB OETF (Resolve.fx sRGB output path)."""
     low = rgb * 12.92

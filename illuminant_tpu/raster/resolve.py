@@ -27,21 +27,84 @@ from ..core.config import (
 from ..ops import tonemap
 
 
+def _uncharted2_resolve(rgb, hdr: HDRConfig, floor: float = 0.0):
+    """Shared ToneMapped operator: offset -> exposure -> Uncharted2 ->
+    white-point normalize -> gamma (Resolve.fx:124-133 / HDRBitmap.fx).
+    One implementation so curve/guard fixes cannot drift between the
+    lightmap and bitmap paths."""
+    pre = jnp.maximum(rgb + hdr.offset, 0.0) * hdr.exposure
+    mapped = tonemap.uncharted2_tonemap(pre) / jnp.maximum(
+        tonemap.uncharted2_tonemap(
+            jnp.asarray(hdr.white_point, jnp.float32)
+        ),
+        1e-6,
+    )
+    return jnp.power(jnp.maximum(mapped, floor), hdr.gamma)
+
+
+def _apply_mode(result, hdr: HDRConfig, average_luminance):
+    if hdr.mode == HDR_MODE_TONEMAP:
+        return _uncharted2_resolve(result[..., :3], hdr)
+    if hdr.mode == HDR_MODE_GAMMA_COMPRESS:
+        compressed = tonemap.gamma_compress(
+            result,
+            hdr.offset,
+            hdr.middle_gray,
+            average_luminance,
+            hdr.maximum_luminance_sq,
+        )
+        return compressed[..., :3]
+    assert hdr.mode == HDR_MODE_NONE, hdr.mode
+    rgb = jnp.maximum(result[..., :3] + hdr.offset, 0.0) * hdr.exposure
+    return jnp.power(jnp.maximum(rgb, 1e-12), hdr.gamma)
+
+
+def _srgb_premultiplied(rgb, alpha):
+    """pLinearToPSRGB: un-premultiply, apply the sRGB OETF, re-premultiply
+    (the p-prefix convention — applying the OETF to premultiplied values
+    brightens translucent pixels)."""
+    a = jnp.maximum(alpha, 1e-6)
+    straight = jnp.clip(rgb / a, 0.0, 1.0)
+    return tonemap.linear_to_srgb(straight) * jnp.clip(alpha, 0.0, 1.0)
+
+
+def _dither(rgb):
+    h, w = rgb.shape[:2]
+    # Broadcast index vectors — ordered_dither's advanced indexing
+    # broadcasts (h, 1) x (1, w) itself.
+    return tonemap.ordered_dither(
+        rgb, jnp.arange(h)[:, None], jnp.arange(w)[None, :])
+
+
 def resolve(
     lightmap,
     hdr: HDRConfig = HDRConfig(),
     albedo=None,
     inverse_scale: float = 1.0,
     average_luminance: float = 0.5,
+    albedo_is_srgb: bool = False,
 ):
     """lightmap (H, W, 4) HDR -> (H, W, 4) display-linear (or sRGB) f32.
 
     `average_luminance` feeds gamma-compression (the reference computes it
     from the luminance-buffer histogram, LightingRenderer.HDR.cs).
+    `albedo_is_srgb` linearizes an sRGB-authored albedo before the light
+    combine (AlbedoIsSRGB, Resolve.fx:52-53).
     """
     light = lightmap * inverse_scale
 
     if albedo is not None:
+        if albedo.shape[-1] < 4:
+            # A 3-channel albedo is opaque; pad alpha = 1 so the output
+            # contract ((H, W, 4)) holds instead of silently shrinking.
+            albedo = jnp.concatenate(
+                [albedo, jnp.ones_like(albedo[..., :1])], axis=-1)
+        if albedo_is_srgb:
+            # pSRGBToPLinear on the premultiplied albedo (fx:52-53).
+            a = jnp.maximum(albedo[..., 3:4], 1e-6)
+            lin = tonemap.srgb_to_linear(
+                jnp.clip(albedo[..., :3] / a, 0.0, 1.0)) * a
+            albedo = jnp.concatenate([lin, albedo[..., 3:4]], axis=-1)
         # ResolveWithAlbedoCommon (Resolve.fx:43-62).
         combined = jnp.concatenate(
             [
@@ -58,38 +121,16 @@ def resolve(
             [light[..., :3], jnp.ones_like(light[..., 3:4])], axis=-1
         )
 
-    if hdr.mode == HDR_MODE_TONEMAP:
-        # ToneMappedLightingResolve[WithAlbedo] (Resolve.fx:124-133).
-        pre = jnp.maximum(result[..., :3] + hdr.offset, 0.0) * hdr.exposure
-        mapped = tonemap.uncharted2_tonemap(pre) / jnp.maximum(
-            tonemap.uncharted2_tonemap(
-                jnp.asarray(hdr.white_point, jnp.float32)
-            ),
-            1e-6,
-        )
-        rgb = jnp.power(jnp.maximum(mapped, 0.0), hdr.gamma)
-    elif hdr.mode == HDR_MODE_GAMMA_COMPRESS:
-        compressed = tonemap.gamma_compress(
-            result,
-            hdr.offset,
-            hdr.middle_gray,
-            average_luminance,
-            hdr.maximum_luminance_sq,
-        )
-        rgb = compressed[..., :3]
-    else:
-        assert hdr.mode == HDR_MODE_NONE
-        rgb = jnp.maximum(result[..., :3] + hdr.offset, 0.0) * hdr.exposure
-        rgb = jnp.power(jnp.maximum(rgb, 1e-12), hdr.gamma)
+    rgb = _apply_mode(result, hdr, average_luminance)
 
     if hdr.srgb_output:
-        rgb = tonemap.linear_to_srgb(jnp.clip(rgb, 0.0, 1.0))
+        # Premultiplied convention (pLinearToPSRGB): translucent albedo
+        # pixels must un-premultiply before the OETF.
+        rgb = _srgb_premultiplied(jnp.clip(rgb, 0.0, 1.0),
+                                  result[..., 3:4])
 
     if hdr.dithering:
-        h, w = rgb.shape[:2]
-        ys = jnp.arange(h)[:, None] * jnp.ones((1, w), jnp.int32)
-        xs = jnp.arange(w)[None, :] * jnp.ones((h, 1), jnp.int32)
-        rgb = tonemap.ordered_dither(rgb, ys, xs)
+        rgb = _dither(rgb)
 
     return jnp.concatenate([rgb, result[..., 3:4]], axis=-1)
 
@@ -112,7 +153,11 @@ def hdr_bitmap(
 
     GammaCompressedPixelShader / ToneMappedPixelShader (HDRBitmap.fx:8-42):
     addColor premultiplies and applies scaled by result alpha; then the
-    HDR.fxh operator selected by hdr.mode.
+    operator selected by hdr.mode — HDR_MODE_NONE is the plain
+    exposure/gamma pass (the reference only ships the compressed/
+    tonemapped materials; NONE here matches resolve()'s plain path
+    instead of silently gamma-compressing). srgb_output/dithering are
+    honored like resolve().
     """
     mul = jnp.asarray(multiply_color, jnp.float32)
     add = jnp.asarray(add_color, jnp.float32)
@@ -121,19 +166,10 @@ def hdr_bitmap(
     result = mul * (texture * inverse_scale)
     result = result + add * result[..., 3:4]
 
-    if hdr.mode == HDR_MODE_TONEMAP:
-        pre = jnp.maximum(result[..., :3] + hdr.offset, 0.0) * hdr.exposure
-        mapped = tonemap.uncharted2_tonemap(pre) / jnp.maximum(
-            tonemap.uncharted2_tonemap(
-                jnp.asarray(hdr.white_point, jnp.float32)
-            ),
-            1e-6,
-        )
-        rgb = jnp.power(jnp.maximum(mapped, 1e-12), hdr.gamma)
-    else:
-        compressed = tonemap.gamma_compress(
-            result, hdr.offset, hdr.middle_gray, average_luminance,
-            hdr.maximum_luminance_sq,
-        )
-        rgb = compressed[..., :3]
+    rgb = _apply_mode(result, hdr, average_luminance)
+    if hdr.srgb_output:
+        rgb = _srgb_premultiplied(jnp.clip(rgb, 0.0, 1.0),
+                                  result[..., 3:4])
+    if hdr.dithering:
+        rgb = _dither(rgb)
     return jnp.concatenate([rgb, result[..., 3:4]], axis=-1)
