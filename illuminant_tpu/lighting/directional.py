@@ -192,6 +192,7 @@ def accumulate_directional_lights(
     quality: QualitySettings,
     shadow_mode: str = "march",
     scan_visibility_precomputed=None,
+    with_ao: bool = True,
 ):
     """All directional lights -> (H, W, 4) additive HDR contribution.
     `scan_visibility_precomputed` ((L, H, W)): visibility from a fused
@@ -214,10 +215,13 @@ def accumulate_directional_lights(
         gbuffer.fullbright[None] < 0.5
     )
 
-    ao_radius = more[..., 0] * jnp.maximum(0.0, normal[None, ..., 2])
-    ao = compute_ao(volume, world_pos[None], normal[None], ao_radius,
-                    more[..., 3], visible)
-    opacity = opacity * ao
+    if with_ao:
+        ao_radius = more[..., 0] * jnp.maximum(0.0, normal[None, ..., 2])
+        ao = compute_ao(volume, world_pos[None], normal[None], ao_radius,
+                        more[..., 3], visible)
+        opacity = opacity * ao
+    # else: static skip — AO costs a full-res scene evaluation per
+    # light; hosts gate it on any(ambient_occlusion_radius > 0).
 
     cast = props[..., 0] * gbuffer.enable_shadows[None]
     trace_enable = (

@@ -189,6 +189,7 @@ def accumulate_line_lights(
     quality: QualitySettings,
     shadow_mode: str = "march",
     scan_visibility_precomputed=None,
+    with_ao: bool = True,
 ):
     """All line lights -> (H, W, 4) additive HDR contribution.
 
@@ -223,10 +224,16 @@ def accumulate_line_lights(
         & (gbuffer.fullbright[None] < 0.5)
     )
 
-    ao_radius = more[..., 0] * jnp.maximum(0.0, normal[None, ..., 2])
-    ao = compute_ao(volume, world_pos[None], normal[None], ao_radius,
-                    more[..., 3], visible)
-    pre_trace = opacity * ao
+    if with_ao:
+        ao_radius = more[..., 0] * jnp.maximum(0.0, normal[None, ..., 2])
+        ao = compute_ao(volume, world_pos[None], normal[None], ao_radius,
+                        more[..., 3], visible)
+        pre_trace = opacity * ao
+    else:
+        # Static skip: AO costs a full-res scene evaluation per light;
+        # hosts gate it on any(light.ambient_occlusion_radius > 0)
+        # (same contract as accumulate_sphere_lights).
+        pre_trace = opacity
 
     cast = props[..., 3] * gbuffer.enable_shadows[None]
     trace_enable = (
@@ -235,10 +242,12 @@ def accumulate_line_lights(
     )
     shaded = world_pos[None] + SELF_OCCLUSION_HACK * normal[None]
 
-    if shadow_mode == "none":
+    if shadow_mode == "none" and scan_visibility_precomputed is None:
         # Static skip when the HOST knows no light in the set casts
         # shadows — the scan and march both run their full fixed-shape
-        # work even with every trace_enable false.
+        # work even with every trace_enable false. Caller-supplied
+        # visibility takes PRECEDENCE (same order as sphere.py /
+        # directional.py — the docstring's 'implies the scan path').
         cone = jnp.ones_like(pre_trace)
     elif shadow_mode == "scan" or scan_visibility_precomputed is not None:
         if scan_visibility_precomputed is not None:

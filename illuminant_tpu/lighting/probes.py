@@ -10,6 +10,12 @@ the values stay on device until the host asks.
 
 Zero probe normals disable directional occlusion exactly like G-buffer
 pixels (LightCommon.fxh:129-131 -> computeNormalFactor returns 1).
+
+NOTE: evaluate_probes accumulates every family ADDITIVELY; per-light
+BlendMode composition (subtractive/max) is a renderer-level concept
+(renderer.render_lighting groups blend passes) — callers that probe
+scenes containing non-additive lights should group their light sets the
+same way and compose the probe values accordingly.
 """
 
 from __future__ import annotations

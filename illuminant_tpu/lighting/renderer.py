@@ -67,14 +67,14 @@ def render_lightmap(
 
         lightmap = lightmap + accumulate_directional_lights(
             volume, gbuffer, directional_lights, env, config.quality,
-            shadow_mode=shadow_mode,
+            shadow_mode=shadow_mode, with_ao=with_ao,
         )
     if line_lights is not None:
         from .line import accumulate_line_lights
 
         lightmap = lightmap + accumulate_line_lights(
             volume, gbuffer, line_lights, env, config.quality,
-            shadow_mode=shadow_mode,
+            shadow_mode=shadow_mode, with_ao=with_ao,
         )
     if volumetric_lights is not None:
         from .volumetric import accumulate_volumetric_lights
@@ -389,9 +389,11 @@ class LightingRenderer:
                 projector_lights=(pack_projector_lights(projector)
                                   if projector else None),
                 shadow_mode=group_mode,
+                # AO gate spans the whole group: line/directional
+                # accumulators take the same static skip as spheres.
                 with_ao=any(
                     getattr(l, "ambient_occlusion_radius", 0) > 0
-                    for l in spheres
+                    for l in lights
                 ),
             )
 
