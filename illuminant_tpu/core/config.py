@@ -55,6 +55,19 @@ class QualitySettings:
     # grid-exact walk. The parity preset uses 0.25 under its full-res
     # readout (error measured at the full-res walk's level).
     scan_nomination_scale: float = static_field(default=0.5)
+    # Resolution of the EXTRA light families (directional/line/
+    # volumetric/particle) relative to the lightmap, when a scene opts
+    # into the multi-family frame. 0.5 = the library default: those
+    # terms are band-limited on flat scenes, so they evaluate at half
+    # resolution and upsample — the reference's own per-light lever
+    # (LightSource.Quality + RendererConfiguration.RenderScale). The
+    # half-vs-full error is MEASURED on the flagship G-buffer
+    # (tests/test_advice_r4.py pins the bound; tools/tune_family.py
+    # records the per-family full-res cost). 1.0 = evaluate every
+    # family at lightmap resolution (the parity preset's choice —
+    # LightingRenderer.cs:1004-1168 shades all families at lightmap
+    # res). Only 1.0 and even-divisor scales (0.5) are supported.
+    extra_family_scale: float = static_field(default=0.5)
 
 
 @pytree_dataclass

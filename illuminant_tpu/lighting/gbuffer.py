@@ -74,13 +74,20 @@ class GBuffer:
         return jnp.stack([gx, gy, cz], axis=-1)
 
     def window(self, oy, ox, win_h: int, win_w: int) -> "GBuffer":
-        """Cut a (win_h, win_w) view at traced pixel origin (oy, ox) —
-        the caller clamps the origin into bounds (window_origin)."""
+        """Cut a (win_h, win_w) view at pixel origin (oy, ox) — the
+        caller clamps the origin into bounds (window_origin). Python-int
+        origins cut STATIC slices (shard-safe on a row-sharded buffer —
+        see lighting/windowed.py module note); traced origins fall back
+        to dynamic slices."""
         import jax.lax as lax
 
-        def cut(a):
-            out = lax.dynamic_slice_in_dim(a, oy, win_h, 0)
-            return lax.dynamic_slice_in_dim(out, ox, win_w, 1)
+        if isinstance(oy, int) and isinstance(ox, int):
+            def cut(a):
+                return a[oy:oy + win_h, ox:ox + win_w]
+        else:
+            def cut(a):
+                out = lax.dynamic_slice_in_dim(a, oy, win_h, 0)
+                return lax.dynamic_slice_in_dim(out, ox, win_w, 1)
 
         return GBuffer(
             normal=cut(self.normal),

@@ -169,6 +169,23 @@ def pack_projector_lights(lights: List[ProjectorLightSource]
     )
 
 
+def support_radius_px(lights: List[ProjectorLightSource],
+                      render_scale: float = 1.0):
+    """Conservative per-light support radius in pixels around each
+    projected quad's center (position + scale/2): the half-diagonal of
+    the scaled quad plus the ramp/falloff reach. Used to size/validate
+    the bounded evaluation window (the reference sizes each projector's
+    quad from its transform instead, LightingRenderer.cs:1193-1446)."""
+    import math as _math
+
+    out = []
+    for l in lights:
+        half_diag = 0.5 * _math.hypot(l.scale[0], l.scale[1])
+        out.append((half_diag + max(getattr(l, "ramp_length", 0.0), 0.0))
+                   * render_scale)
+    return np.asarray(out, np.float32)
+
+
 def _transform_point(p, m):
     """Row-vector homogeneous transform with perspective divide
     (fxh:43-44). Explicit mul/adds (bf16 matmul hazard)."""

@@ -179,6 +179,26 @@ def pack_volumetric_lights(lights: List[VolumetricLightSource],
     )
 
 
+def support_radius_px(lights: VolumetricLights, render_scale: float = 1.0):
+    """Conservative per-light xy support radius (pixels at render_scale)
+    around start.xy — used to size/validate the bounded evaluation
+    window (the reference sizes each light's instanced quad from its
+    bounds instead, LightingRenderer.cs:1193-1446). Shape semantics
+    (LightSource.cs:372-394): for cones start/end are endpoints with .w
+    radii; for ellipsoids/boxes end.xyz IS the radius/half-size vector.
+    The lit region extends ramp_length beyond the shape surface
+    (ramp = saturate(-sd / rampLength))."""
+    shape = lights.even_more[:, 3]
+    cone_reach = (
+        jnp.linalg.norm(lights.end[:, :2] - lights.start[:, :2], axis=-1)
+        + jnp.maximum(lights.start[:, 3], lights.end[:, 3])
+    )
+    radial_reach = jnp.linalg.norm(lights.end[:, :2], axis=-1)
+    reach = jnp.where(shape == SHAPE_CONE, cone_reach, radial_reach)
+    ramp = lights.properties[:, 1]
+    return (reach + ramp) * lights.active * render_scale
+
+
 def volumetric_trace(volume, start4, end4, world_xy, world_z, env,
                      props, even_more, quality: QualitySettings,
                      shadowed: bool):

@@ -101,6 +101,7 @@ def build_flagship(
     spawn_sub_rings: int = 1,
     collision_substeps: Optional[int] = None,
     raster_preset: Optional[str] = None,
+    mesh=None,
 ) -> FlagshipScene:
     """The full config-5 frame: see module docstring.
 
@@ -110,6 +111,15 @@ def build_flagship(
         kernel, compact rgb888 payload). Every knob's deviation from the
         reference is individually measured (PERF.md "Deliberate
         approximations").
+    `mesh` (optional jax.sharding.Mesh): build the frame for MULTI-CHIP
+    execution — the scan passes trace under scan_shadows.spmd_mesh so
+    their sequential nomination walks pin replicated and the per-pixel
+    refine/readout pins row-sharded (the collective-storm fix, see
+    scan_shadows.spmd_mesh). Callers shard the frame inputs with
+    parallel.mesh helpers; a mesh-built frame fed single-device inputs
+    would still distribute over the mesh, so build WITHOUT mesh for
+    single-chip runs.
+
       * "parity" — reference-parity semantics: 3 collision substeps
         (UpdateParticleSystemWithDistanceField.fx:29-147), full-res
         shadow readout with ONE refine sample (the recorded A/B vs the
@@ -148,7 +158,13 @@ def build_flagship(
                                   # (test_refine_quality.py); the walk is
                                   # the dominant full-res scan cost
                                   # (PERF.md round-3 log #10).
-                                  scan_nomination_scale=0.25)
+                                  scan_nomination_scale=0.25,
+                                  # Parity shades every family at
+                                  # lightmap resolution, like the
+                                  # reference's one light pass over all
+                                  # families (LightingRenderer.cs:
+                                  # 1004-1168).
+                                  extra_family_scale=1.0)
     env = LightingEnvironment(
         ground_z=0.0, maximum_z=128.0, ambient=(0.03, 0.03, 0.04, 1.0)
     )
@@ -242,11 +258,15 @@ def build_flagship(
             color_start=(0.9, 0.2, 0.2, 0.9),
             color_end=(0.2, 0.3, 0.9, 0.9),
         )
+        # Ellipsoid semantics (LightSource.cs:381-383): end_position IS
+        # the radius vector for ellipsoids/boxes (round 3 authored it as
+        # a far endpoint — a screen-sized pancake the fixed window
+        # silently truncated; the derived-window path below would have
+        # flagged it).
         volum = VolumetricLightSource(
             shape=SHAPE_ELLIPSOID,
             start_position=(cx - ring * 0.6, cy + ring * 0.55, 30.0),
-            end_position=(cx - ring * 0.6 + 120.0, cy + ring * 0.55, 30.0),
-            start_radius=90.0, end_radius=60.0,
+            end_position=(110.0, 80.0, 26.0),
             volumetricity=0.75, distance_attenuation=0.8,
             color=(0.5, 0.8, 0.6, 0.8),
             cast_shadows=True,
@@ -280,13 +300,27 @@ def build_flagship(
         if "line" in fam_set:
             extra["line"] = pack_line_lights([line])
         if "volumetric" in fam_set:
+            from .lighting.volumetric import (
+                support_radius_px as vol_support_px)
+
             extra["volumetric"] = pack_volumetric_lights([volum])
+            # World-unit support radius (scaled per evaluation buffer
+            # below) — derives each window from the light's actual
+            # bounds, like the reference's per-light quads
+            # (LightingRenderer.cs:1193-1446).
+            extra["volumetric_support"] = float(np.max(np.asarray(
+                vol_support_px(extra["volumetric"]))))
         if "projector" in fam_set:
+            from .lighting.projector import (
+                support_radius_px as proj_support_px)
+
             extra["projector"] = pack_projector_lights([proj])
             # Projected-quad centers for the windowed evaluation.
             extra["projector_centers"] = jnp.asarray(
                 [[proj.position[0] + proj.scale[0] * 0.5,
                   proj.position[1] + proj.scale[1] * 0.5]], jnp.float32)
+            extra["projector_support"] = float(np.max(
+                proj_support_px([proj])))
         if "particle" in fam_set:
             extra["particle_light"] = plight
 
@@ -439,6 +473,15 @@ def build_flagship(
 
     def _frame_body(i, state, avg_lum, key, volume_, gbuffer_, lights_,
                     env_u_, spawn_count):
+        from .lighting.scan_shadows import spmd_mesh as _spmd_scope
+
+        with _spmd_scope(mesh):
+            return _frame_body_inner(i, state, avg_lum, key, volume_,
+                                     gbuffer_, lights_, env_u_,
+                                     spawn_count)
+
+    def _frame_body_inner(i, state, avg_lum, key, volume_, gbuffer_,
+                          lights_, env_u_, spawn_count):
         t = i.astype(jnp.float32) * dt
 
         # -- dynamic occluders (device-side) --
@@ -561,22 +604,28 @@ def build_flagship(
             from .lighting.projector import accumulate_projector_lights
             from .lighting.particle_light import accumulate_particle_lights
             from .lighting.scan_shadows import upsample2x_bilinear
-            from .lighting.windowed import accumulate_windowed
+            from .lighting.windowed import (
+                accumulate_windowed, window_for_support)
 
             def take_light(tree, i):
                 return jax.tree.map(lambda a: a[i:i + 1], tree)
 
-            # The EXTRA families evaluate at HALF resolution and
-            # upsample together: the sun/line/volumetric/particle-light
-            # terms are band-limited on this flat scene, and the
-            # per-light resolution knob is the reference's own lever
-            # (LightSource.Quality + RendererConfiguration.RenderScale).
-            # Measured full-res marginals (tools/tune_family.py): line
-            # +6.0, directional +3.4, volumetric +1.7, particle +1.7 ms
-            # — half res quarters the (L, H, W) falloff/shadow chains.
+            # The EXTRA families evaluate at quality.extra_family_scale
+            # resolution (default 0.5) and upsample together: the
+            # sun/line/volumetric/particle-light terms are band-limited
+            # on this flat scene, and the per-light resolution knob is
+            # the reference's own lever (LightSource.Quality +
+            # RendererConfiguration.RenderScale). Measured full-res
+            # marginals (tools/tune_family.py): line +6.0, directional
+            # +3.4, volumetric +1.7, particle +1.7 ms — half res
+            # quarters the (L, H, W) falloff/shadow chains. Half-vs-full
+            # accumulation error is pinned by tests/test_advice_r4.py.
             # The projector keeps full res (projected texture detail).
+            # The parity preset runs every family at lightmap res
+            # (LightingRenderer.cs:1004-1168).
             h_, w_ = gbuffer_.shape
-            half_ok = h_ % 2 == 0 and w_ % 2 == 0
+            half_ok = (config.quality.extra_family_scale == 0.5
+                       and h_ % 2 == 0 and w_ % 2 == 0)
             if half_ok:
                 gb_ex = gbuf.flat_ground(
                     h_ // 2, w_ // 2, env_u_,
@@ -608,12 +657,18 @@ def build_flagship(
                     config.quality, shadow_mode="scan",
                     scan_visibility_precomputed=lv,
                 )[..., :3]
-            # Volumetric lights are spatially BOUNDED: fixed window
-            # around each center (lighting/windowed.py; the reference's
-            # per-light instanced quads do the same bounding).
-            win = 384 // (2 if half_ok else 1)
+            # Volumetric lights are spatially BOUNDED: each window is
+            # DERIVED from the light's support radius (lighting/
+            # windowed.py:window_for_support — the TPU analog of the
+            # reference sizing each instanced quad from its light's
+            # bounds, LightingRenderer.cs:1193-1446), so nothing is
+            # silently truncated. Static centers -> static window
+            # origins -> shard-safe static slices (windowed.py note).
             if "volumetric" in extra:
                 vl = extra["volumetric"]
+                win = window_for_support(
+                    extra["volumetric_support"] * gb_ex.render_scale,
+                    *gb_ex.shape)
                 ex = accumulate_windowed(
                     ex, gb_ex,
                     vl.start[:, :2] * gb_ex.render_scale, win,
@@ -640,11 +695,15 @@ def build_flagship(
                 lightmap = lightmap + ex
             if "projector" in extra:
                 pj = extra["projector"]
+                win_p = window_for_support(
+                    extra["projector_support"] * gbuffer_.render_scale,
+                    h_, w_)
                 # accumulate_windowed takes PIXEL centers (the volumetric
                 # call above scales the same way).
                 lightmap = accumulate_windowed(
                     lightmap, gbuffer_,
-                    extra["projector_centers"] * gbuffer_.render_scale, 384,
+                    extra["projector_centers"] * gbuffer_.render_scale,
+                    win_p,
                     lambda i, gbw: accumulate_projector_lights(
                         vol_t, gbw, take_light(pj, i), env_u_,
                         config.quality,

@@ -6,6 +6,13 @@ flagship frame step is jitted over a jax.sharding.Mesh with the pixel
 grid row-sharded and the particle capacity sharded; outputs must match
 the single-device run exactly (the math is identical — only layout and
 collectives differ).
+
+Sharded runs use a MESH-BUILT scene (build_flagship(mesh=...)): the scan
+passes pin their sequential nomination walks replicated and the
+per-pixel readout row-sharded (scan_shadows.spmd_mesh), which removes
+the in-loop collective-permute storm that deadlocked XLA:CPU's
+rendezvous in round 3 (VERDICT.md). The unsharded comparison runs a
+mesh-free build of the same scene.
 """
 
 import numpy as np
@@ -15,13 +22,24 @@ import pytest
 
 from illuminant_tpu.parallel import mesh as pmesh
 
+SCENE_KW = dict(height=64, width=128, capacity=1 << 12, spawn_max=256,
+                bin_capacity=128)
+
+
+def _build(n_lights=4, mesh=None, **kw):
+    from illuminant_tpu.scenes import build_flagship
+
+    return build_flagship(n_lights=n_lights, mesh=mesh, **SCENE_KW, **kw)
+
 
 @pytest.fixture(scope="module")
 def scene():
-    from illuminant_tpu.scenes import build_flagship
+    return _build()
 
-    return build_flagship(height=64, width=128, capacity=1 << 12,
-                          spawn_max=256, n_lights=4, bin_capacity=128)
+
+@pytest.fixture(scope="module")
+def scene_m():
+    return _build(mesh=pmesh.make_mesh(8))
 
 
 def _run(scene, state, sharded: bool, n_frames: int = 3):
@@ -53,17 +71,13 @@ def _run(scene, state, sharded: bool, n_frames: int = 3):
     return imgs, state, float(avg)
 
 
-def test_eight_device_mesh_available():
-    assert jax.device_count() >= 8
-
-
-def test_sharded_frame_matches_unsharded(scene):
+def _compare(scene_plain, scene_mesh, n_frames=3):
     # frame() donates the state buffers — give each run its own copy.
-    fresh = lambda: jax.tree.map(jnp.copy, scene.system.state)  # noqa: E731
-    imgs_a, state_a, avg_a = _run(scene, fresh(), sharded=False)
-    imgs_b, state_b, avg_b = _run(scene, fresh(), sharded=True)
-
-    # The frame output must actually be distributed.
+    fresh = lambda s: jax.tree.map(jnp.copy, s.system.state)  # noqa: E731
+    imgs_a, state_a, avg_a = _run(scene_plain, fresh(scene_plain),
+                                  sharded=False, n_frames=n_frames)
+    imgs_b, state_b, avg_b = _run(scene_mesh, fresh(scene_mesh),
+                                  sharded=True, n_frames=n_frames)
     for a, b in zip(imgs_a, imgs_b):
         # uint8 output: allow off-by-one from reassociated float sums.
         diff = np.abs(a.astype(np.int32) - b.astype(np.int32))
@@ -75,14 +89,23 @@ def test_sharded_frame_matches_unsharded(scene):
     assert abs(avg_a - avg_b) < 1e-4
 
 
-def test_sharded_output_is_distributed(scene):
+def test_eight_device_mesh_available():
+    assert jax.device_count() >= 8
+
+
+def test_sharded_frame_matches_unsharded(scene, scene_m):
+    _compare(scene, scene_m)
+
+
+def test_sharded_output_is_distributed(scene_m):
     mesh = pmesh.make_mesh(8)
-    env_u = pmesh.replicate(scene.environment.uniforms(), mesh)
-    gbuffer = pmesh.shard_gbuffer(scene.gbuffer, mesh)
-    state = pmesh.shard_particles(scene.system.state, mesh)
-    volume = pmesh.replicate(scene.volume, mesh)
-    lights = pmesh.replicate(scene.sphere_lights, mesh)
-    img, state2, avg, drops = scene.frame(
+    env_u = pmesh.replicate(scene_m.environment.uniforms(), mesh)
+    gbuffer = pmesh.shard_gbuffer(scene_m.gbuffer, mesh)
+    state = pmesh.shard_particles(
+        jax.tree.map(jnp.copy, scene_m.system.state), mesh)
+    volume = pmesh.replicate(scene_m.volume, mesh)
+    lights = pmesh.replicate(scene_m.sphere_lights, mesh)
+    img, state2, avg, drops = scene_m.frame(
         state, jax.device_put(jnp.float32(0.5), pmesh.replicated(mesh)),
         jax.device_put(jax.random.key(0), pmesh.replicated(mesh)),
         volume, gbuffer, lights, env_u,
@@ -133,44 +156,18 @@ def test_sub_ring_sharded_matches_unsharded():
     """The sub-ring flagship frame is numerically identical sharded vs
     unsharded, AND its spawn write stays shard-local (the roll is along
     the intra-segment axis)."""
-    from illuminant_tpu.scenes import build_flagship
-
-    sc = build_flagship(height=64, width=128, capacity=1 << 12,
-                        spawn_max=256, n_lights=4, bin_capacity=128,
-                        spawn_sub_rings=8)
-    fresh = lambda: jax.tree.map(jnp.copy, sc.system.state)  # noqa: E731
-    imgs_a, state_a, avg_a = _run(sc, fresh(), sharded=False)
-    imgs_b, state_b, avg_b = _run(sc, fresh(), sharded=True)
-    for a, b in zip(imgs_a, imgs_b):
-        diff = np.abs(a.astype(np.int32) - b.astype(np.int32))
-        assert diff.max() <= 1, diff.max()
-    np.testing.assert_allclose(
-        np.asarray(state_a.position), np.asarray(state_b.position),
-        rtol=1e-5, atol=1e-4,
-    )
-    assert abs(avg_a - avg_b) < 1e-4
+    _compare(_build(spawn_sub_rings=8),
+             _build(spawn_sub_rings=8, mesh=pmesh.make_mesh(8)))
 
 
 def test_full_family_sharded_matches_unsharded():
     """The FULL light-family frame (directional sun + line + windowed
     shadowed volumetric + windowed projector + particle lights riding
     the fused multi-family scan) must shard transparently too — the
-    windowed dynamic-slice lights and the fused scan are the paths the
-    sphere-only flagship test never exercises."""
-    from illuminant_tpu.scenes import build_flagship
-
-    sc = build_flagship(height=64, width=128, capacity=1 << 12,
-                        spawn_max=256, n_lights=2, bin_capacity=128,
-                        full_family=True)
-    fresh = lambda: jax.tree.map(jnp.copy, sc.system.state)  # noqa: E731
-    imgs_a, state_a, avg_a = _run(sc, fresh(), sharded=False,
-                                  n_frames=2)
-    imgs_b, state_b, avg_b = _run(sc, fresh(), sharded=True, n_frames=2)
-    for a, b in zip(imgs_a, imgs_b):
-        diff = np.abs(a.astype(np.int32) - b.astype(np.int32))
-        assert diff.max() <= 1, diff.max()
-    np.testing.assert_allclose(
-        np.asarray(state_a.position), np.asarray(state_b.position),
-        rtol=1e-5, atol=1e-4,
-    )
-    assert abs(avg_a - avg_b) < 1e-4
+    windowed lights and the fused scan are the paths the sphere-only
+    flagship test never exercises. This is the configuration whose
+    collective-permute rendezvous deadlocked (SIGABRT) in round 3."""
+    _compare(_build(n_lights=2, full_family=True),
+             _build(n_lights=2, full_family=True,
+                    mesh=pmesh.make_mesh(8)),
+             n_frames=2)
