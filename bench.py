@@ -143,6 +143,25 @@ def _run_config(height, width, capacity, frames):
         )
     except Exception as e:  # noqa: BLE001
         print(f"# full-family row failed: {e}", file=sys.stderr)
+    # Parity x full-family row (VERDICT r3 #4): every family at lightmap
+    # resolution (extra_family_scale 1.0 — the reference shades all
+    # families in one lightmap-res light pass, LightingRenderer.cs:
+    # 1004-1168) on top of the parity quality point.
+    try:
+        pfam = _bench_preset(
+            "parity", height, width, capacity, max(frames // 2, 200),
+            full_family=True,
+        )
+        result["parity_full_family_fps"] = pfam["fps"]
+        result["parity_full_family_vs_baseline"] = round(
+            pfam["fps"] / 60.0, 4)
+        result["parity_full_family_unit"] = (
+            "full light family at parity quality: every family at "
+            "lightmap res, collision_substeps 3, shadow_scale 1.0, "
+            "round kernel, full-precision payload"
+        )
+    except Exception as e:  # noqa: BLE001
+        print(f"# parity full-family row failed: {e}", file=sys.stderr)
     print(json.dumps(result))
 
 

@@ -133,8 +133,15 @@ def accumulate_particle_lights(
     env: EnvironmentUniforms,
     quality: QualitySettings,
     shadow_mode: str = "scan",
+    return_diagnostics: bool = False,
 ):
-    """-> (H, W, 4) additive HDR contribution.
+    """-> (H, W, 4) additive HDR contribution; with
+    return_diagnostics=True -> ((H, W, 4), dropped) where `dropped`
+    (int32 scalar) counts tile-capacity overflow drops on the tiled
+    path (emitters cluster by nature, so a dense cluster can overflow
+    the per-tile light capacity and silently lose energy — read this to
+    know; always 0 on the subset path, whose error mode is the strided
+    sampling itself).
 
     Uses previous-frame particle state by convention (the reference reads
     usePreviousData to avoid a pipeline stall, LightingRenderer.cs:1138-43;
@@ -197,11 +204,13 @@ def accumulate_particle_lights(
             brightness = 1.0 / max(source.stipple_factor, 1e-3)
         mry = (source.max_relative_y if source.max_relative_y is not None
                else source.tile / max(gbuffer.render_scale, 1e-6))
-        img, _diag = accumulate_sphere_lights_tiled(
+        img, diag = accumulate_sphere_lights_tiled(
             volume, gbuffer, state.position, state.color, active,
             tpl, env, tile=source.tile, capacity=source.tile_capacity,
             brightness_scale=brightness, max_relative_y=mry,
         )
+        if return_diagnostics:
+            return img, diag["dropped"]
         return img
     lights = subset_lights_from_particles(
         state, tpl, source.max_lights,
@@ -211,11 +220,14 @@ def accumulate_particle_lights(
         # Host-static skip: the scan/march run full fixed-shape work even
         # when every per-light cast flag is false.
         shadow_mode = "none"
-    return accumulate_sphere_lights(
+    img = accumulate_sphere_lights(
         volume, gbuffer, lights, env, quality,
         with_specular=False, shadow_mode=shadow_mode,
         with_ao=tpl.ambient_occlusion_radius > 0.0,
     )
+    if return_diagnostics:
+        return img, jnp.asarray(0, jnp.int32)
+    return img
 
 
 # Convenience jitted alias (see scan_shadows.scan_visibility_jit): one

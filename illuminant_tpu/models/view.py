@@ -261,10 +261,144 @@ def system_config_from_model(sm: SystemModel,
     )
 
 
+def _clamped_bezier(obj, width, default):
+    """JSON Bezier dict | plain constant | None -> device ClampedBezier."""
+    from ..ops.bezier import constant_bezier
+    from .parameter import Bezier
+
+    if obj is None:
+        return constant_bezier(default)
+    if isinstance(obj, dict) and "Count" in obj:
+        return Bezier.from_json(obj, width).packed()
+    return constant_bezier(value_to_array(obj, width))
+
+
+def render_data_from_model(sm: SystemModel, resolver=None):
+    """Configuration.{Color, Size*, Rotation*} -> RenderDataUniforms
+    (the SetSystemUniforms upload, ParticleSystem.cs:547-576):
+    OpacityFromLife o != 0 synthesizes the 2-point alpha ramp
+    ((1,1,1,0)->(1,1,1,1) over [0, o], :554-561); Color.LifeRamp binds
+    the POINT-sampled ramp texture + settings (:920-939)."""
+    import jax.numpy as jnp
+
+    from ..particles.render_data import (
+        RenderDataUniforms, pack_life_ramp_settings)
+    from ..ops.bezier import ClampedBezier, constant_bezier
+
+    c = sm.configuration or {}
+    color = c.get("Color") or {}
+
+    o = float(color.get("OpacityFromLife") or 0.0)
+    if o != 0.0:
+        cfl = ClampedBezier(
+            range_and_count=jnp.asarray([0.0, 1.0 / o, 2.0, 0.0],
+                                        jnp.float32),
+            points=jnp.asarray(
+                [[1, 1, 1, 0], [1, 1, 1, 1], [0, 0, 0, 0], [0, 0, 0, 0]],
+                jnp.float32),
+        )
+    else:
+        cfl = _clamped_bezier(
+            color.get("FromLife") or color.get("ColorFromLife"), 4,
+            [1.0, 1.0, 1.0, 1.0])
+
+    size = c.get("Size") or 1.0
+    base_size = (float(size[0]) if isinstance(size, (list, tuple))
+                 else float(size))
+    sfl = c.get("SizeFromLife")
+    if sfl is None:
+        size_from_life = constant_bezier([base_size])
+    else:
+        size_from_life = _clamped_bezier(sfl, 1, [1.0])
+        if base_size != 1.0:
+            size_from_life = size_from_life.replace(
+                points=size_from_life.points * base_size)
+
+    life_ramp = None
+    ramp_settings = None
+    lr = color.get("LifeRamp")
+    if isinstance(lr, dict):
+        tex = lr.get("Texture")
+        if tex is not None and not isinstance(tex, (str, dict)):
+            # Inline array texture; file-backed NullableLazyResource refs
+            # have no loader in this environment and leave the feature
+            # off (the reference falls back to DummyRampTexture too,
+            # ParticleSystem.cs:920-925).
+            life_ramp = jnp.asarray(np.asarray(tex, np.float32))
+            if life_ramp.ndim == 2:
+                life_ramp = life_ramp[..., None] * jnp.ones(
+                    (1, 1, 4), jnp.float32)
+            ramp_settings = pack_life_ramp_settings(
+                strength=float(lr.get("Strength", 1.0)),
+                minimum=float(lr.get("Minimum", 0.0)),
+                maximum=float(lr.get("Maximum", 100.0)),
+                invert=bool(lr.get("Invert", False)),
+                texture_height=life_ramp.shape[0],
+            )
+
+    return RenderDataUniforms(
+        color_from_life=cfl,
+        color_from_velocity=_clamped_bezier(
+            color.get("ColorFromVelocity"), 4, [1.0, 1.0, 1.0, 1.0]),
+        size_from_life=size_from_life,
+        size_from_velocity=_clamped_bezier(
+            c.get("SizeFromVelocity"), 1, [1.0]),
+        rotation_from_life_and_index=jnp.asarray(
+            [float(c.get("RotationFromLife") or 0.0),
+             float(c.get("RotationFromIndex") or 0.0)], jnp.float32),
+        velocity_rotation=jnp.asarray(
+            1.0 if c.get("RotationFromVelocity") else 0.0, jnp.float32),
+        life_ramp=life_ramp,
+        life_ramp_settings=ramp_settings,
+    )
+
+
+def appearance_from_model(sm: SystemModel, resolver=None):
+    """Configuration.Appearance -> raster ParticleAppearance (None when
+    every knob is at its default — callers fall through to the plain
+    additive quad path, ParticleConfiguration.cs:42-109)."""
+    from ..raster.render import ParticleAppearance
+    from .parameter import Bezier
+
+    c = sm.configuration or {}
+    a = c.get("Appearance")
+    if not isinstance(a, dict):
+        return None
+    kw = {}
+    tex = a.get("Texture")
+    if tex is not None and not isinstance(tex, (str, dict)):
+        tex = np.asarray(tex, np.float32)
+        kw["texture"] = tex
+        size_px = a.get("SizePx")
+        if size_px:
+            kw["columns"] = max(int(tex.shape[1] // float(size_px[0])), 1)
+            kw["rows"] = max(int(tex.shape[0] // float(size_px[1])), 1)
+    if a.get("AnimationRate"):
+        kw["animation_rate"] = tuple(
+            float(v) for v in a["AnimationRate"])
+    for key, attr in (("Rounded", "rounded"),
+                      ("DitheredOpacity", "dithered_opacity"),
+                      ("RelativeSize", "relative_size"),
+                      ("RowFromVelocity", "row_from_velocity"),
+                      ("ColumnFromVelocity", "column_from_velocity")):
+        if a.get(key) is not None:
+            kw[attr] = bool(a[key])
+    rp = a.get("RoundingPowerFromLife")
+    if rp is not None:
+        if isinstance(rp, dict) and "Count" in rp:
+            kw["rounding_power_from_life"] = Bezier.from_json(rp, 1)
+        else:
+            kw["rounding_power_from_life"] = float(rp)
+    if not kw:
+        return None
+    return ParticleAppearance(**kw)
+
+
 @dataclasses.dataclass
 class SystemView:
     model: SystemModel
     system: ParticleSystem
+    appearance: object = None
 
 
 class EngineView:
@@ -291,8 +425,11 @@ class EngineView:
             self.systems.append(
                 SystemView(
                     model=sm,
-                    system=ParticleSystem(config, transforms,
-                                          volume=volume, seed=seed),
+                    system=ParticleSystem(
+                        config, transforms, volume=volume, seed=seed,
+                        render_data=render_data_from_model(
+                            sm, self.resolver)),
+                    appearance=appearance_from_model(sm, self.resolver),
                 )
             )
         self._wire_feedback_sources()
@@ -338,7 +475,10 @@ class EngineView:
                                           now=self._now)
                     for t in sm.transforms
                 ]
-                sv.system.patch(transforms=transforms, config=config)
+                sv.system.patch(
+                    transforms=transforms, config=config,
+                    render_data=render_data_from_model(sm, self.resolver))
+                sv.appearance = appearance_from_model(sm, self.resolver)
                 return True
         return False
 

@@ -83,8 +83,14 @@ def rasterize_additive(
     rounded: bool = True,
     stipple_factor: float = 1.0,
     size_scale: float = 1.0,
+    rounding_power=None,
 ):
     """Sized-particle additive rasterization.
+
+    `rounding_power`: optional per-particle (N,) (or scalar) rounding
+    power — the EXACT computeCircularAlpha curve (fx:144-156) evaluated
+    at the normalized disc distance, the oracle for the power-binned
+    disc-table path (RoundingPowerFromLife, ParticleConfiguration.cs:82).
 
     The RasterizeParticleSystem.fx path for additively-blended systems:
     each live particle covers a (size x size) screen quad with circular
@@ -128,7 +134,13 @@ def rasterize_additive(
             ddx = dx - fx
             ddy = dy - fy
             r = jnp.sqrt(ddx * ddx + ddy * ddy)
-            if rounded:
+            if rounding_power is not None:
+                from .sprites import circular_alpha
+
+                nd = r / jnp.maximum(radius, 1e-6)
+                cov = circular_alpha(nd, jnp.asarray(rounding_power,
+                                                     jnp.float32))
+            elif rounded:
                 # Soft disc edge (~computeCircularAlpha).
                 cov = jnp.clip(radius - r + 0.5, 0.0, 1.0)
             else:

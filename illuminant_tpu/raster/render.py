@@ -60,8 +60,20 @@ class ParticleAppearance:
     # Rounded -> disc; glow -> gaussian); an explicit kernel string
     # (tiled.KERNEL_*) wins over the flags.
     kernel: Optional[str] = None
+    # RoundingPowerFromLife (ParticleConfiguration.cs:82; evaluated at
+    # the particle's life, RasterizeParticleSystem.fx:139): None keeps
+    # the analytic KERNEL_ROUND disc (the power -> 1 hard-edge case); a
+    # float or bezier (host models.parameter.Bezier or ops.bezier.
+    # ClampedBezier) routes untextured Rounded particles through a
+    # power-binned procedural disc table (sprites.build_power_disc_table)
+    # so the EXACT radial computeCircularAlpha curve animates with life
+    # — power quantized to `power_bins`, size to `size_bins` (the sprite
+    # path's documented quantization contract).
+    rounding_power_from_life: object = None
+    power_bins: int = 8
 
     _table: object = dataclasses.field(default=None, repr=False)
+    _ptable: object = dataclasses.field(default=None, repr=False)
 
     def sprite_table(self):
         if self.texture is None:
@@ -87,6 +99,48 @@ class ParticleAppearance:
                 )),
             )
         return self._table[1]
+
+    def _power_curve(self):
+        """Normalize rounding_power_from_life -> (ClampedBezier | None,
+        (lo, hi) host power range)."""
+        from ..ops.bezier import ClampedBezier, constant_bezier
+
+        rp = self.rounding_power_from_life
+        if rp is None:
+            return None, (1.0, 1.0)
+        if isinstance(rp, (int, float)):
+            return constant_bezier([float(rp)]), (float(rp), float(rp))
+        if not isinstance(rp, ClampedBezier):
+            rp = rp.packed()  # host models.parameter.Bezier
+        count = int(np.asarray(rp.range_and_count)[2])
+        ctrl = np.asarray(rp.points)[:max(count, 1), 0]
+        return rp, (float(ctrl.min()), float(ctrl.max()))
+
+    def power_disc_table(self):
+        """(SpriteTable, powers) for the RoundingPowerFromLife path,
+        cached like sprite_table. `powers` is the host-side bin grid the
+        per-particle frame index selects into."""
+        _, (lo, hi) = self._power_curve()
+        lo = min(max(lo, 0.01), 1.0)
+        hi = min(max(hi, 0.01), 1.0)
+        bins = 1 if hi - lo < 1e-6 else max(self.power_bins, 2)
+        powers = tuple(
+            float(p) for p in np.linspace(lo, hi, bins)
+        )
+        key = (powers, self.size_bins, self.rank, self.size_min,
+               self.size_max)
+        if self._ptable is None or self._ptable[0] != key:
+            object.__setattr__(
+                self, "_ptable",
+                (key, sprites_mod.build_power_disc_table(
+                    powers,
+                    size_min=self.size_min,
+                    size_max=self.size_max,
+                    size_bins=max(self.size_bins, 1),
+                    rank=self.rank,
+                )),
+            )
+        return self._ptable[1], powers
 
 
 def render_particles(
@@ -133,6 +187,15 @@ def render_particles(
 
     app = appearance or ParticleAppearance()
     table = app.sprite_table()
+    power_path = (table is None and app.rounded
+                  and app.rounding_power_from_life is not None)
+    powers = None
+    if power_path:
+        table, powers = app.power_disc_table()
+        if config.compact_payload:
+            # Sprite paths carry the variant id in a bf16 payload lane —
+            # incompatible with the log-quantized compact payload.
+            config = dataclasses.replace(config, compact_payload=False)
 
     if not (isinstance(stipple_factor, float) and stipple_factor >= 1.0):
         # StippleReject applies to every material (fx:101-110); same
@@ -162,7 +225,7 @@ def render_particles(
         )
 
     if table is not None:
-        if app.relative_size:
+        if app.relative_size and not power_path:
             # RelativeSize: size in texture-frame units. The tiled
             # footprint is square, so non-square frames use the LARGER
             # frame dimension (the reference sizes the quad per axis).
@@ -170,16 +233,34 @@ def render_particles(
             fh = tex.shape[0] // max(app.rows, 1)
             fw = tex.shape[1] // max(app.columns, 1)
             size = size * max(max(fh, fw), 1)
-        rotation = state.render_data[:, 1]
-        frame = sprites_mod.animation_frame(
-            table,
-            state.position[:, 3],
-            state.velocity,
-            animation_rate=app.animation_rate,
-            row_from_velocity=app.row_from_velocity,
-            column_from_velocity=app.column_from_velocity,
-            frames_x=app.columns,
-        ).astype(jnp.float32)
+        if power_path:
+            # Frame = nearest power bin of the evaluated
+            # RoundingPowerFromLife bezier (fx:139 evaluates at life);
+            # discs are rotationally symmetric, so rotation is moot.
+            from ..ops.bezier import evaluate_bezier
+
+            cb, _rng = app._power_curve()
+            p = evaluate_bezier(cb, state.position[:, 3])[..., 0]
+            if len(powers) > 1:
+                span = powers[-1] - powers[0]
+                frame = jnp.round(
+                    (jnp.clip(p, powers[0], powers[-1]) - powers[0])
+                    / span * (len(powers) - 1)
+                )
+            else:
+                frame = jnp.zeros_like(p)
+            rotation = jnp.zeros_like(frame)
+        else:
+            rotation = state.render_data[:, 1]
+            frame = sprites_mod.animation_frame(
+                table,
+                state.position[:, 3],
+                state.velocity,
+                animation_rate=app.animation_rate,
+                row_from_velocity=app.row_from_velocity,
+                column_from_velocity=app.column_from_velocity,
+                frames_x=app.columns,
+            ).astype(jnp.float32)
         if order is not None:
             rotation, frame = rotation[order], frame[order]
         if additive_blend:

@@ -159,6 +159,49 @@ def build_sprite_table(
     )
 
 
+def circular_alpha(dist, power):
+    """computeCircularAlpha (RasterizeParticleSystem.fx:144-156): `dist`
+    is the normalized quad-local distance (1.0 at the inscribed circle's
+    edge), `power` the rounding power (RoundingPowerFromLife,
+    ParticleConfiguration.cs:82, clamped [0.001, 1] by the VS fx:139-141
+    then floored at 0.01 in the PS). NumPy/JAX-polymorphic."""
+    xp = jnp if isinstance(dist, jnp.ndarray) else np
+    p = xp.maximum(xp.clip(power, 0.001, 1.0), 0.01)
+    divisor = xp.maximum(xp.clip(1.0 - p, 0.0, 1.0), 0.001)
+    dfe = xp.clip(dist - p, 0.0, 1.0) / divisor
+    return xp.clip(1.0 - dfe ** p, 0.0, 1.0)
+
+
+def build_power_disc_table(
+    powers,
+    size_min: float = 2.0,
+    size_max: float = 12.0,
+    size_bins: int = 4,
+    rank: int = 3,
+    support: Optional[int] = None,
+    cell: int = 128,
+) -> SpriteTable:
+    """Procedural rounded-disc sprite table whose FRAME axis is the
+    rounding power (RoundingPowerFromLife animation): frame i is the
+    exact radial computeCircularAlpha profile at powers[i], box-filtered
+    onto the variant grid like any sprite. Rotationally symmetric ->
+    angle_bins 1; radial profiles factor at low rank. The per-particle
+    frame is selected from the evaluated power bezier
+    (render.py render_particles)."""
+    frames = []
+    coords = ((np.arange(cell) + 0.5) / cell) * 2.0 - 1.0
+    dyy, dxx = np.meshgrid(coords, coords, indexing="ij")
+    dist = np.sqrt(dxx * dxx + dyy * dyy)
+    for p in powers:
+        frames.append(circular_alpha(dist, float(p)).astype(np.float32))
+    tex = np.concatenate(frames, axis=0)  # vertical frame stack
+    return build_sprite_table(
+        tex, frames_x=1, frames_y=len(frames), angle_bins=1,
+        size_bins=size_bins, rank=rank, size_min=size_min,
+        size_max=size_max, support=support,
+    )
+
+
 def select_bins(table: SpriteTable, frame, angle, size):
     """Per-particle variant index from (frame, rotation, size)."""
     fi = jnp.clip(frame.astype(jnp.int32), 0, table.frames - 1)
@@ -253,10 +296,14 @@ def _sprite_bins_and_factors(cfg, table, x, y, color, size, live,
     row_f = sel[:, :, 0]  # (NT, K, R, S)
     col_f = sel[:, :, 1]
 
-    # Window-local integer positions + subpixel fractions.
+    # Window-local integer positions + subpixel fractions. Continuous
+    # convention matches the analytic path and the per-pixel oracle:
+    # pixel i's center sits at i + 0.5 (tiled.py ry/rx + 0.5;
+    # particles.py fx = x - (xc + 0.5)) — so a particle at x = i + 0.5
+    # is exactly centered on pixel i (variant sample F[half]).
     ox, oy = _tile_origins(cfg)
-    px = bins["x"] - ox[:, None] + cfg.apron
-    py = bins["y"] - oy[:, None] + cfg.apron
+    px = bins["x"] - ox[:, None] + cfg.apron - 0.5
+    py = bins["y"] - oy[:, None] + cfg.apron - 0.5
     ix = jnp.floor(px)
     iy = jnp.floor(py)
     fx = px - ix

@@ -132,10 +132,13 @@ def build_flagship(
         raise ValueError(f"unknown preset {preset!r}")
     if raster_preset not in (None, "fast", "parity"):
         raise ValueError(f"unknown raster_preset {raster_preset!r}")
+    _FAMILIES = {"directional", "line", "volumetric", "projector",
+                 "particle"}
     if not isinstance(full_family, bool):
-        raise ValueError("full_family is a bool (the family set is "
-                         "fixed: directional+line+volumetric+projector+"
-                         "particle)")
+        bad = set(full_family) - _FAMILIES
+        if bad:
+            raise ValueError(f"unknown light families {sorted(bad)}; "
+                             f"valid: {sorted(_FAMILIES)}")
     parity = preset == "parity"
     substeps = (collision_substeps if collision_substeps is not None
                 else (3 if parity else 1))
@@ -268,6 +271,12 @@ def build_flagship(
             start_position=(cx - ring * 0.6, cy + ring * 0.55, 30.0),
             end_position=(110.0, 80.0, 26.0),
             volumetricity=0.75, distance_attenuation=0.8,
+            # Soft silhouette: the default ramp_length (1 world unit) is
+            # a hard edge — sub-pixel detail no resolution lever can
+            # represent (and the half-res extra-family path visibly
+            # aliased it). 24 units matches the scene's soft look and
+            # keeps the lever's error band-limited (test_advice_r4.py).
+            ramp_length=24.0,
             color=(0.5, 0.8, 0.6, 0.8),
             cast_shadows=True,
         )

@@ -46,9 +46,10 @@ def test_sprites_match_oracle():
                             channels=4)
     rng = np.random.default_rng(5)
     n = 60
-    # Integer-ish positions so the oracle needn't model subpixel lerp.
-    x = np.round(rng.uniform(8, w - 8, n)).astype(np.float32)
-    y = np.round(rng.uniform(8, h - 8, n)).astype(np.float32)
+    # Pixel-center positions (i + 0.5) so the oracle needn't model
+    # subpixel lerp: the blit below centers each variant on pixel i.
+    x = (np.round(rng.uniform(8, w - 8, n)) + 0.5).astype(np.float32)
+    y = (np.round(rng.uniform(8, h - 8, n)) + 0.5).astype(np.float32)
     color = rng.uniform(0.2, 1.0, (n, 4)).astype(np.float32)
     size = rng.choice([3.0, 5.196, 9.0], n).astype(np.float32)  # bins
     live = np.ones(n, bool)
@@ -145,8 +146,8 @@ def test_sprites_alpha_matches_oracle():
                             channels=4)
     rng = np.random.default_rng(7)
     n = 40
-    x = np.round(rng.uniform(8, w - 8, n)).astype(np.float32)
-    y = np.round(rng.uniform(8, h - 8, n)).astype(np.float32)
+    x = (np.round(rng.uniform(8, w - 8, n)) + 0.5).astype(np.float32)
+    y = (np.round(rng.uniform(8, h - 8, n)) + 0.5).astype(np.float32)
     straight = rng.uniform(0.2, 1.0, (n, 3)).astype(np.float32)
     alpha = rng.uniform(0.3, 0.9, n).astype(np.float32)
     color = np.concatenate([straight * alpha[:, None], alpha[:, None]],
