@@ -738,14 +738,30 @@ def build_flagship(
                                               substeps=substeps)
 
         # -- particle rasterization (full-res, tiled) --
-        particle_img, diag = rasterize_tiled(
-            raster_config,
-            state.position[:, 0],
-            state.position[:, 1],
-            state.render_color,
-            state.render_data[:, 0],
-            state.live_mask(),
-        )
+        if mesh is not None and mesh.devices.size > 1:
+            # Row-banded bucketed raster: one all_to_all routes each
+            # particle to its band owner(s); the sort/bin/splat run
+            # shard-local (the GSPMD fallback all-gathers the whole
+            # sort key set to every device — PARALLEL.md inventory).
+            from .parallel.raster import rasterize_tiled_sharded
+
+            particle_img, diag = rasterize_tiled_sharded(
+                mesh, raster_config,
+                state.position[:, 0],
+                state.position[:, 1],
+                state.render_color,
+                state.render_data[:, 0],
+                state.live_mask(),
+            )
+        else:
+            particle_img, diag = rasterize_tiled(
+                raster_config,
+                state.position[:, 0],
+                state.position[:, 1],
+                state.render_color,
+                state.render_data[:, 0],
+                state.live_mask(),
+            )
         # bf16 composite: feeds only the histogram (log-bucket index) and
         # the uint8 tonemap — 0.4% relative precision is invisible there
         # and the (H, W, 3) plane is written+read twice per frame.

@@ -38,10 +38,12 @@ COLLECTIVES = (
 
 
 def inventory(height, width, capacity, spawn_max, sub_rings):
+    mesh = pmesh.make_mesh(8)
+    # mesh= engages the sharded paths (bucketed raster, spmd scan
+    # conventions) exactly as dryrun_multichip does.
     sc = build_flagship(height=height, width=width, capacity=capacity,
                         spawn_max=spawn_max, bin_capacity=1016,
-                        spawn_sub_rings=sub_rings)
-    mesh = pmesh.make_mesh(8)
+                        spawn_sub_rings=sub_rings, mesh=mesh)
     gbuffer = pmesh.shard_gbuffer(sc.gbuffer, mesh)
     state = pmesh.shard_particles(sc.system.state, mesh)
     volume = pmesh.replicate(sc.volume, mesh)
@@ -56,16 +58,22 @@ def inventory(height, width, capacity, spawn_max, sub_rings):
                        pmesh.replicated(mesh)),
     )
     lowered = jax.jit(
-        sc.frame.__wrapped__, donate_argnums=(0,)
+        lambda *a: sc.frame(*a), donate_argnums=(0,)
     ).lower(*args)
     compiled = lowered.compile()
     hlo = compiled.as_text()
+    if os.environ.get("DUMP_HLO"):
+        with open(os.environ["DUMP_HLO"], "w") as f:
+            f.write(hlo)
     counts = {}
     for op in COLLECTIVES:
-        # Count op INSTRUCTIONS (lines with `= opname(`), not calls.
-        counts[op] = len(
-            re.findall(rf"=\s+\S*\s*{op}(?:-start)?\(", hlo)
-        )
+        # Count op INSTRUCTIONS. Tuple-returning variants (multi-operand
+        # all-to-all) put a parenthesized tuple type between `=` and the
+        # op name, so match the op callsite itself, line-anchored.
+        counts[op] = len([
+            ln for ln in hlo.splitlines()
+            if re.search(rf"\s{op}(?:-start)?\(", ln)
+        ])
     # Execute one step to prove it runs at this shape. At 1080p the
     # 8-CPU mesh can exceed the XLA:CPU 40 s collective rendezvous
     # timeout (per-device emulated compute is minutes; a straggler
