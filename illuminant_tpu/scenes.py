@@ -102,6 +102,7 @@ def build_flagship(
     collision_substeps: Optional[int] = None,
     raster_preset: Optional[str] = None,
     mesh=None,
+    field: str = "analytic",
 ) -> FlagshipScene:
     """The full config-5 frame: see module docstring.
 
@@ -130,6 +131,8 @@ def build_flagship(
     """
     if preset not in ("fast", "parity"):
         raise ValueError(f"unknown preset {preset!r}")
+    if field not in ("analytic", "voxel"):
+        raise ValueError(f"unknown field {field!r}")
     if raster_preset not in (None, "fast", "parity"):
         raise ValueError(f"unknown raster_preset {raster_preset!r}")
     _FAMILIES = {"directional", "line", "volumetric", "projector",
@@ -218,6 +221,30 @@ def build_flagship(
     # nothing and every eval slot costs real flops in 4 distance passes
     # per frame (integrator) + the occlusion image + refine samples.
     volume = analytic.pack_scene(env.obstructions, group_capacity_round=1)
+    # `volume` stays the analytic pack (animation frequency mapping needs
+    # its group order); `scene_field` is what the FRAME actually queries.
+    voxel_static = None
+    voxel_dyn_obs = None
+    if field == "voxel":
+        # The reference's PRODUCTION field is the voxel atlas
+        # (SDF/DistanceField.cs:18-22): bake the STATIC partition, Save
+        # then Load it (the shipped-Lumined-scene path, Save/Load
+        # :178-213) and regenerate the small DYNAMIC partition per frame
+        # (DynamicDistanceField, :248-321 — a moving obstruction
+        # invalidates its whole z-range every frame, so the budgeted
+        # re-raster degenerates to a full dynamic regen here).
+        import os as _os
+        import tempfile as _tempfile
+
+        static_vox = vol.generate_volume(
+            sdf_config, env.pack_obstructions(dynamic=False))
+        path = _os.path.join(
+            _tempfile.gettempdir(),
+            f"illum_flagship_field_{width}x{height}_"
+            f"{sdf_resolution_scale}.npz")
+        vol.save(static_vox, path)
+        voxel_static = vol.load(path)
+        voxel_dyn_obs = env.pack_obstructions(dynamic=True)
     env_u = env.uniforms()
     gbuffer = gbuf.flat_ground(height, width, env_u)
     sphere_lights = pack_sphere_lights(
@@ -364,6 +391,28 @@ def build_flagship(
             for c, a, f in zip(volume_.centers, anim_amp, anim_freq)
         )
         return volume_.replace(centers=new_centers)
+
+    if field == "voxel":
+        # Same orbit constants keyed to the same analytic group
+        # frequencies, applied to the packed dynamic partition; the
+        # dynamic slab regenerates dense each frame and min-combines
+        # with the loaded static field (DistanceField.cs:248-321).
+        _dyn_list = [o for o in env.obstructions if o.is_dynamic]
+        _damp = np.zeros((voxel_dyn_obs.centers.shape[0], 3), np.float32)
+        _dfreq = np.zeros((voxel_dyn_obs.centers.shape[0],), np.float32)
+        for _j, _o in enumerate(_dyn_list):
+            _damp[_j] = (60.0, 40.0, 0.0)
+            _dfreq[_j] = 0.9 + 0.3 * volume.group_types.index(_o.type)
+        _damp = jnp.asarray(_damp)
+        _dfreq = jnp.asarray(_dfreq)
+
+        def animate_volume(volume_, t):  # noqa: F811
+            centers = voxel_dyn_obs.centers + _damp * jnp.stack(
+                [jnp.sin(_dfreq * t), jnp.cos(_dfreq * t),
+                 jnp.zeros_like(_dfreq)], axis=-1)
+            dyn_vol = vol.generate_volume(
+                sdf_config, voxel_dyn_obs.replace(centers=centers))
+            return vol.combine_static_dynamic(volume_, dyn_vol)
 
     # Particle system: bezier-animated spawner + gravity + SDF collision.
     p_config = ParticleSystemConfig(
@@ -829,7 +878,7 @@ def build_flagship(
         config=config,
         environment=env,
         sdf_config=sdf_config,
-        volume=volume,
+        volume=voxel_static if field == "voxel" else volume,
         gbuffer=gbuffer,
         sphere_lights=sphere_lights,
         system=system,

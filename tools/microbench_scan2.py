@@ -123,7 +123,7 @@ def main():
         @jax.jit
         def go(occ):
             def step(i, acc):
-                o = occ + acc[0, 0, 0] * 1e-30
+                o = occ + acc * 1e-30
                 ew = SS._bidirectional_scan(o, lx, ly, lr, raw=True)
                 ns = SS._bidirectional_scan(o.T, ly, lx, lr, raw=True)
 
