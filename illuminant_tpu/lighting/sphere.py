@@ -132,16 +132,33 @@ def compute_specularity(camera_position, shaded_position, shaded_normal,
     )
 
 
-def compute_ao_p(volume, px, py, pz, nz, ao_radius, ao_opacity, visible):
+def compute_ao_p(volume, px, py, pz, nz, ao_radius, ao_opacity, visible,
+                 pixel_grid=None):
     """Planar AOCommon.fxh:1-20 (one field sample above the surface).
-    The sample offset follows +z * normal.z * radius like compute_ao."""
+    The sample offset follows +z * normal.z * radius like compute_ao.
+
+    `pixel_grid` ((xs, ys) world vectors): voxel-field fast path — the
+    probe xy anchors to the frame's pixel grid so the field lookup is a
+    gather-free resampled-stack z-lerp (sampling.grid_stack). Exact for
+    relative_y == 0 pixels (ground, billboard tops); height-volume FACE
+    pixels probe at their screen y instead of the face's world y
+    (bounded by the field's 1-Lipschitz property x |relative_y|;
+    measured in tests/test_sampling_fast.py)."""
     if volume is None:
         return jnp.ones(jnp.broadcast_shapes(jnp.shape(px),
                                              jnp.shape(ao_radius)),
                         jnp.float32)
     from ..sdf.analytic import scene_sample_p
+    from ..sdf.volume import SdfVolume
 
-    d = scene_sample_p(volume, px, py, pz + nz * ao_radius)
+    if pixel_grid is not None and isinstance(volume, SdfVolume):
+        from ..sdf.sampling import grid_stack, sample_stack_z
+
+        xs, ys = pixel_grid
+        stack = grid_stack(volume, xs, ys)
+        d = sample_stack_z(volume, stack, xs, ys, pz + nz * ao_radius)
+    else:
+        d = scene_sample_p(volume, px, py, pz + nz * ao_radius)
     clamped = jnp.clip(d, 0.0, ao_radius)
     r = 1.0 - _saturate(clamped / jnp.maximum(ao_radius, 1e-6))
     r = 1.0 - r * r
@@ -255,6 +272,7 @@ def accumulate_sphere_lights(
         ao_radius = more[..., 0] * jnp.maximum(0.0, nz)
         ao = compute_ao_p(
             volume, wx, wy, wz, nz, ao_radius, more[..., 3], visible,
+            pixel_grid=(xs, ys),
         )
         pre_trace = distance_opacity * ao
     else:

@@ -297,14 +297,30 @@ def pack_scene(obstructions: List, maximum_distance: float = 128.0,
     )
 
 
+# Scattered SdfVolume queries at or above this STATIC size dispatch to
+# the MXU interpolation-matrix path instead of the 8-tap gather (the
+# gather is descriptor-rate-limited at ~10 ns/tap on TPU — see
+# sampling.py module docstring; the crossover is far below 16k).
+_INTERP_MIN_POINTS = 1 << 14
+
+
+def _size(shape) -> int:
+    n = 1
+    for s in shape:
+        n *= int(s)
+    return n
+
+
 def scene_sample(field, position):
     """Uniform query interface: AnalyticScene, SdfVolume, or None."""
     if field is None:
         return jnp.full(position.shape[:-1], 128.0, dtype=jnp.float32)
     if isinstance(field, AnalyticScene):
         return field.distance(position)
-    from .sampling import sample
+    from .sampling import sample, sample_interp
 
+    if _size(position.shape[:-1]) >= _INTERP_MIN_POINTS:
+        return sample_interp(field, position)
     return sample(field, position)
 
 
@@ -322,11 +338,31 @@ def scene_normal(field, position):
     return estimate_normal(field, position)
 
 
+def _separable_grid(x, y):
+    """Detect (by STATIC shape) a planar separable grid query: x varies
+    only along the last axis, y only along the second-to-last. The
+    occlusion image and the pixel-grid AO prologue have this shape."""
+    xs, ys = jnp.shape(x), jnp.shape(y)
+    if len(ys) < 2:
+        return False
+    x_ok = len(xs) >= 1 and all(d == 1 for d in xs[:-1])
+    y_ok = ys[-1] == 1 and all(d == 1 for d in ys[:-2])
+    return x_ok and y_ok
+
+
 def scene_sample_p(field, x, y, z):
     """Planar scene query: component arrays in, distance out. Dispatches
-    to the unrolled analytic fast path; other field kinds stack."""
+    to the unrolled analytic fast path; SdfVolumes route by query shape
+    (separable grid -> exact matmul resample; large scattered -> MXU
+    interp; small -> reference gather). See sampling.py docstring."""
     if isinstance(field, AnalyticScene):
         return field.distance_p(x, y, z)
+    from . import sampling
+
+    if isinstance(field, sampling.SdfVolume) and _separable_grid(x, y):
+        xs = jnp.reshape(x, (-1,))
+        ys = jnp.reshape(y, (-1,))
+        return sampling.sample_grid(field, xs, ys, z)
     shape = jnp.broadcast_shapes(jnp.shape(x), jnp.shape(y), jnp.shape(z))
     pos = jnp.stack([jnp.broadcast_to(x, shape), jnp.broadcast_to(y, shape),
                      jnp.broadcast_to(z, shape)], axis=-1)
@@ -347,5 +383,16 @@ def scene_normal_p(field, x, y, z, fast: bool = False):
     shape = jnp.broadcast_shapes(jnp.shape(x), jnp.shape(y), jnp.shape(z))
     pos = jnp.stack([jnp.broadcast_to(x, shape), jnp.broadcast_to(y, shape),
                      jnp.broadcast_to(z, shape)], axis=-1)
+    if fast and _size(shape) >= _INTERP_MIN_POINTS:
+        # Collision fast normal: the trilinear interpolant's own world
+        # gradient from the MXU path (normalized), 4x cheaper than the
+        # tetrahedral 4-tap estimate and gather-free.
+        from .sampling import SdfVolume, sample_interp_grad
+
+        if isinstance(field, SdfVolume):
+            _, g = sample_interp_grad(field, pos)
+            norm = jnp.sqrt(jnp.sum(g * g, axis=-1, keepdims=True))
+            g = jnp.where(norm > 1e-9, g / jnp.maximum(norm, 1e-9), 0.0)
+            return g[..., 0], g[..., 1], g[..., 2]
     n = scene_normal(field, pos)
     return n[..., 0], n[..., 1], n[..., 2]
