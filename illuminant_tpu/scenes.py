@@ -412,7 +412,13 @@ def build_flagship(
                  jnp.zeros_like(_dfreq)], axis=-1)
             dyn_vol = vol.generate_volume(
                 sdf_config, voxel_dyn_obs.replace(centers=centers))
-            return vol.combine_static_dynamic(volume_, dyn_vol)
+            combined = vol.combine_static_dynamic(volume_, dyn_vol)
+            # Barrier: the frame samples this volume from several stages
+            # (collision, occlusion image, refine, AO); without it XLA
+            # rematerializes the whole regen+combine into each consumer
+            # (measured 6.6 ms apiece — see sampling._packed_volume).
+            return combined.replace(
+                data=jax.lax.optimization_barrier(combined.data))
 
     # Particle system: bezier-animated spawner + gravity + SDF collision.
     p_config = ParticleSystemConfig(
