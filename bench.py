@@ -198,7 +198,6 @@ def _bench_preset(preset, height, width, capacity, frames,
     avg_lum = jnp.asarray(0.5, jnp.float32)
 
     spawn_count = jnp.asarray(scene.spawner.spawn_max, jnp.int32)
-    chunk = 400  # frames per dispatch — amortizes host-tunnel latency
 
     def run(state, avg_lum, i0, n):
         return scene.frame_loop(
@@ -213,14 +212,33 @@ def _bench_preset(preset, height, width, capacity, frames,
     def fence(x):
         return float(jnp.max(x[::257, 0].astype(jnp.float32)))
 
-    img, state, avg_lum, drops = run(state, avg_lum, 0, chunk)
+    # DURATION-AWARE dispatch chunking (round-5 fix for the round-4
+    # voxel-row crash): a single XLA execution that runs for minutes
+    # kills the TPU worker ("kernel fault" — repro:
+    # tools/repro_voxel_crash.py; 400 slow frames in one dispatch died
+    # on the FIRST chunk, the same workload at 8 frames/dispatch ran
+    # clean). Probe the per-frame cost with a small dispatch, then pick
+    # the largest chunk that keeps each dispatch under ~8 s — big
+    # chunks still amortize the ~30 ms axon tunnel latency for fast
+    # presets (400 frames at 60 fps is 6.7 s).
+    probe = 8
+    img, state, avg_lum, drops = run(state, avg_lum, 0, probe)
     fence(img)
     fence(state.position)  # also compiles the state-fence op
-    img, state, avg_lum, drops = run(state, avg_lum, chunk, chunk)
+    t0 = time.perf_counter()
+    img, state, avg_lum, drops = run(state, avg_lum, probe, probe)
     fence(img)
-
-    done = 2 * chunk
-    frames = max(frames, chunk)
+    tpf = (time.perf_counter() - t0) / probe
+    chunk = next((n for n in (400, 100, 25, 8) if n * tpf <= 8.0), 8)
+    done = 2 * probe
+    if chunk != probe:
+        # Compile + settle the main chunk size.
+        img, state, avg_lum, drops = run(state, avg_lum, done, chunk)
+        fence(img)
+        done += chunk
+    # Bound the measured wall-clock (~45 s) so a slow row reports a
+    # number instead of eating the driver's budget.
+    frames = min(max(frames, chunk), max(chunk, int(45.0 / max(tpf, 1e-6))))
     n_chunks = frames // chunk
     t0 = time.perf_counter()
     for c in range(n_chunks):

@@ -664,6 +664,39 @@ def resize_visibility(vis, target_hw):
     return jax.image.resize(vis, (vis.shape[0], th, tw), "linear")
 
 
+def downsample2x_linear(x, axis):
+    """Exact-2x linear-antialiased downsample along `axis`, numerically
+    identical to jax.image.resize(..., "linear") for even dims (interior
+    kernel [1/8, 3/8, 3/8, 1/8]; edge kernels renormalized [3,3,1]/7 —
+    verified to float rounding). Built from static slices/concats so
+    GSPMD keeps a sharded axis shard-local (halo via collective-permute)
+    instead of the resize dot_general's plane all-gather
+    (PARALLEL.md round-4 inventory; VERDICT r4 task #8)."""
+    n = x.shape[axis]
+    m = n // 2
+    # Even/odd row split via a pair reshape: shard-local when the shard
+    # size is even (a stride-2 slice on a sharded axis lowers to
+    # all-to-all instead — measured 26 of them on the 8-device frame).
+    shape = x.shape[:axis] + (m, 2) + x.shape[axis + 1:]
+    pairs = x.reshape(shape)
+    e = jax.lax.index_in_dim(pairs, 0, axis=axis + 1, keepdims=False)
+    o = jax.lax.index_in_dim(pairs, 1, axis=axis + 1, keepdims=False)
+
+    def sl(v, a, b):
+        return jax.lax.slice_in_dim(v, a, b, axis=axis)
+
+    om1 = jnp.concatenate([sl(o, 0, 1), sl(o, 0, m - 1)], axis=axis)
+    ep1 = jnp.concatenate([sl(e, 1, m), sl(e, m - 1, m)], axis=axis)
+    s = 0.125 * om1 + 0.375 * e + 0.375 * o + 0.125 * ep1
+    # Edge kernels renormalize the clipped taps ([3,3,1]/7), matching
+    # jax.image.resize exactly.
+    first = (3.0 * sl(e, 0, 1) + 3.0 * sl(o, 0, 1) + sl(e, 1, 2)) / 7.0
+    last = (sl(o, m - 2, m - 1) + 3.0 * sl(e, m - 1, m)
+            + 3.0 * sl(o, m - 1, m)) / 7.0
+    return jnp.concatenate(
+        [first, sl(s, 1, m - 1), last], axis=axis)
+
+
 def upsample2x_bilinear(v):
     """Elementwise bilinear 2x upsample over the last two axes (faster
     than jax.image.resize for the fixed 2x case; used by the shadow-scale
@@ -739,6 +772,13 @@ def scan_cone_visibility(
         # channels == C; leading dims (the per-light axis of a fused
         # multi-family call) resize as identity.
         spatial_at = arr.ndim - 2 - (1 if channels else 0)
+        ah, aw = arr.shape[spatial_at], arr.shape[spatial_at + 1]
+        if (ah, aw) == (sh * 2, sw * 2):
+            # Exact halving: the shard-local kernel (== jax.image.resize
+            # to float rounding) so a row-sharded plane downsamples
+            # without the resize dot_general's all-gather.
+            return downsample2x_linear(
+                downsample2x_linear(arr, spatial_at), spatial_at + 1)
         shape = (arr.shape[:spatial_at] + (sh, sw)
                  + ((channels,) if channels else ()))
         return jax.image.resize(arr, shape, "linear")

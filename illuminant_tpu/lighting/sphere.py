@@ -149,14 +149,17 @@ def compute_ao_p(volume, px, py, pz, nz, ao_radius, ao_opacity, visible,
                                              jnp.shape(ao_radius)),
                         jnp.float32)
     from ..sdf.analytic import scene_sample_p
+    from ..sdf.columns import ColumnField
     from ..sdf.volume import SdfVolume
 
-    if pixel_grid is not None and isinstance(volume, SdfVolume):
+    vol_field = volume.volume if isinstance(volume, ColumnField) \
+        else volume
+    if pixel_grid is not None and isinstance(vol_field, SdfVolume):
         from ..sdf.sampling import grid_stack, sample_stack_z
 
         xs, ys = pixel_grid
-        stack = grid_stack(volume, xs, ys)
-        d = sample_stack_z(volume, stack, xs, ys, pz + nz * ao_radius)
+        stack = grid_stack(vol_field, xs, ys)
+        d = sample_stack_z(vol_field, stack, xs, ys, pz + nz * ao_radius)
     else:
         d = scene_sample_p(volume, px, py, pz + nz * ao_radius)
     clamped = jnp.clip(d, 0.0, ao_radius)

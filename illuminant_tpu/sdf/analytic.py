@@ -24,6 +24,7 @@ from __future__ import annotations
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..core.pytree import pytree_dataclass, static_field
@@ -303,6 +304,44 @@ def pack_scene(obstructions: List, maximum_distance: float = 128.0,
 # sampling.py module docstring; the crossover is far below 16k).
 _INTERP_MIN_POINTS = 1 << 14
 
+# Dispatch mode for the MXU interp path: "auto" uses it only on
+# accelerator backends (on XLA:CPU the dense interpolation matmuls are
+# a ~50x PESSIMIZATION vs the plain gather — a 256x256 voxel march took
+# 417 s of the CPU test suite before this gate); "always"/"never" force
+# it (tests pin the TPU path's semantics on CPU via "always").
+_INTERP_DISPATCH = "auto"
+
+
+def set_interp_dispatch(mode: str) -> str:
+    """Set the scattered-voxel dispatch mode; returns the previous mode."""
+    global _INTERP_DISPATCH
+    if mode not in ("auto", "always", "never"):
+        raise ValueError(f"unknown interp dispatch mode {mode!r}")
+    prev = _INTERP_DISPATCH
+    _INTERP_DISPATCH = mode
+    return prev
+
+
+class interp_dispatch:
+    """Context manager: `with interp_dispatch("always"): ...`"""
+
+    def __init__(self, mode: str):
+        self.mode = mode
+
+    def __enter__(self):
+        self.prev = set_interp_dispatch(self.mode)
+
+    def __exit__(self, *exc):
+        set_interp_dispatch(self.prev)
+
+
+def _use_interp(n_points: int) -> bool:
+    if _INTERP_DISPATCH == "never" or n_points < _INTERP_MIN_POINTS:
+        return False
+    if _INTERP_DISPATCH == "always":
+        return True
+    return jax.default_backend() != "cpu"
+
 
 def _size(shape) -> int:
     n = 1
@@ -312,14 +351,22 @@ def _size(shape) -> int:
 
 
 def scene_sample(field, position):
-    """Uniform query interface: AnalyticScene, SdfVolume, or None."""
+    """Uniform query interface: AnalyticScene, SdfVolume, ColumnField,
+    or None."""
     if field is None:
         return jnp.full(position.shape[:-1], 128.0, dtype=jnp.float32)
     if isinstance(field, AnalyticScene):
         return field.distance(position)
+    from .columns import ColumnField, sample_columns
+
+    if isinstance(field, ColumnField):
+        # Scattered queries through a ColumnField ALWAYS use the column
+        # reconstruction (deterministic semantics — no size-dependent
+        # path switch; the exact volume stays reachable as field.volume).
+        return sample_columns(field, position)
     from .sampling import sample, sample_interp
 
-    if _size(position.shape[:-1]) >= _INTERP_MIN_POINTS:
+    if _use_interp(_size(position.shape[:-1])):
         return sample_interp(field, position)
     return sample(field, position)
 
@@ -333,8 +380,14 @@ def scene_normal(field, position):
             jnp.asarray([0.0, 0.0, 1.0], jnp.float32), shape)
     if isinstance(field, AnalyticScene):
         return field.estimate_normal(position)
+    from .columns import ColumnField
     from .sampling import estimate_normal
 
+    if isinstance(field, ColumnField):
+        # The oracle tetrahedral normal of the EXACT field (the
+        # visualize-parity path; the collision fast path goes through
+        # scene_normal_p(fast=True) -> sample_columns_grad instead).
+        return estimate_normal(field.volume, position)
     return estimate_normal(field, position)
 
 
@@ -358,11 +411,16 @@ def scene_sample_p(field, x, y, z):
     if isinstance(field, AnalyticScene):
         return field.distance_p(x, y, z)
     from . import sampling
+    from .columns import ColumnField
 
-    if isinstance(field, sampling.SdfVolume) and _separable_grid(x, y):
+    vol_field = field.volume if isinstance(field, ColumnField) else field
+    if isinstance(vol_field, sampling.SdfVolume) and _separable_grid(x, y):
+        # Separable grid queries stay EXACT through a ColumnField (the
+        # occlusion image / nomination stack): matmul resample of the
+        # underlying volume.
         xs = jnp.reshape(x, (-1,))
         ys = jnp.reshape(y, (-1,))
-        return sampling.sample_grid(field, xs, ys, z)
+        return sampling.sample_grid(vol_field, xs, ys, z)
     shape = jnp.broadcast_shapes(jnp.shape(x), jnp.shape(y), jnp.shape(z))
     pos = jnp.stack([jnp.broadcast_to(x, shape), jnp.broadcast_to(y, shape),
                      jnp.broadcast_to(z, shape)], axis=-1)
@@ -383,7 +441,18 @@ def scene_normal_p(field, x, y, z, fast: bool = False):
     shape = jnp.broadcast_shapes(jnp.shape(x), jnp.shape(y), jnp.shape(z))
     pos = jnp.stack([jnp.broadcast_to(x, shape), jnp.broadcast_to(y, shape),
                      jnp.broadcast_to(z, shape)], axis=-1)
-    if fast and _size(shape) >= _INTERP_MIN_POINTS:
+    if fast:
+        from .columns import ColumnField, sample_columns_grad
+
+        if isinstance(field, ColumnField):
+            # Collision fast normal from the column reconstruction's own
+            # gradient (side contact -> footprint-map gradient, cap
+            # contact -> +-z).
+            _, g = sample_columns_grad(field, pos)
+            norm = jnp.sqrt(jnp.sum(g * g, axis=-1, keepdims=True))
+            g = jnp.where(norm > 1e-9, g / jnp.maximum(norm, 1e-9), 0.0)
+            return g[..., 0], g[..., 1], g[..., 2]
+    if fast and _use_interp(_size(shape)):
         # Collision fast normal: the trilinear interpolant's own world
         # gradient from the MXU path (normalized), 4x cheaper than the
         # tetrahedral 4-tap estimate and gather-free.

@@ -24,6 +24,20 @@ from illuminant_tpu.sdf.analytic import (
 )
 
 
+import pytest as _pytest
+
+from illuminant_tpu.sdf import analytic as _analytic
+
+
+@_pytest.fixture(autouse=True)
+def _force_interp_dispatch():
+    """This module pins the TPU MXU/interp paths' semantics on the CPU
+    backend — force the accelerator dispatch (analytic._use_interp)."""
+    prev = _analytic.set_interp_dispatch("always")
+    yield
+    _analytic.set_interp_dispatch(prev)
+
+
 @pytest.fixture(scope="module")
 def field():
     env = LightingEnvironment()

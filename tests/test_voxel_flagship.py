@@ -12,6 +12,20 @@ import jax.numpy as jnp
 from illuminant_tpu.sdf import volume as vol
 
 
+import pytest as _pytest
+
+from illuminant_tpu.sdf import analytic as _analytic
+
+
+@_pytest.fixture(autouse=True)
+def _force_interp_dispatch():
+    """This module pins the TPU MXU/interp paths' semantics on the CPU
+    backend — force the accelerator dispatch (analytic._use_interp)."""
+    prev = _analytic.set_interp_dispatch("always")
+    yield
+    _analytic.set_interp_dispatch(prev)
+
+
 def _frame(scene, frame_index=2):
     key = jax.random.key(0)
     # frame() donates the state buffers — hand it a fresh copy.

@@ -14,6 +14,20 @@ from illuminant_tpu.sdf import volume as vol
 from illuminant_tpu.sdf.analytic import pack_scene
 
 
+import pytest as _pytest
+
+from illuminant_tpu.sdf import analytic as _analytic
+
+
+@_pytest.fixture(autouse=True)
+def _force_interp_dispatch():
+    """This module pins the TPU MXU/interp paths' semantics on the CPU
+    backend — force the accelerator dispatch (analytic._use_interp)."""
+    prev = _analytic.set_interp_dispatch("always")
+    yield
+    _analytic.set_interp_dispatch(prev)
+
+
 def test_voxel_field_scan_matches_analytic():
     env = LightingEnvironment(maximum_z=64.0)
     env.obstructions.append(
