@@ -55,6 +55,21 @@ class QualitySettings:
     # grid-exact walk. The parity preset uses 0.25 under its full-res
     # readout (error measured at the full-res walk's level).
     scan_nomination_scale: float = static_field(default=0.5)
+    # ColumnField (voxel fast path) 3D-refine mode. "carried": the scan
+    # carries the nominated blocker column's (h_top, h_bot) interval and
+    # the refine reconstructs candidate distances ELEMENTWISE
+    # (columns.reconstruct_profile) — zero scattered field samples;
+    # exact for z-prism content, CONSERVATIVE (over-shadow, measured
+    # ~3% of (light, px) > 0.1 visibility on moving convex occluders,
+    # 88% in the darker direction; image-level bound pinned in
+    # tests/test_voxel_flagship.py) near shapes whose horizontal
+    # cross-section varies with z. "exact": candidates sample the
+    # underlying voxel volume (the reference-trilinear path — matches
+    # the analytic frame to voxel quantization, but pays the scattered
+    # MXU contraction: ~123 ms/frame at 1080p/8 lights, PERF.md
+    # round 5). Analytic scenes always sample exactly (cheap) and
+    # ignore this knob.
+    scan_refine_mode: str = static_field(default="carried")
     # Resolution of the EXTRA light families (directional/line/
     # volumetric/particle) relative to the lightmap, when a scene opts
     # into the multi-family frame. 0.5 = the library default: those

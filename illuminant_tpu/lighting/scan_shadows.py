@@ -54,6 +54,10 @@ from .cone_trace import (
 
 _BIG = 1e9
 
+# Debug-only: when a dict, scan_visibility stashes its nominated fields
+# (tools/debug_carried_refine.py). Never set in production.
+_DEBUG_STASH = None
+
 # --- Trace-time SPMD context (multi-chip frames) ---------------------
 # Set by a frame body (scenes.py) while it traces, via `spmd_mesh(mesh)`.
 # When active, every scan call in the frame splits into two sharding
@@ -144,7 +148,7 @@ def _default_unroll() -> int:
 
 
 def _bidirectional_scan(occ, light_x, light_y, light_radius, unroll=None,
-                        raw=False, exit_band=1.0):
+                        raw=False, exit_band=1.0, extra=None):
     """Both half-plane passes in ONE lax.scan (the reverse pass runs on the
     flipped image as a batch row — halves the sequential op count; unroll
     amortizes per-step overhead). occ: (H, W); light_x/y/radius: (L,).
@@ -152,6 +156,13 @@ def _bidirectional_scan(occ, light_x, light_y, light_radius, unroll=None,
     Returns ((e_d, e_k), (w_d, w_k)): (L, H, W) pre-merge carries — the min
     scene distance along each pixel's ray (excluding the pixel's own
     column) and the horizontal distance from the light where it occurred.
+
+    `extra`: optional tuple of (H, W) images whose values are SELECTED
+    (not min-propagated) whenever the running arg-min updates — the
+    carried payload reads "image value at the nominated blocker". Used
+    by the ColumnField refine to ride the blocker column's interval
+    (h_top, h_bot) along the walk; each sector tuple then has
+    3 + len(extra) elements.
 
     raw=True returns the scan outputs in their NATIVE (W, 2, L, H) f16
     layout (forward-pass x-mirror NOT undone) — for layout experiments
@@ -173,6 +184,9 @@ def _bidirectional_scan(occ, light_x, light_y, light_radius, unroll=None,
     occ_fwd = occ.T  # (W, H)
     occ_rev = occ.T[::-1]
     occ_both = jnp.stack([occ_fwd, occ_rev], axis=1)  # (W, 2, H)
+    n_extra = 0 if extra is None else len(extra)
+    extra_both = tuple(
+        jnp.stack([m.T, m.T[::-1]], axis=1) for m in (extra or ()))
 
     lx = jnp.stack([light_x, float(W) - light_x], axis=0)[:, :, None]
     ly = jnp.broadcast_to(light_y[None, :, None], (2, L, 1))
@@ -191,8 +205,10 @@ def _bidirectional_scan(occ, light_x, light_y, light_radius, unroll=None,
     # leading stack dim wrecks the (2, L, H) layout. Three separate
     # carries stay.
     def step(carry, inputs):
-        min_d, min_k, neg_k = carry  # (2, L, H) each
-        x, occ_col = inputs  # (), (2, H)
+        min_d, min_k, neg_k = carry[0]  # (2, L, H) each
+        extra_c = carry[1]  # tuple of (2, L, H)
+        x, occ_col = inputs[0], inputs[1]  # (), (2, H)
+        extra_cols = inputs[2]  # tuple of (2, H)
         dx = x - lx  # (2, L, 1)
         in_front = dx >= 1.0
 
@@ -224,12 +240,35 @@ def _bidirectional_scan(occ, light_x, light_y, light_radius, unroll=None,
         res_k = jnp.where(in_front, res_k, 0.0)
         res_n = jnp.where(in_front, res_n, 0.0)
 
+        def resample_nearest(c, edge_fill):
+            # Argmin-selected payloads (blocker h_top/h_bot) follow the
+            # DOMINANT fan branch instead of lerping: a lerp between a
+            # tall blocker's top and a neighboring column's unrelated
+            # height undercuts t* and lets refined rays "pass over"
+            # shadows that the exact sampler blocks (measured: vis 1.0
+            # vs 0.06 worst-pixel before this).
+            up = jnp.roll(c, 1, axis=2)
+            dn = jnp.roll(c, -1, axis=2)
+            row = jnp.arange(c.shape[2])
+            up = jnp.where(row == 0, edge_fill, up)
+            dn = jnp.where(row == c.shape[2] - 1, edge_fill, dn)
+            nb = jnp.where(f >= 0.0, up, dn)
+            return jnp.where(af > 0.5, nb, c)
+
+        res_e = tuple(
+            jnp.where(in_front, resample_nearest(c, 0.0), 0.0)
+            for c in extra_c)
+
         # Merge this column's own sample (skipped within the light radius —
         # the trace stops `radius` short of the light, ConeTrace.fxh:46).
         sample_valid = in_front & (dx > lr)
         d_here = jnp.where(sample_valid, occ_col[:, None, :], _BIG)
         new_min_d = jnp.minimum(res_d, d_here)
-        new_min_k = jnp.where(d_here < res_d, dx, res_k)
+        upd = d_here < res_d
+        new_min_k = jnp.where(upd, dx, res_k)
+        new_extra = tuple(
+            jnp.where(upd, col[:, None, :], re)
+            for col, re in zip(extra_cols, res_e))
         # Blocker EXIT point: the farthest-from-light NEAR-SURFACE sample
         # — the ray is lowest there, so it's the second 3D-refine
         # candidate. The threshold is a small positive band, not 0: a
@@ -244,19 +283,23 @@ def _bidirectional_scan(occ, light_x, light_y, light_radius, unroll=None,
         # (3 x (W, 2, L, H) per pass); store them f16 — d <= 128 keeps
         # ~0.06 precision, k <= W keeps ~1 shadow-res px — and upcast at
         # readout. Halves the pass's HBM traffic.
-        return (new_min_d, new_min_k, new_neg_k), (
+        return ((new_min_d, new_min_k, new_neg_k), new_extra), (
             res_d.astype(jnp.float16),
             (res_k + k_off).astype(jnp.float16),
             (res_n + k_off).astype(jnp.float16),
+            tuple(r.astype(jnp.float16) for r in res_e),
         )
 
     init = (
-        jnp.full((2, L, H), _BIG, jnp.float32),
-        jnp.zeros((2, L, H), jnp.float32),
-        jnp.zeros((2, L, H), jnp.float32),
+        (
+            jnp.full((2, L, H), _BIG, jnp.float32),
+            jnp.zeros((2, L, H), jnp.float32),
+            jnp.zeros((2, L, H), jnp.float32),
+        ),
+        tuple(jnp.zeros((2, L, H), jnp.float32) for _ in range(n_extra)),
     )
-    _, (pre_d, pre_k, pre_n) = jax.lax.scan(
-        step, init, (cols, occ_both),
+    _, (pre_d, pre_k, pre_n, pre_e) = jax.lax.scan(
+        step, init, (cols, occ_both, extra_both),
         unroll=_default_unroll() if unroll is None else unroll,
     )
     if raw:
@@ -265,9 +308,10 @@ def _bidirectional_scan(occ, light_x, light_y, light_radius, unroll=None,
     pre_d = jnp.moveaxis(pre_d, 0, 3)
     pre_k = jnp.moveaxis(pre_k, 0, 3)
     pre_n = jnp.moveaxis(pre_n, 0, 3)
-    east = (pre_d[0], pre_k[0], pre_n[0])
+    pre_e = tuple(jnp.moveaxis(p, 0, 3) for p in pre_e)
+    east = (pre_d[0], pre_k[0], pre_n[0]) + tuple(p[0] for p in pre_e)
     west = (pre_d[1, :, :, ::-1], pre_k[1, :, :, ::-1],
-            pre_n[1, :, :, ::-1])
+            pre_n[1, :, :, ::-1]) + tuple(p[1, :, :, ::-1] for p in pre_e)
     return east, west
 
 
@@ -351,6 +395,34 @@ def scan_visibility(
     # near a light cast no shadow at all (4x radius at the defaults).
     occ = _pin_replicated(occ)
     lr_n = light_radius * nscale
+    # ColumnField scenes: ride the blocker column's interval (h_top,
+    # h_bot) through the walk as selected-at-argmin payload; the 3D
+    # refine below then reconstructs the candidate distances
+    # ELEMENTWISE (columns.reconstruct_profile with the flatland min as
+    # the footprint term) instead of scatter-sampling the field — the
+    # voxel path's refine cost drops from N_px * map-matmul to pure
+    # vector math (PERF.md round-5: the refine was ~half the 287 ms
+    # voxel frame).
+    from ..sdf.columns import ColumnField, reconstruct_profile, \
+        resample_map_to_grid
+
+    use_cols = (isinstance(scene, ColumnField)
+                and quality.scan_refine_samples > 0
+                and quality.scan_refine_mode == "carried")
+    if (isinstance(scene, ColumnField)
+            and quality.scan_refine_mode == "exact"):
+        # Exact mode: candidates sample the underlying volume directly
+        # (scene_sample_p on an SdfVolume -> reference trilinear).
+        scene = scene.volume
+    if use_cols:
+        t_img = _pin_replicated(resample_map_to_grid(
+            scene, scene.h_top, nh, nw, nscale, world_offset))
+        b_img = _pin_replicated(resample_map_to_grid(
+            scene, scene.h_bot, nh, nw, nscale, world_offset))
+        extra = (t_img, b_img)
+        extra_t = (t_img.T, b_img.T)
+    else:
+        extra = extra_t = ()
     # Exit-nomination band: the last sample within this SDF distance of
     # a surface marks the blocker exit (a blocker whose top sits exactly
     # at the trace plane grazes the ray with d ~ 0 and never negative —
@@ -359,13 +431,15 @@ def scan_visibility(
     # smears a wide band across neighboring rays and pushes exits past
     # their blockers (measured on the 'tall' scene at nomination 0.25).
     band = float(min(1.0, max(nscale, 0.25)))
-    (e_d, e_k, e_n), (w_d, w_k, w_n) = jax.tree.map(
+    (e_d, e_k, e_n, *e_e), (w_d, w_k, w_n, *w_e) = jax.tree.map(
         _pin_replicated,
-        _bidirectional_scan(occ, lx, ly, lr_n, exit_band=band),
+        _bidirectional_scan(occ, lx, ly, lr_n, exit_band=band,
+                            extra=extra),
     )
     (n_tuple, s_tuple) = jax.tree.map(
         _pin_replicated,
-        _bidirectional_scan(occ.T, ly, lx, lr_n, exit_band=band),
+        _bidirectional_scan(occ.T, ly, lx, lr_n, exit_band=band,
+                            extra=extra_t),
     )
     n_d = jnp.swapaxes(n_tuple[0], 1, 2)
     n_k = jnp.swapaxes(n_tuple[1], 1, 2)
@@ -373,6 +447,8 @@ def scan_visibility(
     s_d = jnp.swapaxes(s_tuple[0], 1, 2)
     s_k = jnp.swapaxes(s_tuple[1], 1, 2)
     s_n = jnp.swapaxes(s_tuple[2], 1, 2)
+    n_e = tuple(jnp.swapaxes(p, 1, 2) for p in n_tuple[3:])
+    s_e = tuple(jnp.swapaxes(p, 1, 2) for p in s_tuple[3:])
 
     ys_n = jnp.arange(nh, dtype=jnp.float32)[None, :, None] + 0.5
     xs_n = jnp.arange(nw, dtype=jnp.float32)[None, None, :] + 0.5
@@ -397,6 +473,9 @@ def scan_visibility(
         east, e_n,
         jnp.where(west, w_n, jnp.where(north, n_n, s_n)),
     )
+    tb_star = tuple(
+        jnp.where(east, ee, jnp.where(west, ww, jnp.where(north, nn, ss)))
+        for ee, ww, nn, ss in zip(e_e, w_e, n_e, s_e))
     # Undo the f16-range k offset (see _bidirectional_scan): each sector
     # pass measured k from its own (possibly mirrored) light coordinate.
     off_e = jnp.minimum(lx, 0.0)[:, None, None]
@@ -415,12 +494,16 @@ def scan_visibility(
     )
     k_frac = jnp.clip(min_k / major_n, 0.0, 1.0)  # 0 at light, 1 at px
     exit_frac = jnp.clip(jnp.maximum(neg_k, min_k) / major_n, 0.0, 1.0)
+    min_d_nc = None
     if use_nom:
-        min_d, k_frac, exit_frac, has_blocker = _upsample_nominated(
-            min_d, k_frac, exit_frac, halvings
-        )
+        min_d, k_frac, exit_frac, has_blocker, tb_star, min_d_nc = \
+            _upsample_nominated(
+                min_d, k_frac, exit_frac, halvings, extras=tb_star
+            )
     else:
         has_blocker = min_d < 1e8
+    if min_d_nc is None:
+        min_d_nc = min_d
     # Nomination -> readout sharding boundary (see spmd_mesh above): one
     # replicated -> row-sharded reshard; the per-pixel refine below then
     # scales over the mesh.
@@ -428,6 +511,13 @@ def scan_visibility(
     k_frac = _pin_rows(k_frac)
     exit_frac = _pin_rows(exit_frac)
     has_blocker = _pin_rows(has_blocker)
+    tb_star = tuple(_pin_rows(p) for p in tb_star)
+    if use_cols:
+        min_d_nc = _pin_rows(min_d_nc)
+    if _DEBUG_STASH is not None:  # tools/debug_carried_refine.py hook
+        _DEBUG_STASH.update(min_d=min_d, k_frac=k_frac,
+                            exit_frac=exit_frac, has_blocker=has_blocker,
+                            tb_star=tb_star)
 
     # --- READOUT at full shadow resolution. Pixel CENTERS sit at
     # (i + 0.5) in grid coordinates (occlusion_image samples there) —
@@ -551,10 +641,23 @@ def scan_visibility(
     # is lowest there); the unconditional midpoint (refine >= 3) covers
     # compound spans.
     for t in candidates:
-        sx = lx_w + (px_x - lx_w) * t
-        sy = ly_w + (px_y - ly_w) * t
         sz = lz[:, None, None] + (pz_lift - lz[:, None, None]) * t
-        d_i = scene_sample_p(scene, sx, sy, sz)
+        if use_cols:
+            # Elementwise column reconstruction at the candidate: the
+            # flatland min IS the footprint term (trace plane inside the
+            # blocker interval -> d2d == footprint distance; above a
+            # short blocker it reads >= footprint, which only LIGHTENS —
+            # consistent with the flatland scan's own approximation),
+            # and (t*, b*) rode the walk from the nominated blocker's
+            # column. Pass-over rays get d = z - t* EXACTLY — the 3D
+            # behavior the refine exists to restore — with ZERO
+            # scattered field samples.
+            d_i = reconstruct_profile(min_d_nc, tb_star[0], tb_star[1],
+                                      sz)
+        else:
+            sx = lx_w + (px_x - lx_w) * t
+            sy = ly_w + (px_y - ly_w) * t
+            d_i = scene_sample_p(scene, sx, sy, sz)
         u_i = jnp.maximum((1.0 - t) * major * sec, 0.0)
         radius_i = jnp.minimum(growth * u_i + MIN_CONE_RADIUS, max_radius)
         vis_i = (d_i + HACK_DISTANCE_OFFSET) / radius_i
@@ -610,7 +713,8 @@ def scan_visibility(
     return final
 
 
-def _upsample_nominated(min_d, k_frac, exit_frac, halvings: int):
+def _upsample_nominated(min_d, k_frac, exit_frac, halvings: int,
+                        extras=()):
     """Upsample the three nominated fields to the readout grid. f16
     keeps the HBM cost of the extra materialization at half (fractions
     keep ~0.05% of ray length, min_d ~0.06 world units). The no-blocker
@@ -622,8 +726,18 @@ def _upsample_nominated(min_d, k_frac, exit_frac, halvings: int):
     no-blocker pixels' meaningless fraction values (0 after the k-offset
     round-trip for on-screen lights) into real ones at mask edges,
     decaying the refine sample toward the light along umbra boundaries.
-    Returns (min_d, k_frac, exit_frac, has_blocker) at 2^halvings x the
-    input resolution."""
+    `extras` (the ColumnField (h_top, h_bot) argmin payloads) upsample
+    NEAREST-NEIGHBOR, not bilinear: heights are per-blocker constants,
+    and a lerp between two different blockers' tops invents a phantom
+    intermediate blocker that refined rays "pass over" (measured: the
+    nomination upsample was the whole cols-vs-exact error, mean 0.0087
+    -> 0.0013 with nomination off). Coarse pixels with NO nomination
+    fill with a huge interval (t=+4096, b=-4096): the reconstruction
+    then returns the flatland min unchanged — "no blocker info, don't
+    lighten".
+
+    Returns (min_d, k_frac, exit_frac, has_blocker, extras) at
+    2^halvings x the input resolution."""
     nom_mask = min_d < 4096.0
     min_d = jnp.minimum(min_d, 8192.0)
     # Fractions are stored f16 as COMPLEMENTS (1 - frac): for a far
@@ -637,17 +751,34 @@ def _upsample_nominated(min_d, k_frac, exit_frac, halvings: int):
     e_c = jnp.where(nom_mask, 1.0 - exit_frac, 0.0).astype(jnp.float16)
     wgt = nom_mask.astype(jnp.float16)
     min_d = min_d.astype(jnp.float16)
+    _EX_FILL = (4096.0, -4096.0)  # (h_top, h_bot) neutral interval
+    ex_c = [jnp.where(nom_mask, e, fill).astype(jnp.float16)
+            for e, fill in zip(extras, _EX_FILL)]
+    # Mask-normalized min_d for the ColumnField reconstruction: the
+    # plain bilinear blends the 8192 sentinel into real distances at
+    # mask edges (measured 505 at a fully-shadowed pixel) — harmless
+    # for the exact refine (it resamples the field at the candidates)
+    # but fatal when min_d IS the reconstruction's footprint term.
+    md_c = (jnp.where(nom_mask, min_d, 0.0).astype(jnp.float16)
+            if extras else None)
     for _ in range(halvings):
         k_c = upsample2x_bilinear(k_c)
         e_c = upsample2x_bilinear(e_c)
         min_d = upsample2x_bilinear(min_d)
         wgt = upsample2x_bilinear(wgt)
+        ex_c = [jnp.repeat(jnp.repeat(e, 2, axis=-2), 2, axis=-1)
+                for e in ex_c]
+        if md_c is not None:
+            md_c = upsample2x_bilinear(md_c)
     min_d = min_d.astype(jnp.float32)
     has_blocker = min_d < 4096.0
     wgt = jnp.maximum(wgt.astype(jnp.float32), 1e-3)
     k_frac = jnp.clip(1.0 - k_c.astype(jnp.float32) / wgt, 0.0, 1.0)
     exit_frac = jnp.clip(1.0 - e_c.astype(jnp.float32) / wgt, 0.0, 1.0)
-    return min_d, k_frac, exit_frac, has_blocker
+    ex_out = tuple(e.astype(jnp.float32) for e in ex_c)
+    min_d_nc = (md_c.astype(jnp.float32) / wgt if md_c is not None
+                else None)
+    return min_d, k_frac, exit_frac, has_blocker, ex_out, min_d_nc
 
 
 def resize_visibility(vis, target_hw):

@@ -407,6 +407,8 @@ def build_flagship(
         _dfreq = jnp.asarray(_dfreq)
 
         def animate_volume(volume_, t):  # noqa: F811
+            from .sdf.columns import build_column_maps
+
             centers = voxel_dyn_obs.centers + _damp * jnp.stack(
                 [jnp.sin(_dfreq * t), jnp.cos(_dfreq * t),
                  jnp.zeros_like(_dfreq)], axis=-1)
@@ -417,8 +419,17 @@ def build_flagship(
             # (collision, occlusion image, refine, AO); without it XLA
             # rematerializes the whole regen+combine into each consumer
             # (measured 6.6 ms apiece — see sampling._packed_volume).
-            return combined.replace(
+            combined = combined.replace(
                 data=jax.lax.optimization_barrier(combined.data))
+            # Column-interval maps (sdf/columns.py): scattered consumers
+            # (collision, refine) read the 2D maps — 16x cheaper than
+            # the 3D contraction; grid consumers (occlusion stack) stay
+            # exact on the combined volume. Rebuilt per frame after the
+            # dynamic regen; barriered for the same reason as the data.
+            cf = build_column_maps(combined)
+            f, ht, hb, mc = jax.lax.optimization_barrier(
+                (cf.flat_d, cf.h_top, cf.h_bot, cf.maps_c))
+            return cf.replace(flat_d=f, h_top=ht, h_bot=hb, maps_c=mc)
 
     # Particle system: bezier-animated spawner + gravity + SDF collision.
     p_config = ParticleSystemConfig(

@@ -32,12 +32,14 @@ knowing its scene. Scattered queries then cost N * 3*H*W MACs of
 Approximation contract (bounded in tests/test_columns.py):
   * EXACT (to xy-bilinear of the maps) for z-extruded content:
     vertical boxes/cylinders/octagons, HeightVolume polygons.
-  * CONSERVATIVE (d-underestimate) for shapes whose horizontal
+  * MOSTLY CONSERVATIVE (d-underestimate) for shapes whose horizontal
     cross-section varies with z (ellipsoids, spheroids, rotated
     boxes): f is the equator footprint, so points above the narrowing
-    top read a slightly smaller d. Sphere tracing with an
-    underestimate stays correct (shorter steps); shadows grow by
-    <= the overhang.
+    top read a smaller d and shadows grow by <= the overhang. The
+    empty-column arm inversion can OVERestimate near a narrowing top
+    (measured p99 ~3.6 units on a 24x16x20 ellipsoid,
+    tests/test_columns.py) — consumers are threshold/ratio-based
+    (collision ~1 unit, cone radii >= 4), sized against that bound.
   * Multi-interval columns (stacked shapes with a z-gap) merge into
     one interval: the gap reads as occupied. Exact `sampling.sample`
     remains the oracle and the grid paths stay exact — ColumnField
@@ -79,14 +81,28 @@ class ColumnField:
     h_bot: jnp.ndarray
     d_top: jnp.ndarray
     d_bot: jnp.ndarray
+    # Stacked (5, Hc, Wc) f32 pack of the five maps for SCATTERED
+    # queries (collision), box-downsampled 2x from the full maps when
+    # dims allow: the MXU one-hot contraction's cost is N * Wc * 5Hc
+    # MACs, so halving the map grid quarters the dominant collision
+    # cost (PERF.md round 5). Coarse cell centers align exactly with
+    # the 2x2 fine-texel box centers (scale_c = scale / 2). The full
+    # maps above stay for the scan's carried-refine images
+    # (resample_map_to_grid — grid-shaped, cheap, full fidelity).
+    maps_c: jnp.ndarray
 
     @property
     def config(self):
         return self.volume.config
 
 
-def build_column_maps(volume: SdfVolume) -> ColumnField:
+def build_column_maps(volume: SdfVolume, coarse: int = 2) -> ColumnField:
     """Invert the three column maps from the voxel stack.
+
+    `coarse`: downsample factor for the scattered-query map pack
+    (`maps_c`) — 2 (default) box-averages 2x2 when dims are even,
+    quartering the scattered contraction cost; 1 keeps full resolution
+    (the accuracy oracle; tests pin the coarse error against it).
 
     For a z-prism with footprint SDF f over [b, t], the stored profile
     at a column is d(z) = min(max(f, dz), 0) + hypot(f+, dz+). Solving
@@ -165,8 +181,14 @@ def build_column_maps(volume: SdfVolume) -> ColumnField:
     mid = 0.5 * (t + b)
     t = jnp.maximum(t, mid)
     b = jnp.minimum(b, mid)
+    stack = jnp.stack([f, t, b, data[-1], data[0]], axis=0)  # (5, H, W)
+    H, W = f.shape
+    if coarse == 2 and H % 2 == 0 and W % 2 == 0:
+        maps_c = stack.reshape(5, H // 2, 2, W // 2, 2).mean((2, 4))
+    else:
+        maps_c = stack
     return ColumnField(volume=volume, flat_d=f, h_top=t, h_bot=b,
-                       d_top=data[-1], d_bot=data[0])
+                       d_top=data[-1], d_bot=data[0], maps_c=maps_c)
 
 
 def _reconstruct(f, t, b, z, want_grad: bool, gfx=None, gfy=None):
@@ -195,38 +217,71 @@ def _reconstruct(f, t, b, z, want_grad: bool, gfx=None, gfy=None):
     return d, gx, gy, gz
 
 
+def reconstruct_profile(f, t, b, z):
+    """Elementwise column-prism SDF from ALREADY-SAMPLED map values —
+    the scan-refine fast path (scan_shadows carries (t, b) at the
+    nominated blocker through the column walk and uses the flatland
+    min as f; the 3D refine then needs ZERO scattered samples)."""
+    return _reconstruct(f, t, b, z, False)
+
+
+def resample_map_to_grid(field: ColumnField, map2d, nh: int, nw: int,
+                         nscale, world_offset=None):
+    """Bilinear-resample a column map onto an (nh, nw) PIXEL-CENTER grid
+    (pixel centers at (i + 0.5)/nscale [+ world_offset] world units) —
+    two small interpolation-row matmuls, grid-shaped, no gathers.
+    Matches `sampling.grid_stack`'s texel conventions (clip, then
+    scale - 0.5)."""
+    from .sampling import _interp_rows
+
+    c = field.config
+    H, W = map2d.shape
+    xs = (jnp.arange(nw, dtype=jnp.float32) + 0.5) / nscale
+    ys = (jnp.arange(nh, dtype=jnp.float32) + 0.5) / nscale
+    if world_offset is not None:
+        xs = xs + world_offset[0]
+        ys = ys + world_offset[1]
+    cx = jnp.clip(xs, 0.0, float(c.virtual_width))
+    cy = jnp.clip(ys, 0.0, float(c.virtual_height))
+    bx = _interp_rows(cx * c.scale_x - 0.5, W, jnp.float32)   # (nw, W)
+    by = _interp_rows(cy * c.scale_y - 0.5, H, jnp.float32)   # (nh, H)
+    return by @ map2d @ bx.T
+
+
 # Chunk size for the 2D MXU map sampling (mirrors sampling._INTERP_CHUNK:
 # bounds the (chunk, 3H) intermediate while keeping the matmul large).
 _MAP_CHUNK = 1 << 15
 
 
-def _map_core(field: ColumnField, packed, pos_flat, want_grad: bool):
-    """Sample the three maps + optional footprint gradient at a flat
-    (N, 3) batch via interpolation-row matmuls, then reconstruct.
-
-    `packed`: (W, 3H) bf16 [flat_d | h_top | h_bot] operand, computed
-    once outside the chunk loop."""
+def _map_coords(field: ColumnField, pos_flat):
+    """Shared coordinate head: world -> COARSE-map texel coords plus the
+    clamp/AABB terms. Coarse cell centers align with the 2x2 fine-box
+    centers, so scale_c = scale * (Wc / slice_width) and
+    t_c = (t_fine + 0.5) * ratio - 0.5."""
     c = field.config
-    H, W = field.flat_d.shape
+    _, Hc, Wc = field.maps_c.shape
+    rx = Wc / float(c.slice_width)
+    ry = Hc / float(c.slice_height)
     px, py, pz = pos_flat[:, 0], pos_flat[:, 1], pos_flat[:, 2]
-    tx, ty, sp, (ux, uy, uz), (in_x, in_y, _) = _clamped_axes(
+    tx, ty, _sp, (ux, uy, uz), (in_x, in_y, _) = _clamped_axes(
         field.volume, px, py, pz)
+    tx = (tx + 0.5) * rx - 0.5
+    ty = (ty + 0.5) * ry - 0.5
+    return (tx, ty, pz, (ux, uy, uz), (in_x, in_y),
+            (c.scale_x * rx, c.scale_y * ry))
 
-    bx = _interp_rows(tx, W, jnp.bfloat16)                    # (N, W)
-    t1 = jax.lax.dot(bx, packed)                              # (N, 5H)
-    t1 = t1.reshape(-1, 5, H)
-    by = _interp_rows(ty, H, jnp.float32)                     # (N, H)
-    maps = jnp.einsum("nch,nh->nc", t1, by,
-                      preferred_element_type=jnp.float32)
-    f, t, b = maps[:, 0], maps[:, 1], maps[:, 2]
-    d_top, d_bot = maps[:, 3], maps[:, 4]
 
-    # Reconstruct at the SATURATED z then add the euclidean
-    # out-of-volume distance — the reference sampler's exact semantics
-    # (sampleDistanceFieldEx clamps, samples, then adds; fxh:320-321;
-    # the z-lerp additionally saturates at the END SLICES: slice_pos
-    # clips to [0, S-1], so d(z) is constant past them). Reconstructing
-    # at the raw z would double-count the vertical out-of-volume term.
+def _finish(field: ColumnField, coords, f, t, b, d_top, d_bot,
+            want_grad: bool, gfx=None, gfy=None):
+    """Shared reconstruction tail: saturated-z reconstruct + Lipschitz
+    end-clamps + out-of-volume distance (the reference sampler's exact
+    semantics: sampleDistanceFieldEx clamps, samples, then adds;
+    fxh:320-321; the z-lerp additionally saturates at the END SLICES,
+    so d(z) is constant past them — reconstructing at the raw z would
+    double-count the vertical out-of-volume term). `gfx`/`gfy` are the
+    footprint-map world-space gradients from either sampling backend."""
+    c = field.config
+    _tx, _ty, pz, (ux, uy, uz), (in_x, in_y), _scales = coords
     z_lo = c.z_offset
     z_hi = c.z_offset + min((c.slice_count - 1) * c.slice_z_size,
                             1e30)
@@ -239,13 +294,6 @@ def _map_core(field: ColumnField, packed, pos_flat, want_grad: bool):
         d = _reconstruct(f, t, b, pzc, False)
         return jnp.minimum(d, lip) + dist
 
-    dbx = _deriv_rows(tx, W, jnp.bfloat16)
-    t1x = jax.lax.dot(dbx, packed).reshape(-1, 5, H)
-    gfx = jnp.einsum("nh,nh->n", t1x[:, 0], by,
-                     preferred_element_type=jnp.float32) * c.scale_x
-    dby = _deriv_rows(ty, H, jnp.float32)
-    gfy = jnp.einsum("nh,nh->n", t1[:, 0], dby,
-                     preferred_element_type=jnp.float32) * c.scale_y
     gfx = jnp.where(in_x, gfx, 0.0)
     gfy = jnp.where(in_y, gfy, 0.0)
     d, gx, gy, gz = _reconstruct(f, t, b, pzc, True, gfx, gfy)
@@ -267,16 +315,69 @@ def _map_core(field: ColumnField, packed, pos_flat, want_grad: bool):
     return d + dist, gx, gy, gz
 
 
+def _map_core(field: ColumnField, packed, pos_flat, want_grad: bool):
+    """Sample the five maps + optional footprint gradient at a flat
+    (N, 3) batch via interpolation-row matmuls, then reconstruct.
+
+    `packed`: (Wc, 5*Hc) bf16 operand from `_packed_maps` (the COARSE
+    map pack), computed once outside the chunk loop."""
+    _, Hc, Wc = field.maps_c.shape
+    coords = _map_coords(field, pos_flat)
+    tx, ty = coords[0], coords[1]
+    sx_c, sy_c = coords[5]
+
+    bx = _interp_rows(tx, Wc, jnp.bfloat16)                   # (N, Wc)
+    t1 = jax.lax.dot(bx, packed)                              # (N, 5Hc)
+    t1 = t1.reshape(-1, 5, Hc)
+    by = _interp_rows(ty, Hc, jnp.float32)                    # (N, Hc)
+    maps = jnp.einsum("nch,nh->nc", t1, by,
+                      preferred_element_type=jnp.float32)
+    f, t, b = maps[:, 0], maps[:, 1], maps[:, 2]
+    d_top, d_bot = maps[:, 3], maps[:, 4]
+    if not want_grad:
+        return _finish(field, coords, f, t, b, d_top, d_bot, False)
+
+    dbx = _deriv_rows(tx, Wc, jnp.bfloat16)
+    t1x = jax.lax.dot(dbx, packed).reshape(-1, 5, Hc)
+    gfx = jnp.einsum("nh,nh->n", t1x[:, 0], by,
+                     preferred_element_type=jnp.float32) * sx_c
+    dby = _deriv_rows(ty, Hc, jnp.float32)
+    gfy = jnp.einsum("nh,nh->n", t1[:, 0], dby,
+                     preferred_element_type=jnp.float32) * sy_c
+    return _finish(field, coords, f, t, b, d_top, d_bot, True, gfx, gfy)
+
+
+def _sample_pallas(field: ColumnField, pos_flat, want_grad: bool):
+    """Fused Pallas backend (columns_pallas.sample_maps): one kernel
+    for the whole batch — no chunking, no HBM intermediate."""
+    from .columns_pallas import sample_maps
+
+    coords = _map_coords(field, pos_flat)
+    tx, ty = coords[0], coords[1]
+    sx_c, sy_c = coords[5]
+    out = sample_maps(field.maps_c, ty, tx, want_grad=want_grad)
+    f, t, b, d_top, d_bot = out[0], out[1], out[2], out[3], out[4]
+    if not want_grad:
+        return _finish(field, coords, f, t, b, d_top, d_bot, False)
+    gfx = out[5] * sx_c
+    gfy = out[6] * sy_c
+    return _finish(field, coords, f, t, b, d_top, d_bot, True, gfx, gfy)
+
+
 def _packed_maps(field: ColumnField):
-    """(W, 5H) bf16 matmul operand. bf16 relative error on the HEIGHT
-    maps is ~2^-8 * |h| <= 0.25 world units at depth 64 — below the
-    voxel z-lerp's own reconstruction error."""
-    return jnp.concatenate(
-        [field.flat_d, field.h_top, field.h_bot, field.d_top,
-         field.d_bot], axis=0).T.astype(jnp.bfloat16)
+    """(Wc, 5*Hc) bf16 matmul operand from the coarse pack. bf16
+    relative error on the HEIGHT maps is ~2^-8 * |h| <= 0.25 world
+    units at depth 64 — below the voxel z-lerp's own reconstruction
+    error."""
+    n, Hc, Wc = field.maps_c.shape
+    return field.maps_c.reshape(n * Hc, Wc).T.astype(jnp.bfloat16)
 
 
 def _chunked_maps(field: ColumnField, pos_flat, want_grad: bool):
+    from . import columns_pallas
+
+    if columns_pallas.available():
+        return _sample_pallas(field, pos_flat, want_grad)
     n = pos_flat.shape[0]
     packed = _packed_maps(field)
     if n <= _MAP_CHUNK:

@@ -1,0 +1,129 @@
+"""Pallas fused column-map sampler: the collision hot path.
+
+The XLA two-stage sampler (columns._map_core) materializes the
+(chunk, 5*Hc) intermediate between its two contractions in HBM —
+~2.7 KB/point of traffic that dominates the scattered-query cost
+(PERF.md round 5). This kernel fuses both stages in VMEM: per block of
+B points it builds the one-hot interpolation rows on the VPU, runs one
+(B, Hc) @ (Hc, Wc) MXU dot per map (contracting H first — Wc rides the
+128-lane axis at ~0.94 utilization vs 0.53 the other way), and reduces
+with the x-weights in registers. HBM traffic: points in, (5 + 2) f32
+per point out, maps once.
+
+Round-3 Pallas status was "any dynamic load (pl.dslice with a runtime
+index) crashes the remote compiler (HTTP 500)" — this kernel needs NO
+dynamic loads: the one-hot rows are broadcast-compares against iota and
+every slice is static. `available()` probes the real kernel shape
+eagerly ONCE (inside try/except) so callers can fall back to the XLA
+two-stage when the toolchain rejects Mosaic (PERF.md round-5 log
+records the probe outcome either way — VERDICT r4 task #6).
+
+Consumers: particle SDF collision (integrate.py via scene_sample_p /
+scene_normal_p fast on a ColumnField), reference semantics
+UpdateParticleSystemWithDistanceField.fx:29-147.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_BLOCK = 1024  # points per grid step (VMEM: bx 1 MB + t1 1 MB + rows)
+
+
+def _rows(t, n: int, dtype, deriv: bool = False):
+    """One-hot interpolation rows (B, n) built in-registers: (1-w) at
+    i0, w at i1 (mirrors sampling._interp_rows / _deriv_rows edge
+    semantics: i0 clipped first, i1 = min(i0+1, n-1))."""
+    i0 = jnp.floor(t)
+    w = (t - i0)[:, None]
+    i0 = jnp.clip(i0.astype(jnp.int32), 0, n - 1)[:, None]
+    i1 = jnp.minimum(i0 + 1, n - 1)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (t.shape[0], n), 1)
+    if deriv:
+        r = ((iota == i1).astype(jnp.float32)
+             - (iota == i0).astype(jnp.float32))
+    else:
+        r = (iota == i0) * (1.0 - w) + (iota == i1) * w
+    return r.astype(dtype)
+
+
+def _sample_kernel(ty_ref, tx_ref, maps_ref, out_ref, *, n_maps: int,
+                   want_grad: bool):
+    ty = ty_ref[0, :]
+    tx = tx_ref[0, :]
+    hc = maps_ref.shape[1]
+    wc = maps_ref.shape[2]
+    by = _rows(ty, hc, jnp.bfloat16)            # (B, Hc)
+    bx = _rows(tx, wc, jnp.float32)             # (B, Wc)
+    t1_f = None
+    for c in range(n_maps):
+        t1 = jax.lax.dot(by, maps_ref[c],
+                         preferred_element_type=jnp.float32)  # (B, Wc)
+        if c == 0:
+            t1_f = t1
+        out_ref[0, c, :] = jnp.sum(t1 * bx, axis=1)
+    if want_grad:
+        dbx = _rows(tx, wc, jnp.float32, deriv=True)
+        out_ref[0, n_maps, :] = jnp.sum(t1_f * dbx, axis=1)  # df/dtx
+        dby = _rows(ty, hc, jnp.bfloat16, deriv=True)
+        t1d = jax.lax.dot(dby, maps_ref[0],
+                          preferred_element_type=jnp.float32)
+        out_ref[0, n_maps + 1, :] = jnp.sum(t1d * bx, axis=1)  # df/dty
+
+
+@functools.partial(jax.jit, static_argnames=("want_grad",))
+def sample_maps(maps_c, ty, tx, want_grad: bool = False):
+    """Bilinear-sample the (C, Hc, Wc) map pack at texel coords
+    (ty, tx) (N,) -> (C[, +2], N) f32; rows C and C+1 are the map-0
+    texel-space derivatives when want_grad."""
+    from jax.experimental import pallas as pl
+
+    n_maps = maps_c.shape[0]
+    n = ty.shape[0]
+    pad = (-n) % _BLOCK
+    typ = jnp.pad(ty, (0, pad)).reshape(-1, _BLOCK)
+    txp = jnp.pad(tx, (0, pad)).reshape(-1, _BLOCK)
+    g = typ.shape[0]
+    n_out = n_maps + (2 if want_grad else 0)
+    kernel = functools.partial(_sample_kernel, n_maps=n_maps,
+                               want_grad=want_grad)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((g, n_out, _BLOCK), jnp.float32),
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((1, _BLOCK), lambda i: (i, 0)),
+            pl.BlockSpec((1, _BLOCK), lambda i: (i, 0)),
+            pl.BlockSpec(maps_c.shape, lambda i: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, n_out, _BLOCK), lambda i: (i, 0, 0)),
+    )(typ, txp, maps_c.astype(jnp.bfloat16))
+    out = jnp.moveaxis(out, 1, 0).reshape(n_out, -1)[:, :n]
+    return out
+
+
+_AVAILABLE = None
+
+
+def available() -> bool:
+    """Probe the toolchain ONCE with the real kernel (eager compile in
+    try/except — the round-3 failure mode was an HTTP 500 from the
+    remote Mosaic compiler at compile time)."""
+    global _AVAILABLE
+    if _AVAILABLE is None:
+        if jax.default_backend() == "cpu":
+            # interpret-free CPU lowering of Mosaic kernels is not a
+            # production path; the XLA two-stage is faster there anyway.
+            _AVAILABLE = False
+            return _AVAILABLE
+        try:
+            maps = jnp.zeros((5, 8, 128), jnp.bfloat16)
+            t = jnp.zeros((_BLOCK,), jnp.float32)
+            jax.block_until_ready(sample_maps(maps, t, t, want_grad=True))
+            _AVAILABLE = True
+        except Exception:  # noqa: BLE001 — toolchain probe
+            _AVAILABLE = False
+    return _AVAILABLE

@@ -38,10 +38,15 @@ def _frame(scene, frame_index=2):
 
 
 def test_voxel_flagship_matches_analytic():
+    """EXACT refine mode (scan_refine_mode="exact"): candidates sample
+    the voxel volume — the frame must match the analytic frame to voxel
+    quantization (the round-4 bound)."""
+    from illuminant_tpu.core.config import QualitySettings
     from illuminant_tpu.scenes import build_flagship
 
+    q = QualitySettings(scan_refine_mode="exact")
     kw = dict(height=96, width=160, capacity=1 << 10, spawn_max=128,
-              n_lights=4)
+              n_lights=4, quality=q)
     # Finer voxels than the 0.25 default: this pins agreement with the
     # analytic frame, and at 96px the default's 4-px voxels quantize
     # shadow edges too hard to compare.
@@ -57,6 +62,30 @@ def test_voxel_flagship_matches_analytic():
     # bulk of the frame is identical.
     assert d.mean() < 1.0, d.mean()
     assert (d > 8).mean() < 0.02, (d > 8).mean()
+
+
+def test_voxel_flagship_carried_refine_bound():
+    """DEFAULT (carried) refine mode: the scan rides the blocker
+    column's interval and reconstructs candidates elementwise (zero
+    scattered samples — the 60 fps lever, PERF.md round 5). The
+    approximation is CONSERVATIVE near moving convex occluders (88% of
+    >0.1-visibility errors darken); this pins the measured image-level
+    bound at the test scale. 96x160 is the WORST case — the error is
+    nomination-grid-relative (measured: mean 1.57 here, 0.37 at
+    192x320, both vs the analytic frame)."""
+    from illuminant_tpu.scenes import build_flagship
+
+    kw = dict(height=96, width=160, capacity=1 << 10, spawn_max=128,
+              n_lights=4)
+    sv = build_flagship(field="voxel", sdf_resolution_scale=0.5, **kw)
+    sa = build_flagship(sdf_resolution_scale=0.5, **kw)
+
+    img_v, drops_v = _frame(sv)
+    img_a, drops_a = _frame(sa)
+    assert drops_v == 0 and drops_a == 0
+    d = np.abs(img_v.astype(np.int32) - img_a.astype(np.int32))
+    assert d.mean() < 2.0, d.mean()
+    assert (d > 8).mean() < 0.07, (d > 8).mean()
 
 
 def test_voxel_flagship_dynamic_occluders_move():
