@@ -52,8 +52,8 @@ def _rows(t, n: int, dtype, deriv: bool = False):
 
 def _sample_kernel(ty_ref, tx_ref, maps_ref, out_ref, *, n_maps: int,
                    want_grad: bool):
-    ty = ty_ref[0, :]
-    tx = tx_ref[0, :]
+    ty = ty_ref[0, 0, :]
+    tx = tx_ref[0, 0, :]
     hc = maps_ref.shape[1]
     wc = maps_ref.shape[2]
     by = _rows(ty, hc, jnp.bfloat16)            # (B, Hc)
@@ -84,8 +84,13 @@ def sample_maps(maps_c, ty, tx, want_grad: bool = False):
     n_maps = maps_c.shape[0]
     n = ty.shape[0]
     pad = (-n) % _BLOCK
-    typ = jnp.pad(ty, (0, pad)).reshape(-1, _BLOCK)
-    txp = jnp.pad(tx, (0, pad)).reshape(-1, _BLOCK)
+    # Unit middle axis: Mosaic requires each block's LAST TWO dims to be
+    # (divisible by 8, divisible by 128) or equal to the array's — a
+    # (1, _BLOCK) block over a (g, _BLOCK) array fails once g > 1 (the
+    # round-5 1080p voxel bench lowering error); (1, 1, _BLOCK) blocks
+    # over (g, 1, _BLOCK) arrays satisfy the "equal" clause for any g.
+    typ = jnp.pad(ty, (0, pad)).reshape(-1, 1, _BLOCK)
+    txp = jnp.pad(tx, (0, pad)).reshape(-1, 1, _BLOCK)
     g = typ.shape[0]
     n_out = n_maps + (2 if want_grad else 0)
     kernel = functools.partial(_sample_kernel, n_maps=n_maps,
@@ -95,8 +100,8 @@ def sample_maps(maps_c, ty, tx, want_grad: bool = False):
         out_shape=jax.ShapeDtypeStruct((g, n_out, _BLOCK), jnp.float32),
         grid=(g,),
         in_specs=[
-            pl.BlockSpec((1, _BLOCK), lambda i: (i, 0)),
-            pl.BlockSpec((1, _BLOCK), lambda i: (i, 0)),
+            pl.BlockSpec((1, 1, _BLOCK), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, _BLOCK), lambda i: (i, 0, 0)),
             pl.BlockSpec(maps_c.shape, lambda i: (0, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, n_out, _BLOCK), lambda i: (i, 0, 0)),
@@ -121,7 +126,10 @@ def available() -> bool:
             return _AVAILABLE
         try:
             maps = jnp.zeros((5, 8, 128), jnp.bfloat16)
-            t = jnp.zeros((_BLOCK,), jnp.float32)
+            # 2 grid steps: a g=1 probe hides block-shape violations that
+            # only trigger once the leading grid dim exceeds the block
+            # (the round-5 1080p voxel lowering failure).
+            t = jnp.zeros((2 * _BLOCK,), jnp.float32)
             jax.block_until_ready(sample_maps(maps, t, t, want_grad=True))
             _AVAILABLE = True
         except Exception:  # noqa: BLE001 — toolchain probe
