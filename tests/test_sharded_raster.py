@@ -120,3 +120,46 @@ def test_sharded_cluster_overflow_counted():
         lambda *a: rasterize_tiled(cfg, *a))(x, y, color, size, live)
     np.testing.assert_allclose(np.asarray(img2), np.asarray(ref),
                                atol=2e-2, rtol=1e-2)
+
+
+def test_adaptive_send_budget_at_scale():
+    """VERDICT r4 weak #6 / task #9: the live occupancy diagnostic
+    drives the budget. A band-clustered scene at scale either rasters
+    exactly or the frame reports the deficit AND the factor that fixes
+    it; feeding that factor back produces an exact raster."""
+    from illuminant_tpu.parallel.raster import measure_send_budget_factor
+
+    mesh = _mesh8()
+    h, w, n = 512, 384, 1 << 16
+    # bin_capacity sized for the cluster tiles (~5.2k particles/tile)
+    # so the test isolates the SEND budget contract from bin overflow.
+    cfg = TiledRasterConfig(height=h, width=w, tile=32,
+                            bin_capacity=8192, apron=4,
+                            rgba8_colors=True, channels=3,
+                            overflow_tiles=0)
+    # 95% of particles in one band: needs factor ~7.6 > default 3.0.
+    x, y, color, size, live = _particles(n, h, w, seed=7,
+                                         cluster=(300.0, 0.95))
+    args = [
+        jax.device_put(jnp.asarray(a), pmesh.row_sharding(mesh))
+        for a in (x, y, color, size, live)
+    ]
+    _, diag = jax.jit(
+        lambda *a: rasterize_tiled_sharded(mesh, cfg, *a)
+    )(*args)
+    assert int(diag["send_dropped"]) > 0  # deficit COUNTED, not silent
+    assert float(diag["send_peak_fill"]) > 1.0
+    # the surfaced factor covers the observed peak
+    factor = measure_send_budget_factor(mesh, cfg, args[0], args[1],
+                                        args[4])
+    assert factor >= float(diag["suggested_send_budget_factor"])
+    img2, diag2 = jax.jit(
+        lambda *a: rasterize_tiled_sharded(
+            mesh, cfg, *a, send_budget_factor=factor)
+    )(*args)
+    assert int(diag2["dropped"]) == 0
+    assert float(diag2["send_peak_fill"]) <= 1.0
+    ref, _ = jax.jit(
+        lambda *a: rasterize_tiled(cfg, *a))(x, y, color, size, live)
+    np.testing.assert_allclose(np.asarray(img2), np.asarray(ref),
+                               atol=2e-2, rtol=1e-2)
