@@ -64,7 +64,7 @@ def main():
         pack_directional_lights)
     from illuminant_tpu.lighting.particle_light import (
         ParticleLightSource, accumulate_particle_lights)
-    from illuminant_tpu.lighting.sphere import SphereLightSource
+    from illuminant_tpu.lighting.environment import SphereLightSource
 
     h, w = gb.shape
     cx, cy = w * 0.5, h * 0.5
