@@ -18,7 +18,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..sdf.analytic import scene_normal_p, scene_sample_p
+from ..sdf.analytic import (scene_normal_p, scene_sample_grad_p,
+                            scene_sample_p)
 from ..sdf.volume import SdfVolume
 from ..core.pytree import named_scope
 from .render_data import RenderDataUniforms, compute_render_data
@@ -148,12 +149,24 @@ def integrate_with_distance_field(
         was_colliding, 1, jnp.where(travel <= 0.001, 0, substeps)
     )
 
+    # At ONE substep the final collision position cp is exactly this
+    # substep's (tx, ty, tz) (every cp write below copies it), so the
+    # fast normal can ride the step sample's own gradient rows — one
+    # fused 1M-point pass instead of two (the gradient is measured free
+    # on the MXU map path, see scene_sample_grad_p).
+    fused_normal = None
     for _ in range(substeps):  # fx:72-90, statically unrolled
         active = steps_left > 0
         tx = ox + travel * ux
         ty = oy + travel * uy
         tz = oz + travel * uz
-        step_distance = scene_sample_p(volume, tx, ty, tz)
+        fused = (scene_sample_grad_p(volume, tx, ty, tz)
+                 if substeps == 1 else None)
+        if fused is not None:
+            step_distance, fnx, fny, fnz = fused
+            fused_normal = (fnx, fny, fnz)
+        else:
+            step_distance = scene_sample_p(volume, tx, ty, tz)
         step_distance = jnp.where(above_field, 1e9, step_distance)
         hit = step_distance < collision_distance
 
@@ -182,7 +195,10 @@ def integrate_with_distance_field(
     bounce = v0w <= 0.0
     redirect = was_colliding & ~escaping
     needs_normal = collided & (bounce | redirect)
-    nnx, nny, nnz = scene_normal_p(volume, cpx, cpy, cpz, fast=True)
+    if fused_normal is not None:
+        nnx, nny, nnz = fused_normal
+    else:
+        nnx, nny, nnz = scene_normal_p(volume, cpx, cpy, cpz, fast=True)
     nx = jnp.where(needs_normal, nnx, 0.0)
     ny = jnp.where(needs_normal, nny, 0.0)
     nz = jnp.where(needs_normal, nnz, 0.0)

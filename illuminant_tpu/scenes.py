@@ -333,8 +333,15 @@ def build_flagship(
         extra = {}
         if "directional" in fam_set:
             extra["directional"] = pack_directional_lights([sun])
+            # Host-side AO gate (directional.py:223-224): with radius 0
+            # the AO term is identically 1 but still costs a full-res
+            # field evaluation per light unless statically skipped.
+            extra["directional_ao"] = bool(np.any(np.asarray(
+                extra["directional"].more[:, 0]) > 0.0))
         if "line" in fam_set:
             extra["line"] = pack_line_lights([line])
+            extra["line_ao"] = bool(np.any(np.asarray(
+                extra["line"].more[:, 0]) > 0.0))
         if "volumetric" in fam_set:
             from .lighting.volumetric import (
                 support_radius_px as vol_support_px)
@@ -722,6 +729,7 @@ def build_flagship(
                     # PERF.md round-3 log).
                     shadow_mode="march" if dv is None else "scan",
                     scan_visibility_precomputed=dv,
+                    with_ao=extra.get("directional_ao", True),
                 )[..., :3]
             if "line" in extra:
                 lv = line_vis
@@ -731,6 +739,7 @@ def build_flagship(
                     vol_t, gb_ex, extra["line"], env_u_,
                     config.quality, shadow_mode="scan",
                     scan_visibility_precomputed=lv,
+                    with_ao=extra.get("line_ao", True),
                 )[..., :3]
             # Volumetric lights are spatially BOUNDED: each window is
             # DERIVED from the light's support radius (lighting/

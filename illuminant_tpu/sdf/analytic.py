@@ -427,6 +427,37 @@ def scene_sample_p(field, x, y, z):
     return scene_sample(field, pos)
 
 
+def scene_sample_grad_p(field, x, y, z):
+    """Fused distance + normalized fast-normal at the SAME positions, or
+    None when the field has no fused path (analytic scenes keep their
+    closed-form per-primitive normals; small volume batches keep the
+    gather oracle).
+
+    The collision integrate's substeps==1 case calls this instead of
+    scene_sample_p + scene_normal_p(fast=True): at one substep the
+    normal position IS the step-sample position, and on the map/interp
+    MXU paths the gradient rows ride the same stage-1 intermediate —
+    measured free (tools/microbench_colmaps.py: grad 3.49 ms vs sample
+    3.54 ms at 1M) — so fusing saves one full 1M-point sampling pass."""
+    from .columns import ColumnField, sample_columns_grad
+    from .sampling import SdfVolume, sample_interp_grad
+
+    shape = jnp.broadcast_shapes(jnp.shape(x), jnp.shape(y), jnp.shape(z))
+    if isinstance(field, ColumnField):
+        sampler = sample_columns_grad
+    elif isinstance(field, SdfVolume) and _use_interp(_size(shape)):
+        sampler = sample_interp_grad
+    else:
+        return None
+    pos = jnp.stack([jnp.broadcast_to(x, shape),
+                     jnp.broadcast_to(y, shape),
+                     jnp.broadcast_to(z, shape)], axis=-1)
+    d, g = sampler(field, pos)
+    norm = jnp.sqrt(jnp.sum(g * g, axis=-1, keepdims=True))
+    g = jnp.where(norm > 1e-9, g / jnp.maximum(norm, 1e-9), 0.0)
+    return d, g[..., 0], g[..., 1], g[..., 2]
+
+
 def scene_normal_p(field, x, y, z, fast: bool = False):
     """Planar normal query -> (nx, ny, nz). fast=True selects the
     closed-form per-primitive normals (collision path)."""

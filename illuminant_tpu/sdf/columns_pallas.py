@@ -116,9 +116,24 @@ _AVAILABLE = None
 def available() -> bool:
     """Probe the toolchain ONCE with the real kernel (eager compile in
     try/except — the round-3 failure mode was an HTTP 500 from the
-    remote Mosaic compiler at compile time)."""
+    remote Mosaic compiler at compile time).
+
+    OFF by default (opt in via ILLUMINANT_PALLAS_MAPS=1): measured at
+    collision scale (tools/microbench_colmaps.py, 1M pts, flagship
+    135x240 maps, v5e) this kernel runs 11.9/15.2 ms (sample/grad) vs
+    the XLA two-stage's 3.5/3.5 ms — the per-grid-step (1024, 135) @
+    (135, 240) dots are too small to feed the MXU and the VPU one-hot
+    row build serializes against them, while XLA's single
+    (32768, 240) @ (240, 675) stage-1 dot hits ~48% MXU utilization.
+    The kernel stays as the working Mosaic toolchain probe + a base for
+    a future blocked variant (PERF.md round-5 log)."""
     global _AVAILABLE
     if _AVAILABLE is None:
+        import os
+
+        if os.environ.get("ILLUMINANT_PALLAS_MAPS", "0") != "1":
+            _AVAILABLE = False
+            return _AVAILABLE
         if jax.default_backend() == "cpu":
             # interpret-free CPU lowering of Mosaic kernels is not a
             # production path; the XLA two-stage is faster there anyway.
