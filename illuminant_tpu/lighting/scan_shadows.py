@@ -148,7 +148,8 @@ def _default_unroll() -> int:
 
 
 def _bidirectional_scan(occ, light_x, light_y, light_radius, unroll=None,
-                        raw=False, exit_band=1.0, extra=None):
+                        raw=False, exit_band=1.0, extra=None,
+                        footprint=None):
     """Both half-plane passes in ONE lax.scan (the reverse pass runs on the
     flipped image as a batch row — halves the sequential op count; unroll
     amortizes per-step overhead). occ: (H, W); light_x/y/radius: (L,).
@@ -160,9 +161,21 @@ def _bidirectional_scan(occ, light_x, light_y, light_radius, unroll=None,
     `extra`: optional tuple of (H, W) images whose values are SELECTED
     (not min-propagated) whenever the running arg-min updates — the
     carried payload reads "image value at the nominated blocker". Used
-    by the ColumnField refine to ride the blocker column's interval
-    (h_top, h_bot) along the walk; each sector tuple then has
-    3 + len(extra) elements.
+    by the carried-interval refine to ride the blocker column's
+    interval (h_top, h_bot) along the walk.
+
+    `footprint`: optional (H, W) FOOTPRINT-distance image; when given,
+    its running MINIMUM along each ray rides the walk as a fourth
+    lerp-resampled carry (associative like min_d — no payload-style
+    transport needed). The refine uses it as the reconstruction's f
+    term: selecting f at the arg-min column instead under-darkened
+    nothing but under-SHADOWED short blockers whose flat plane
+    distance puts the arg-min at the footprint's entry edge (f ~ 0,
+    not the interior depth — measured mean err 0.06 vs the exact
+    refine's 0.019 on test_refine_quality's 'mixed').
+
+    Each sector tuple is (d, k, neg_k[, f_min], *extra) — f_min
+    present iff `footprint` is.
 
     raw=True returns the scan outputs in their NATIVE (W, 2, L, H) f16
     layout (forward-pass x-mirror NOT undone) — for layout experiments
@@ -187,6 +200,8 @@ def _bidirectional_scan(occ, light_x, light_y, light_radius, unroll=None,
     n_extra = 0 if extra is None else len(extra)
     extra_both = tuple(
         jnp.stack([m.T, m.T[::-1]], axis=1) for m in (extra or ()))
+    fp_both = (None if footprint is None else
+               jnp.stack([footprint.T, footprint.T[::-1]], axis=1))
 
     lx = jnp.stack([light_x, float(W) - light_x], axis=0)[:, :, None]
     ly = jnp.broadcast_to(light_y[None, :, None], (2, L, 1))
@@ -205,10 +220,8 @@ def _bidirectional_scan(occ, light_x, light_y, light_radius, unroll=None,
     # leading stack dim wrecks the (2, L, H) layout. Three separate
     # carries stay.
     def step(carry, inputs):
-        min_d, min_k, neg_k = carry[0]  # (2, L, H) each
-        extra_c = carry[1]  # tuple of (2, L, H)
-        x, occ_col = inputs[0], inputs[1]  # (), (2, H)
-        extra_cols = inputs[2]  # tuple of (2, H)
+        (min_d, min_k, neg_k), f_min, extra_c, ph = carry
+        x, occ_col, fp_col, extra_cols = inputs  # (), (2, H), ...
         dx = x - lx  # (2, L, 1)
         in_front = dx >= 1.0
 
@@ -240,35 +253,66 @@ def _bidirectional_scan(occ, light_x, light_y, light_radius, unroll=None,
         res_k = jnp.where(in_front, res_k, 0.0)
         res_n = jnp.where(in_front, res_n, 0.0)
 
-        def resample_nearest(c, edge_fill):
-            # Argmin-selected payloads (blocker h_top/h_bot) follow the
-            # DOMINANT fan branch instead of lerping: a lerp between a
-            # tall blocker's top and a neighboring column's unrelated
-            # height undercuts t* and lets refined rays "pass over"
-            # shadows that the exact sampler blocks (measured: vis 1.0
-            # vs 0.06 worst-pixel before this).
-            up = jnp.roll(c, 1, axis=2)
-            dn = jnp.roll(c, -1, axis=2)
-            row = jnp.arange(c.shape[2])
-            up = jnp.where(row == 0, edge_fill, up)
-            dn = jnp.where(row == c.shape[2] - 1, edge_fill, dn)
-            nb = jnp.where(f >= 0.0, up, dn)
-            return jnp.where(af > 0.5, nb, c)
+        # Argmin-selected payloads (blocker h_top/h_bot/footprint)
+        # follow the fan by SHIFTED COPY instead of lerping: a lerp
+        # between a tall blocker's top and a neighboring column's
+        # unrelated height undercuts t* and lets refined rays "pass
+        # over" shadows that the exact sampler blocks (measured: vis
+        # 1.0 vs 0.06 worst-pixel). The shift is PHASE-CORRECTED: a
+        # plain af > 0.5 nearest-neighbor never moves the payload on
+        # rays with |slope| < 0.5 row/col while the true fan drifts
+        # f rows per column — a LINEAR position error that read
+        # unrelated columns' data tens of rows off the ray (measured:
+        # diagonal bands of fully-lost shadows, carried-vs-exact diff
+        # 1.0, test_refine_quality 'mixed'). Carrying the accumulated
+        # fractional row phase and rounding (f + phase) each step
+        # bounds the transport error at half a row; the phase RESETS
+        # where the argmin update takes fresh column data.
+        if n_extra:
+            shift = jnp.clip(jnp.round(f + ph), -1.0, 1.0)
 
-        res_e = tuple(
-            jnp.where(in_front, resample_nearest(c, 0.0), 0.0)
-            for c in extra_c)
+            def resample_shift(c, edge_fill):
+                up = jnp.roll(c, 1, axis=2)
+                dn = jnp.roll(c, -1, axis=2)
+                row = jnp.arange(c.shape[2])
+                up = jnp.where(row == 0, edge_fill, up)
+                dn = jnp.where(row == c.shape[2] - 1, edge_fill, dn)
+                return jnp.where(shift > 0.5, up,
+                                 jnp.where(shift < -0.5, dn, c))
+
+            # (h_top, h_bot) neutral fills — a huge interval
+            # reconstructs at the footprint term alone; min_d's own
+            # _BIG fill gates has_blocker on these rays anyway.
+            _FILLS = (4096.0, -4096.0)
+            res_e = tuple(
+                jnp.where(in_front, resample_shift(c, fill), fill)
+                for c, fill in zip(extra_c, _FILLS))
+            res_ph = jnp.where(
+                in_front, resample_shift(ph, 0.0) + f - shift, 0.0)
+        else:
+            res_e = ()
+            res_ph = None
 
         # Merge this column's own sample (skipped within the light radius —
         # the trace stops `radius` short of the light, ConeTrace.fxh:46).
         sample_valid = in_front & (dx > lr)
         d_here = jnp.where(sample_valid, occ_col[:, None, :], _BIG)
         new_min_d = jnp.minimum(res_d, d_here)
+        if fp_col is not None:
+            # Running footprint minimum: associative like min_d, so it
+            # lerp-resamples along the fan (no payload transport).
+            res_f = jnp.where(in_front, resample(f_min, _BIG), _BIG)
+            f_here = jnp.where(sample_valid, fp_col[:, None, :], _BIG)
+            new_f_min = jnp.minimum(res_f, f_here)
+        else:
+            res_f = new_f_min = None
         upd = d_here < res_d
         new_min_k = jnp.where(upd, dx, res_k)
         new_extra = tuple(
             jnp.where(upd, col[:, None, :], re)
             for col, re in zip(extra_cols, res_e))
+        # Fresh column data is ON the ray exactly — reset the phase.
+        new_ph = jnp.where(upd, 0.0, res_ph) if n_extra else None
         # Blocker EXIT point: the farthest-from-light NEAR-SURFACE sample
         # — the ray is lowest there, so it's the second 3D-refine
         # candidate. The threshold is a small positive band, not 0: a
@@ -277,29 +321,47 @@ def _bidirectional_scan(occ, light_x, light_y, light_radius, unroll=None,
         # left the exit empty, collapsed the refine span onto its start
         # (where the descending true ray is still above the blocker) and
         # erased the whole shadow (measured p99 = 1.0 slivers on the
-        # 3-occluder scene, tools/approx_artifacts.py).
-        new_neg_k = jnp.where(d_here < exit_band, dx, res_n)
+        # 3-occluder scene, tools/approx_artifacts.py). The band is
+        # RELATIVE to the running minimum as well as absolute: a SHORT
+        # blocker below the trace plane reads a flat d = (plane - top)
+        # band across its whole footprint and the absolute test never
+        # fired — the span collapsed to the entry column, where the
+        # descending true ray is still high, and the carried 3D refine
+        # under-shadowed the whole class (test_refine_quality 'short':
+        # mean err 0.092 -> 0.075 with the relative band).
+        new_neg_k = jnp.where(
+            d_here < jnp.maximum(exit_band, new_min_d + exit_band),
+            dx, res_n)
         # Per-column outputs are the scan's big materialization
         # (3 x (W, 2, L, H) per pass); store them f16 — d <= 128 keeps
         # ~0.06 precision, k <= W keeps ~1 shadow-res px — and upcast at
         # readout. Halves the pass's HBM traffic.
-        return ((new_min_d, new_min_k, new_neg_k), new_extra), (
+        return (
+            (new_min_d, new_min_k, new_neg_k), new_f_min, new_extra,
+            new_ph,
+        ), (
             res_d.astype(jnp.float16),
             (res_k + k_off).astype(jnp.float16),
             (res_n + k_off).astype(jnp.float16),
+            None if res_f is None else res_f.astype(jnp.float16),
             tuple(r.astype(jnp.float16) for r in res_e),
         )
 
+    _EX_INIT = (4096.0, -4096.0)
     init = (
         (
             jnp.full((2, L, H), _BIG, jnp.float32),
             jnp.zeros((2, L, H), jnp.float32),
             jnp.zeros((2, L, H), jnp.float32),
         ),
-        tuple(jnp.zeros((2, L, H), jnp.float32) for _ in range(n_extra)),
+        (None if footprint is None
+         else jnp.full((2, L, H), _BIG, jnp.float32)),
+        tuple(jnp.full((2, L, H), _EX_INIT[i], jnp.float32)
+              for i in range(n_extra)),
+        jnp.zeros((2, L, H), jnp.float32) if n_extra else None,
     )
-    _, (pre_d, pre_k, pre_n, pre_e) = jax.lax.scan(
-        step, init, (cols, occ_both, extra_both),
+    _, (pre_d, pre_k, pre_n, pre_f, pre_e) = jax.lax.scan(
+        step, init, (cols, occ_both, fp_both, extra_both),
         unroll=_default_unroll() if unroll is None else unroll,
     )
     if raw:
@@ -308,10 +370,15 @@ def _bidirectional_scan(occ, light_x, light_y, light_radius, unroll=None,
     pre_d = jnp.moveaxis(pre_d, 0, 3)
     pre_k = jnp.moveaxis(pre_k, 0, 3)
     pre_n = jnp.moveaxis(pre_n, 0, 3)
+    pre_f = None if pre_f is None else jnp.moveaxis(pre_f, 0, 3)
     pre_e = tuple(jnp.moveaxis(p, 0, 3) for p in pre_e)
-    east = (pre_d[0], pre_k[0], pre_n[0]) + tuple(p[0] for p in pre_e)
+    fs = () if pre_f is None else (pre_f,)
+    east = (pre_d[0], pre_k[0], pre_n[0]) \
+        + tuple(p[0] for p in fs) + tuple(p[0] for p in pre_e)
     west = (pre_d[1, :, :, ::-1], pre_k[1, :, :, ::-1],
-            pre_n[1, :, :, ::-1]) + tuple(p[1, :, :, ::-1] for p in pre_e)
+            pre_n[1, :, :, ::-1]) \
+        + tuple(p[1, :, :, ::-1] for p in fs) \
+        + tuple(p[1, :, :, ::-1] for p in pre_e)
     return east, west
 
 
@@ -344,6 +411,7 @@ def scan_visibility(
     would self-shadow; their true rays clear the occluders, so visibility
     fades back to 1 as the surface rises past the trace plane (the 3D
     march has no such artifact — see PERF.md approximations)."""
+    windowed_eval = world_offset is not None
     if world_offset is None:
         world_offset = jnp.zeros((2,), jnp.float32)
     lz = light_position[:, 2]
@@ -406,23 +474,67 @@ def scan_visibility(
     from ..sdf.columns import ColumnField, reconstruct_profile, \
         resample_map_to_grid
 
-    use_cols = (isinstance(scene, ColumnField)
-                and quality.scan_refine_samples > 0
-                and quality.scan_refine_mode == "carried")
+    # WINDOWED evaluations (volumetric/projector sub-frame windows —
+    # world_offset given) keep the exact per-candidate sampling: their
+    # grids are small, so the exact refine is cheap there, and the
+    # carried maps' grid quantization made windowed lights visibly
+    # resolution-dependent (the halfres extra-family frame diverged
+    # 15% of volumetric pixels > 2 LSB carried vs 0.09% exact —
+    # tests/test_advice_r4.py). Carried stays for the expensive
+    # full-frame scans, whose error is pinned against the march at
+    # both nomination scales (test_refine_quality).
+    want_carried = (quality.scan_refine_samples > 0
+                    and quality.scan_refine_mode == "carried"
+                    and not windowed_eval)
+    use_cols = isinstance(scene, ColumnField) and want_carried
     if (isinstance(scene, ColumnField)
             and quality.scan_refine_mode == "exact"):
         # Exact mode: candidates sample the underlying volume directly
         # (scene_sample_p on an SdfVolume -> reference trilinear).
         scene = scene.volume
+    ana_cols = None
+    if want_carried and not use_cols:
+        # ANALYTIC carried refine: closed-form column-interval images
+        # (the analog of the ColumnField maps, built directly at the
+        # nomination grid — sdf/analytic.py:scene_column_images) let
+        # the 3D refine run elementwise with zero full-res scene evals;
+        # None (rotated prims / polygons / many-prim scenes) keeps the
+        # exact per-candidate scene sampling.
+        from ..sdf.analytic import AnalyticScene
+
+        if isinstance(scene, AnalyticScene):
+            from ..sdf.analytic import scene_column_images
+
+            ana_cols = scene_column_images(scene, nh, nw, nscale,
+                                           world_offset)
+            use_cols = ana_cols is not None
     if use_cols:
-        t_img = _pin_replicated(resample_map_to_grid(
-            scene, scene.h_top, nh, nw, nscale, world_offset))
-        b_img = _pin_replicated(resample_map_to_grid(
-            scene, scene.h_bot, nh, nw, nscale, world_offset))
+        if ana_cols is not None:
+            t_img = _pin_replicated(ana_cols[0])
+            b_img = _pin_replicated(ana_cols[1])
+            f_img = _pin_replicated(ana_cols[2])
+        else:
+            t_img = _pin_replicated(resample_map_to_grid(
+                scene, scene.h_top, nh, nw, nscale, world_offset))
+            b_img = _pin_replicated(resample_map_to_grid(
+                scene, scene.h_bot, nh, nw, nscale, world_offset))
+            f_img = _pin_replicated(resample_map_to_grid(
+                scene, scene.flat_d, nh, nw, nscale, world_offset))
+        # (h_top, h_bot) ride the argmin as selected payloads; the
+        # FOOTPRINT image rides as a lerped running-min carry — it is
+        # the reconstruction's f term. The carried flatland min equals
+        # the footprint when the trace plane crosses the blocker
+        # interval but reads footprint + vertical offset when the
+        # plane sits ABOVE a short blocker (the flatland scan's blind
+        # spot); the footprint minimum recovers those shadows
+        # (test_refine_quality 'short'/'mixed', see _bidirectional_scan
+        # docstring for the measured steps).
         extra = (t_img, b_img)
         extra_t = (t_img.T, b_img.T)
+        fp, fp_t = f_img, f_img.T
     else:
         extra = extra_t = ()
+        fp = fp_t = None
     # Exit-nomination band: the last sample within this SDF distance of
     # a surface marks the blocker exit (a blocker whose top sits exactly
     # at the trace plane grazes the ray with d ~ 0 and never negative —
@@ -434,12 +546,12 @@ def scan_visibility(
     (e_d, e_k, e_n, *e_e), (w_d, w_k, w_n, *w_e) = jax.tree.map(
         _pin_replicated,
         _bidirectional_scan(occ, lx, ly, lr_n, exit_band=band,
-                            extra=extra),
+                            extra=extra, footprint=fp),
     )
     (n_tuple, s_tuple) = jax.tree.map(
         _pin_replicated,
         _bidirectional_scan(occ.T, ly, lx, lr_n, exit_band=band,
-                            extra=extra_t),
+                            extra=extra_t, footprint=fp_t),
     )
     n_d = jnp.swapaxes(n_tuple[0], 1, 2)
     n_k = jnp.swapaxes(n_tuple[1], 1, 2)
@@ -494,16 +606,21 @@ def scan_visibility(
     )
     k_frac = jnp.clip(min_k / major_n, 0.0, 1.0)  # 0 at light, 1 at px
     exit_frac = jnp.clip(jnp.maximum(neg_k, min_k) / major_n, 0.0, 1.0)
-    min_d_nc = None
     if use_nom:
-        min_d, k_frac, exit_frac, has_blocker, tb_star, min_d_nc = \
+        # tb_star is (f_min, h_top, h_bot) on the carried path — f_min
+        # upsamples mask-normalized bilinear (a smooth distance field),
+        # the heights nearest-neighbor (per-blocker constants).
+        if use_cols:
+            fmin_in, ex_in = tb_star[0], tb_star[1:]
+        else:
+            fmin_in, ex_in = None, tb_star
+        min_d, k_frac, exit_frac, has_blocker, tb_star = \
             _upsample_nominated(
-                min_d, k_frac, exit_frac, halvings, extras=tb_star
+                min_d, k_frac, exit_frac, halvings, extras=ex_in,
+                fmin=fmin_in,
             )
     else:
         has_blocker = min_d < 1e8
-    if min_d_nc is None:
-        min_d_nc = min_d
     # Nomination -> readout sharding boundary (see spmd_mesh above): one
     # replicated -> row-sharded reshard; the per-pixel refine below then
     # scales over the mesh.
@@ -512,8 +629,6 @@ def scan_visibility(
     exit_frac = _pin_rows(exit_frac)
     has_blocker = _pin_rows(has_blocker)
     tb_star = tuple(_pin_rows(p) for p in tb_star)
-    if use_cols:
-        min_d_nc = _pin_rows(min_d_nc)
     if _DEBUG_STASH is not None:  # tools/debug_carried_refine.py hook
         _DEBUG_STASH.update(min_d=min_d, k_frac=k_frac,
                             exit_frac=exit_frac, has_blocker=has_blocker,
@@ -643,16 +758,16 @@ def scan_visibility(
     for t in candidates:
         sz = lz[:, None, None] + (pz_lift - lz[:, None, None]) * t
         if use_cols:
-            # Elementwise column reconstruction at the candidate: the
-            # flatland min IS the footprint term (trace plane inside the
-            # blocker interval -> d2d == footprint distance; above a
-            # short blocker it reads >= footprint, which only LIGHTENS —
-            # consistent with the flatland scan's own approximation),
-            # and (t*, b*) rode the walk from the nominated blocker's
-            # column. Pass-over rays get d = z - t* EXACTLY — the 3D
-            # behavior the refine exists to restore — with ZERO
-            # scattered field samples.
-            d_i = reconstruct_profile(min_d_nc, tb_star[0], tb_star[1],
+            # Elementwise column reconstruction at the candidate:
+            # (t*, b*) rode the walk from the nominated blocker's
+            # column; f_min is the running FOOTPRINT minimum along the
+            # ray (exact where the trace plane crosses the interval;
+            # strictly better than the carried flatland min when the
+            # plane sits above a short blocker, whose footprint still
+            # goes negative inside). Pass-over rays get d = z - t*
+            # EXACTLY — the 3D behavior the refine exists to restore —
+            # with ZERO scattered field samples.
+            d_i = reconstruct_profile(tb_star[0], tb_star[1], tb_star[2],
                                       sz)
         else:
             sx = lx_w + (px_x - lx_w) * t
@@ -714,7 +829,7 @@ def scan_visibility(
 
 
 def _upsample_nominated(min_d, k_frac, exit_frac, halvings: int,
-                        extras=()):
+                        extras=(), fmin=None):
     """Upsample the three nominated fields to the readout grid. f16
     keeps the HBM cost of the extra materialization at half (fractions
     keep ~0.05% of ray length, min_d ~0.06 world units). The no-blocker
@@ -751,34 +866,47 @@ def _upsample_nominated(min_d, k_frac, exit_frac, halvings: int,
     e_c = jnp.where(nom_mask, 1.0 - exit_frac, 0.0).astype(jnp.float16)
     wgt = nom_mask.astype(jnp.float16)
     min_d = min_d.astype(jnp.float16)
-    _EX_FILL = (4096.0, -4096.0)  # (h_top, h_bot) neutral interval
+    # (h_top, h_bot) neutral fills: a huge interval keeps the
+    # reconstruction at its footprint term alone.
+    _EX_FILL = (4096.0, -4096.0)
     ex_c = [jnp.where(nom_mask, e, fill).astype(jnp.float16)
             for e, fill in zip(extras, _EX_FILL)]
-    # Mask-normalized min_d for the ColumnField reconstruction: the
-    # plain bilinear blends the 8192 sentinel into real distances at
-    # mask edges (measured 505 at a fully-shadowed pixel) — harmless
-    # for the exact refine (it resamples the field at the candidates)
-    # but fatal when min_d IS the reconstruction's footprint term.
-    md_c = (jnp.where(nom_mask, min_d, 0.0).astype(jnp.float16)
-            if extras else None)
+    # Mask-normalized footprint minimum (the reconstruction's f term —
+    # a smooth distance field, so bilinear; the _BIG sentinel on
+    # no-blocker rays would smear into real values otherwise).
+    fm_c = (None if fmin is None
+            else jnp.where(nom_mask, jnp.minimum(fmin, 4096.0),
+                           0.0).astype(jnp.float16))
     for _ in range(halvings):
         k_c = upsample2x_bilinear(k_c)
         e_c = upsample2x_bilinear(e_c)
         min_d = upsample2x_bilinear(min_d)
         wgt = upsample2x_bilinear(wgt)
-        ex_c = [jnp.repeat(jnp.repeat(e, 2, axis=-2), 2, axis=-1)
-                for e in ex_c]
-        if md_c is not None:
-            md_c = upsample2x_bilinear(md_c)
+        # EDGE-AWARE height upsample: bilinear where the coarse
+        # neighborhood agrees (|bilinear - nearest| small => the 2x2
+        # support is one blocker — smooths the silhouette quantization
+        # that made the refine grid-sensitive: the halfres extra-family
+        # frame diverged 2.8% of pixels > 2 LSB under plain NN, 0.9%
+        # with this, vs 0.09% for the exact refine), nearest across
+        # blocker boundaries (a lerp between two blockers' tops invents
+        # a phantom intermediate blocker — the original NN rationale).
+        ex_new = []
+        for e in ex_c:
+            nn = jnp.repeat(jnp.repeat(e, 2, axis=-2), 2, axis=-1)
+            bi = upsample2x_bilinear(e)
+            ex_new.append(jnp.where(jnp.abs(bi - nn) < 2.0, bi, nn))
+        ex_c = ex_new
+        if fm_c is not None:
+            fm_c = upsample2x_bilinear(fm_c)
     min_d = min_d.astype(jnp.float32)
     has_blocker = min_d < 4096.0
     wgt = jnp.maximum(wgt.astype(jnp.float32), 1e-3)
     k_frac = jnp.clip(1.0 - k_c.astype(jnp.float32) / wgt, 0.0, 1.0)
     exit_frac = jnp.clip(1.0 - e_c.astype(jnp.float32) / wgt, 0.0, 1.0)
     ex_out = tuple(e.astype(jnp.float32) for e in ex_c)
-    min_d_nc = (md_c.astype(jnp.float32) / wgt if md_c is not None
-                else None)
-    return min_d, k_frac, exit_frac, has_blocker, ex_out, min_d_nc
+    if fm_c is not None:
+        ex_out = (fm_c.astype(jnp.float32) / wgt,) + ex_out
+    return min_d, k_frac, exit_frac, has_blocker, ex_out
 
 
 def resize_visibility(vis, target_hw):

@@ -84,6 +84,10 @@ class FlagshipScene:
     frame: object
     frame_loop: object  # jitted n-frames-per-dispatch variant
     spawner: Spawner
+    # Packed extra-family lights (the full_family dict: directional /
+    # line / volumetric / projector / particle_light + support radii),
+    # None for sphere-only scenes. Tools/tests attribution hook.
+    extra_lights: Optional[dict] = None
 
 
 def build_flagship(
@@ -912,4 +916,5 @@ def build_flagship(
         frame=frame,
         frame_loop=frame_loop,
         spawner=spawner,
+        extra_lights=extra,
     )

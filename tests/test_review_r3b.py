@@ -50,7 +50,7 @@ def test_nomination_upsample_masked_fractions():
     min_d = jnp.asarray([[big, 2.0, 2.0, 2.0]], jnp.float32)[None]
     k = jnp.asarray([[0.0, 0.8, 0.8, 0.8]], jnp.float32)[None]
     e = jnp.asarray([[0.0, 0.9, 0.9, 0.9]], jnp.float32)[None]
-    d2, k2, e2, hb, _ex, _md = _upsample_nominated(min_d, k, e, 1)
+    d2, k2, e2, hb, _ex = _upsample_nominated(min_d, k, e, 1)
     d2, k2, e2, hb = (np.asarray(a)[0] for a in (d2, k2, e2, hb))
     # Every upsampled pixel with a blocker majority keeps the TRUE
     # fraction (a plain bilinear gave 0.2 / 0.6 at the edge).

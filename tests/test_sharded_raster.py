@@ -130,16 +130,19 @@ def test_adaptive_send_budget_at_scale():
     from illuminant_tpu.parallel.raster import measure_send_budget_factor
 
     mesh = _mesh8()
-    h, w, n = 512, 384, 1 << 16
-    # bin_capacity sized for the cluster tiles (~5.2k particles/tile)
-    # so the test isolates the SEND budget contract from bin overflow.
+    # Sized to exercise the contract, not throughput (512x384/64k
+    # measured the same factors/deficits in 3x the wall-clock —
+    # round-5 suite-time pass): the 95% band still needs factor ~7.3
+    # > default 3.0, the cluster tiles still sit under bin_capacity.
+    h, w, n = 256, 192, 1 << 14
+    # bin_capacity sized for the cluster tiles so the test isolates
+    # the SEND budget contract from bin overflow.
     cfg = TiledRasterConfig(height=h, width=w, tile=32,
-                            bin_capacity=8192, apron=4,
+                            bin_capacity=4096, apron=4,
                             rgba8_colors=True, channels=3,
                             overflow_tiles=0)
-    # 95% of particles in one band: needs factor ~7.6 > default 3.0.
     x, y, color, size, live = _particles(n, h, w, seed=7,
-                                         cluster=(300.0, 0.95))
+                                         cluster=(150.0, 0.95))
     args = [
         jax.device_put(jnp.asarray(a), pmesh.row_sharding(mesh))
         for a in (x, y, color, size, live)

@@ -70,10 +70,14 @@ def run(name, frames=200, **kw):
 
 
 def main():
-    frames = int(sys.argv[1]) if len(sys.argv) > 1 else 200
+    args = [a for a in sys.argv[1:] if a != "quick"]
+    quick = "quick" in sys.argv[1:]
+    frames = int(args[0]) if args else 200
     base = run("parity_sphere_only", frames)
     full = run("parity_full_family", frames, full_family=True)
     print(f"# extra families total: {full - base:.2f} ms", flush=True)
+    if quick:
+        return
     for fam in ("directional", "line", "volumetric", "projector",
                 "particle"):
         ms = run(f"parity_only_{fam}", frames, full_family=(fam,))
