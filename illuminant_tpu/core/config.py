@@ -67,8 +67,12 @@ class QualitySettings:
     # underlying voxel volume (the reference-trilinear path — matches
     # the analytic frame to voxel quantization, but pays the scattered
     # MXU contraction: ~123 ms/frame at 1080p/8 lights, PERF.md
-    # round 5). Analytic scenes always sample exactly (cheap) and
-    # ignore this knob.
+    # round 5). Analytic scenes sample exactly under both defaults —
+    # their closed-form evals are CHEAPER than the 4 extra walk
+    # carries the carried mode adds (measured on v5e,
+    # tools/ab_carried_analytic.py: 8-lane parity scan 6.00 -> 8.18 ms
+    # carried); "carried_all" opts analytic scenes into the carried
+    # machinery anyway (for A/B and windowless memory-bound scenes).
     scan_refine_mode: str = static_field(default="carried")
     # Resolution of the EXTRA light families (directional/line/
     # volumetric/particle) relative to the lightmap, when a scene opts

@@ -484,7 +484,8 @@ def scan_visibility(
     # full-frame scans, whose error is pinned against the march at
     # both nomination scales (test_refine_quality).
     want_carried = (quality.scan_refine_samples > 0
-                    and quality.scan_refine_mode == "carried"
+                    and quality.scan_refine_mode in ("carried",
+                                                     "carried_all")
                     and not windowed_eval)
     use_cols = isinstance(scene, ColumnField) and want_carried
     if (isinstance(scene, ColumnField)
@@ -493,13 +494,23 @@ def scan_visibility(
         # (scene_sample_p on an SdfVolume -> reference trilinear).
         scene = scene.volume
     ana_cols = None
-    if want_carried and not use_cols:
-        # ANALYTIC carried refine: closed-form column-interval images
-        # (the analog of the ColumnField maps, built directly at the
+    if (want_carried and not use_cols
+            and quality.scan_refine_mode == "carried_all"):
+        # ANALYTIC carried refine — EXPLICIT OPT-IN ("carried_all"),
+        # not the default: closed-form column-interval images (the
+        # analog of the ColumnField maps, built directly at the
         # nomination grid — sdf/analytic.py:scene_column_images) let
-        # the 3D refine run elementwise with zero full-res scene evals;
-        # None (rotated prims / polygons / many-prim scenes) keeps the
-        # exact per-candidate scene sampling.
+        # the 3D refine run elementwise with zero full-res scene evals.
+        # MEASURED NET LOSS on analytic scenes on v5e
+        # (tools/ab_carried_analytic.py, 1080p 8-lane scan: parity
+        # 6.00 -> 8.18 ms, fast 3.22 -> 4.23 ms — the 4 extra walk
+        # carries cost more than the cheap closed-form candidate evals
+        # they replace; this regressed every BENCH row 10-20% when it
+        # briefly became the analytic default). ColumnField (voxel)
+        # scenes keep carried as their default above: THERE the evals
+        # it replaces are scattered volume contractions (~123 ms/frame,
+        # PERF.md round-5). None (rotated prims / polygons / many-prim
+        # scenes) keeps the exact per-candidate scene sampling.
         from ..sdf.analytic import AnalyticScene
 
         if isinstance(scene, AnalyticScene):
